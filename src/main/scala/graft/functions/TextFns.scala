@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis and dedup primitives for large-scale training-data
+  * pipelines. Everything here is built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs in the hot path) and every
+  * definition has an exact ANSI-SQL twin in [[graft.SparkEntry.oracleSql]]
+  * so results are cross-checkable against DuckDB at any scale factor.
+  */
+object TextFns {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Distinct token set — the unit for Jaccard/minhash set similarity. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Documents shorter than
+    * `n` tokens yield an empty array.
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** Deterministic 32-bit token hash: the big-endian first 8 hex chars of
+    * md5, as a long in [0, 2^32). Chosen over Spark's murmur `hash()` because
+    * it is reproducible in any engine with an md5 function (DuckDB oracle:
+    * `('0x' || substr(md5(t), 1, 8))::BIGINT`).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
+
+  /** MinHash parameters: k universal-hash functions h_i(x) = (a_i*x + b_i)
+    * mod P over the 32-bit token hash. a_i < 2^18 keeps a_i * x < 2^50 —
+    * exact in both long and double arithmetic, so engines agree bit-for-bit.
+    */
+  val MinhashP: Long = 4294967311L // smallest prime > 2^32
+  val MinhashA: Seq[Long] = Seq(131071L, 8191L, 524287L, 127L)
+  val MinhashB: Seq[Long] = Seq(12345L, 67890L, 424242L, 777L)
+
+  /** One minhash value: min over the document's distinct tokens of h_i. */
+  def minhashOf(tokenHash: Column, i: Int): Column =
+    pmod(tokenHash * lit(MinhashA(i)) + lit(MinhashB(i)), lit(MinhashP))
+
+  /** Language-ID by stopword evidence: count hits from small per-language
+    * marker sets, predict the argmax with a fixed precedence order
+    * (en > es > de > fr > zh) for ties. A deterministic n-gram heuristic —
+    * exactly reproducible in SQL, linear, shuffle-free.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "of"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "zh" -> Seq("zh0", "zh1", "zh2", "zh3", "zh4")
+  )
+
+  /** Marker hits over raw tokens (frequency-weighted). */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(set, t)))
+  }
+
+  /** Marker hits over the distinct token set (presence-weighted). */
+  def langScoreSet(c: Column, markers: Seq[String]): Column = {
+    val set = array(markers.map(lit): _*)
+    size(filter(tokenSet(c), t => array_contains(set, t)))
+  }
+
+  def langPredict(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScoreSet(c, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declared precedence) achieving the max
+    scores.reverse.foldLeft(lit(LangMarkers.head._1)) { case (acc, (lang, s)) =>
+      when(s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document-quality heuristics (length / punctuation / stopword ratios),
+    * combined into a [0,1] score. All ratios are single IEEE divisions of
+    * exact integer counts -> deterministic across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val nChars = length(text).cast(DoubleType)
+    val stopHits = langScore(text, Seq("the", "a", "an", "and", "of")).cast(DoubleType)
+    val meanTokLen = (nChars - (nTok - lit(1.0))) / nTok // chars net of separators
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val stopScore = least(stopHits / nTok * lit(8.0), lit(1.0))
+    val tokScore = when(meanTokLen >= 3.0 && meanTokLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    // unrounded: both engines compute the identical IEEE op sequence, and
+    // round()'s half-at-boundary behavior differs between them
+    lenScore * lit(0.5) + stopScore * lit(0.3) + tokScore * lit(0.2)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text — the
+    * exact-dedup key. `fingerprintBucket` is its top-16-bit shard, the
+    * partition key a 100 TB dedup would shuffle on.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(lower(text))).cast(BinaryType))
+
+  def fingerprintBucket(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 4), 16, 10).cast(LongType)
+}

@@ -1,0 +1,117 @@
+package graft.ingest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.repo.TableRepo
+
+/** Recursive object->relational shredder — the Spark-native re-expression of
+  * the reference's `ObjIngestor` (/root/reference/parquetranger/ingestor.py:49-113).
+  *
+  * The reference walks Python dicts one object at a time on a single core;
+  * here the whole collection is one DataFrame of (inferred) nested structs
+  * and every shredding step is a distributed projection/explode:
+  *
+  *   - atoms (int/float/str/bool/null, ingestor.py:13) stay on the parent row
+  *   - nested struct fields become a child table keyed by `__parent_id`
+  *     (ingestor.py:60-66)
+  *   - array fields fan out with `posexplode`, one child row per element
+  *     under a `list` path segment (ingestor.py:56-59); bare-atom elements
+  *     are wrapped as an `element` column (ingestor.py:67-69)
+  *   - every table carries a deterministic `__id` (md5 of path + parent id +
+  *     position — the analog of the reference's injected uuid4 PKs,
+  *     ingestor.py:70-76, made deterministic so runs are reproducible)
+  *
+  * Divergence (documented): the reference routes heterogeneous shapes at the
+  * same path into separate tables keyed by an md5 of the sorted type map
+  * (ingestor.py:77-82). Spark's JSON schema inference already unifies shapes
+  * into one nullable schema, which subsumes that mechanism — one table per
+  * path, absent fields null.
+  */
+object ObjIngestor {
+
+  private def isAtom(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType => false
+    case _ => true
+  }
+
+  /** Shred a DataFrame whose columns may be nested structs/arrays/maps into
+    * flat tables. Returns path -> DataFrame; the root table is at `rootName`.
+    *
+    * @param idCol column to use as the root primary key (`root_id_key` /
+    *              `force_key`, ingestor.py:30-47); when absent a
+    *              deterministic content hash id is injected.
+    */
+  def shred(df: DataFrame, rootName: String = "root", idCol: Option[String] = None): Map[String, DataFrame] = {
+    val withId = idCol match {
+      case Some(c) => df.withColumn("__id", col(c).cast(StringType))
+      case None =>
+        df.withColumn("__id", md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+    }
+    val out = mutable.LinkedHashMap[String, DataFrame]()
+
+    def walk(t: DataFrame, path: String): Unit = {
+      val fields = t.schema.fields.filterNot(f => f.name == "__id" || f.name == "__parent_id")
+      val atomCols = fields.filter(f => isAtom(f.dataType)).map(_.name)
+      val keyCols = t.columns.filter(c => c == "__id" || c == "__parent_id")
+      out(path) = t.select((keyCols ++ atomCols).toIndexedSeq.map(col): _*)
+
+      fields.filterNot(f => isAtom(f.dataType)).foreach { f =>
+        val childPath = s"$path.${f.name}"
+        f.dataType match {
+          case _: StructType =>
+            val child = t.filter(col(f.name).isNotNull)
+              .select(col("__id").as("__parent_id"), col(s"`${f.name}`.*"))
+              .withColumn("__id", md5(concat_ws("\u0001", lit(childPath), col("__parent_id"))))
+            walk(child, childPath)
+          case ArrayType(et, _) =>
+            val exploded = t.filter(col(f.name).isNotNull)
+              .select(col("__id").as("__parent_id"), posexplode(col(f.name)).as(Seq("__pos", "element")))
+              .withColumn("__id",
+                md5(concat_ws("\u0001", lit(childPath), col("__parent_id"), col("__pos"))))
+            val listPath = s"$childPath.list"
+            et match {
+              case _: StructType =>
+                val child = exploded.select(col("__parent_id"), col("__id"), col("__pos"), col("element.*"))
+                walk(child, listPath)
+              case _ =>
+                out(listPath) = exploded.select(col("__parent_id"), col("__id"), col("__pos"), col("element"))
+            }
+          case _: MapType =>
+            val child = t.filter(col(f.name).isNotNull)
+              .select(col("__id").as("__parent_id"), explode(col(f.name)).as(Seq("key", "value")))
+              .withColumn("__id", md5(concat_ws("\u0001", lit(childPath), col("__parent_id"), col("key"))))
+            walk(child, childPath)
+          case _ => ()
+        }
+      }
+    }
+
+    walk(withId, rootName)
+    out.toMap
+  }
+
+  /** Shred a Dataset/column of raw JSON strings: infer the unified schema,
+    * parse, shred. The inference pass is itself distributed
+    * (`spark.read.json` over the string dataset).
+    */
+  def shredJson(spark: SparkSession, jsons: Dataset[String], rootName: String = "root",
+      idCol: Option[String] = None): Map[String, DataFrame] =
+    shred(spark.read.json(jsons), rootName, idCol)
+
+  /** Write every shredded table into a TableRepo under `baseDir` — the
+    * reference's `dump_all` (ingestor.py:87-98). Table-name sanitization
+    * replaces the reference's md5-coded names + `key-map.json` sidecar with
+    * readable path-derived names.
+    */
+  def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] =
+    tables.map { case (path, t) =>
+      val safe = path.replaceAll("[^A-Za-z0-9_.-]", "_")
+      val repo = new TableRepo(s"$baseDir/$safe", spark)
+      repo.extend(t)
+      path -> repo
+    }
+}

@@ -1,0 +1,699 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.ingest.ObjIngestor
+import graft.repo.{HashBucket, RecordWriter, TableRepo}
+
+/** The full query inventory (SURVEY.md §2): every Tier-A operator of the
+  * reference re-expressed Spark-first, plus the Tier-B LLM-pipeline
+  * operators. Each entry is paired with an exact ANSI-SQL oracle (DuckDB
+  * dialect) over the same parquet tables; the driver hash-compares the two.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB agree
+  * bit-for-bit):
+  *   - double SUMs go through DECIMAL(18,2) (exact, order-independent)
+  *   - averages divide an exact decimal sum by a count: one IEEE op
+  *   - similarity math is an ordered left fold in double precision
+  *   - event-time arithmetic is integer microseconds (DuckDB truncates the
+  *     source's ns timestamps to µs; Spark reads them as ns longs via
+  *     `nanosAsLong` and divides by 1000)
+  *   - every top-k has a total tie-break order
+  */
+object Queries {
+
+  private type Fn = (SparkSession, String) => DataFrame
+
+  private case class Q(name: String, oracle: Option[String])(val fn: Fn)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with ns timestamps surfaced as µs longs (see class doc). */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val orderColsSql = orderCols.mkString(", ")
+
+  private val lineCols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+  private val lineColsSql = lineCols.mkString(", ")
+
+  // ------------------------------------------------------------- scratch
+
+  private lazy val scratchBase: String = {
+    val b = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/scratch") +
+      s"/run-${ProcessHandle.current().pid()}"
+    b
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  private def freshRoot(name: String): String = {
+    val dir = new java.io.File(s"$scratchBase/$name")
+    if (dir.exists()) deleteRec(dir)
+    dir.getParentFile.mkdirs()
+    dir.getAbsolutePath
+  }
+
+  // ------------------------------------------------------ oracle helpers
+
+  /** DuckDB twin of [[graft.repo.Md5Mod]]: Horner fold of the md5 hex in
+    * 32-bit chunks — exact 128-bit big-endian value mod n without int128.
+    */
+  private def sqlMd5Mod(c: String, n: Int): String = {
+    def hx(i: Int) = s"('0x'||substr(md5($c),$i,8))::BIGINT"
+    var e = s"(${hx(1)} % $n)"
+    for (i <- Seq(9, 17, 25)) e = s"(($e * 4294967296 + ${hx(i)}) % $n)"
+    e
+  }
+
+  private val sqlToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val sqlTokSet = s"list_distinct($sqlToks)"
+  /** 3-gram shingle set (1-based list indexing). */
+  private val sqlShingles =
+    s"list_distinct(list_transform(range(1, len($sqlToks) - 1), i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2]))"
+  private def sqlHash32(c: String) = s"('0x'||substr(md5($c),1,8))::BIGINT"
+  private def sqlCosine(a: String, b: String) =
+    s"list_inner_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_inner_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_inner_product($b::DOUBLE[], $b::DOUBLE[])))"
+
+  /** MinHash signature (4 hash functions) over 3-gram shingles; docs with
+    * fewer than 3 tokens have no shingles and are excluded.
+    */
+  private def minhashSig(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .filter(TextFns.tokenCount(col("text")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(TextFns.shingles(col("text"), 3))).as("tok"))
+      .withColumn("h", TextFns.hash32(col("tok")))
+    val aggs = TextFns.MinhashA.indices.map(i =>
+      min(TextFns.minhashOf(col("h"), i)).cast(LongType).as(s"mh$i"))
+    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------- inventory
+
+  private lazy val registry: Seq[Q] = Seq(
+
+    // ---- A1/A2: scans ------------------------------------------------
+    Q("q_scan", Some(
+      s"SELECT $lineColsSql FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'"
+    )) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .select(lineCols.map(col): _*)
+    },
+
+    // ---- A28: metadata-only count -----------------------------------
+    Q("q_count", Some("SELECT count(*) AS n_rows FROM lineitem")) { (s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n_rows"))
+    },
+
+    // ---- A36: limit (with total order) ------------------------------
+    Q("q_limit", Some(
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10"
+    )) { (s, d) =>
+      t(s, d, "lineitem").orderBy(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")).limit(10)
+    },
+
+    // ---- A31: sort / top-k ------------------------------------------
+    Q("q_sort", Some(
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1000"
+    )) { (s, d) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .limit(1000)
+    },
+
+    // ---- A32: predicates / null counting ----------------------------
+    Q("q_filter_nulls", Some(
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        | CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flag
+        | FROM lineitem""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).cast(LongType).as("null_qty"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).cast(LongType).as("null_flag"))
+    },
+
+    // ---- A30/A19: grouped aggregation (TPC-H Q1 shape) ---------------
+    Q("q_pricing_summary", Some(
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n_rows,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)).as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_price"))
+    },
+
+    // ---- A20: per-group count ---------------------------------------
+    Q("q_group_count", Some(
+      "SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
+    )) { (s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    },
+
+    // ---- A11: keep-first dedup --------------------------------------
+    Q("q_dedup_first", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in this data — the order
+      // must be total or "first" is engine-dependent
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      t(s, d, "lineitem")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    },
+
+    // ---- B8: top-n per group ----------------------------------------
+    Q("q_topn_group", Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+        | QUALIFY row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ---- A7: md5 hash bucketing -------------------------------------
+    Q("q_hash_bucket", Some(
+      s"""SELECT c_custkey, ${sqlMd5Mod("c_name", 300)} AS bucket,
+         | lpad(CAST(${sqlMd5Mod("c_name", 300)} AS VARCHAR), 3, '0') AS bucket_str
+         | FROM customer""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        HashBucket.bucket(col("c_name"), 300).cast(LongType).as("bucket"),
+        HashBucket.bucketStr(col("c_name"), 300).as("bucket_str"))
+    },
+
+    // ---- A5: append (repo write path, read back) ---------------------
+    Q("q_append", Some(
+      s"SELECT $orderColsSql FROM orders WHERE o_orderkey % 4 IN (1, 2)"
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_append"), s)
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 4 === 1))
+      repo.extend(o.filter(col("o_orderkey") % 4 === 2))
+      repo.getFullDf
+    },
+
+    // ---- A6: size-bounded files --------------------------------------
+    Q("q_sized_append", Some(
+      s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 3"
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_sized"), s, maxRecordsPerFile = 1000)
+      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 3).select(lineCols.map(col): _*))
+      repo.getFullDf
+    },
+
+    // ---- A8/A2: grouped write + multi-file union scan ----------------
+    Q("q_scan_union", Some(
+      s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 7"
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_scan_union"), s, groupCols = Seq("l_returnflag"))
+      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 7).select(lineCols.map(col): _*))
+      repo.getFullDf
+    },
+
+    // ---- A3/A4: partition-pruned scan --------------------------------
+    Q("q_partition_prune", Some(
+      s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 7 AND l_returnflag = 'R'"
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_prune"), s, groupCols = Seq("l_returnflag"))
+      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 7).select(lineCols.map(col): _*))
+      repo.getPartitionDf(Map("l_returnflag" -> "R"))
+    },
+
+    // ---- A9: keyed upsert --------------------------------------------
+    Q("q_upsert", Some(
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 NOT IN (0, 2)
+         | UNION ALL
+         | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 8 IN (0, 2)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_upsert"), s, keyCols = Seq("o_orderkey"))
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1))
+      val updates = o.filter(col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      repo.replaceRecords(updates)
+      repo.getFullDf
+    },
+
+    // ---- A10: group-scoped upsert ------------------------------------
+    Q("q_upsert_scoped", Some(
+      s"""SELECT $orderColsSql FROM orders
+         | WHERE o_orderkey % 4 IN (0, 1) AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 8 IN (0, 2))
+         | UNION ALL
+         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3 AS o_totalprice, o_orderdate, '1-URGENT' AS o_orderpriority
+         | FROM orders WHERE o_orderkey % 8 IN (0, 2)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_upsert_scoped"), s,
+        groupCols = Seq("o_orderpriority"), keyCols = Seq("o_orderkey"))
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1))
+      val updates = o.filter(col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+      repo.replaceRecords(updates, byGroups = true)
+      repo.getFullDf
+    },
+
+    // ---- A12: dynamic partition overwrite ----------------------------
+    Q("q_partition_overwrite", Some(
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 2 = 0 AND o_orderstatus <> 'F'
+         | UNION ALL
+         | SELECT o_orderkey, o_custkey, o_orderstatus, 0.0 AS o_totalprice, o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 2 = 0 AND o_orderstatus = 'F'""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_part_ow"), s, groupCols = Seq("o_orderstatus"))
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+      repo.extend(o)
+      repo.replaceGroups(o.filter(col("o_orderstatus") === "F").withColumn("o_totalprice", lit(0.0)))
+      repo.getFullDf
+    },
+
+    // ---- A15: schema harmonization -----------------------------------
+    Q("q_schema_harmonize", Some(
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 2 = 0
+         | UNION ALL
+         | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority
+         | FROM orders WHERE o_orderkey % 2 = 1""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_harmonize"), s)
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 2 === 0))
+      repo.extend(o.filter(col("o_orderkey") % 2 === 1)
+        .drop("o_orderpriority").withColumn("junk", lit(42)))
+      repo.getFullDf
+    },
+
+    // ---- A16: schema evolution + backfill rewrite --------------------
+    Q("q_schema_evolve", Some(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 1""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_evolve"), s, allowSchemaExtension = true)
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")))
+      repo.extend(o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+      repo.getFullDf
+    },
+
+    // ---- A18: batch ingest (one union job — see TableRepo.batchExtend)
+    Q("q_parallel_ingest", Some(
+      s"SELECT $orderColsSql FROM orders WHERE o_orderkey % 8 IN (4, 5, 6, 7)"
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_par_ingest"), s)
+      val o = t(s, d, "orders")
+      repo.batchExtend((4 to 7).map(i => o.filter(col("o_orderkey") % 8 === i)))
+      repo.getFullDf
+    },
+
+    // ---- A21: buffered record writer ---------------------------------
+    Q("q_buffered_ingest", Some(
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey < 400"
+    )) { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType)))
+      val repo = new TableRepo(freshRoot("q_buffered"), s)
+      val rows = t(s, d, "lineitem").filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).collect()
+      val w = new RecordWriter(repo, schema, recordLimit = 64)
+      rows.foreach { r =>
+        w.add(Map("l_orderkey" -> r.getLong(0), "l_linenumber" -> r.getInt(1),
+          "l_quantity" -> r.getDouble(2)))
+      }
+      w.close()
+      repo.getFullDf
+    },
+
+    // ---- A27: environments -------------------------------------------
+    Q("q_env_switch", Some(
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0"
+    )) { (s, d) =>
+      val root = freshRoot("q_envs")
+      val envParent = freshRoot("q_envs_test_parent")
+      val repo = new TableRepo(root, s, envParents = Map("test" -> envParent))
+      repo.envCtx("test") {
+        repo.extend(t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+        repo.getFullDf
+      }
+    },
+
+    // ---- A19: arbitrary grouped map over a repo ----------------------
+    Q("q_grouped_map", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag) AS dev
+        | FROM lineitem WHERE l_orderkey % 10 = 7""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_gmap"), s, groupCols = Seq("l_returnflag"))
+      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 7).select(lineCols.map(col): _*))
+      val out = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("dev", DoubleType)))
+      repo.mapGroups(Seq("l_returnflag"), out) { (_, rows) =>
+        val buf = rows.toVector
+        val mean = buf.map(_.getAs[Double]("l_quantity")).sum / buf.size
+        buf.iterator.map(r =>
+          Row(r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"),
+            r.getAs[Double]("l_quantity") - mean))
+      }
+    },
+
+    // ---- A25: JSON/object shredding ----------------------------------
+    Q("q_json_shred", Some(
+      """SELECT CAST(event_id AS VARCHAR) AS __parent_id,
+        | md5('root.props' || chr(1) || CAST(event_id AS VARCHAR)) AS __id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val ev = eventsUs(s, d)
+        .withColumn("props", from_json(col("props"), StructType(Seq(StructField("k", LongType)))))
+        .select(col("event_id"), col("props"))
+      ObjIngestor.shred(ev, rootName = "root", idCol = Some("event_id"))("root.props")
+    },
+
+    // ---- B1: exact dedup ---------------------------------------------
+    Q("q_dedup_exact", Some(
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)"
+    )) { (s, d) =>
+      t(s, d, "documents").groupBy(md5(col("text").cast(BinaryType)).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    // ---- B2: near-dup via exact blocked Jaccard ----------------------
+    Q("q_near_dup", Some(
+      s"""WITH dd AS (SELECT doc_id, lang, source, $sqlTokSet AS toks FROM documents)
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+         | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dd = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), TextFns.tokenSet(col("text")).as("toks"))
+      val a = dd.as("a"); val b = dd.as("b")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val jac = inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter)
+      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(jac >= 0.6)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jaccard"))
+    },
+
+    // ---- n-gram Jaccard near-dup -------------------------------------
+    Q("q_ngram_jaccard", Some(
+      s"""WITH dd AS (SELECT doc_id, lang, source, $sqlShingles AS sh FROM documents WHERE len($sqlToks) >= 3)
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+         | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dd = t(s, d, "documents")
+        .filter(TextFns.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(TextFns.shingles(col("text"), 3)).as("sh"))
+      val a = dd.as("a"); val b = dd.as("b")
+      val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+      val jac = inter.cast(DoubleType) / (size(col("a.sh")) + size(col("b.sh")) - inter)
+      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .filter(jac >= 0.4)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jaccard"))
+    },
+
+    // ---- MinHash signatures over 3-gram shingles ---------------------
+    Q("q_minhash", Some {
+      val hs = TextFns.MinhashA.indices.map { i =>
+        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
+         | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok)
+         | SELECT doc_id, $hs FROM hh GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) => minhashSig(t(s, d, "documents")) },
+
+    // ---- MinHash LSH candidate pairs (2 bands × 2 rows) --------------
+    Q("q_lsh_near_dup", Some {
+      val hs = TextFns.MinhashA.indices.map { i =>
+        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
+         | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok),
+         | sig AS (SELECT doc_id, $hs FROM hh GROUP BY doc_id),
+         | bands AS (SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bh FROM sig
+         |   UNION ALL SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bh FROM sig)
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val sig = minhashSig(t(s, d, "documents"))
+      val b0 = sig.select(col("doc_id"), lit(0).as("band"),
+        concat_ws("_", col("mh0"), col("mh1")).as("bh"))
+      val b1 = sig.select(col("doc_id"), lit(1).as("band"),
+        concat_ws("_", col("mh2"), col("mh3")).as("bh"))
+      val bands = b0.union(b1)
+      val a = bands.as("a"); val b = bands.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    },
+
+    // ---- B3: brute-force top-k cosine --------------------------------
+    Q("q_topk_cosine", Some(
+      s"""WITH p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${sqlCosine("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         | SELECT q_id, n_id, sim AS sim FROM p
+         | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 10""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"))
+      val sim = VectorFns.cosine(col("q_emb"), col("c_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      broadcast(q).join(c, col("n_id") =!= col("q_id"))
+        .withColumn("sim", sim)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
+        .select(col("q_id"), col("n_id"), col("sim").as("sim"))
+    },
+
+    // ---- ANN via IVF-style cluster pruning ---------------------------
+    Q("q_ann_ivf", Some(
+      s"""WITH p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS label, ${sqlCosine("q.embedding", "c.embedding")} AS sim
+         | FROM embeddings q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.vec_id WHERE q.vec_id < 5)
+         | SELECT q_id, n_id, label, sim AS sim FROM p
+         | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"), col("label"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      broadcast(q).join(c, col("label") === col("q_label") && col("n_id") =!= col("q_id"))
+        .withColumn("sim", VectorFns.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("label"), col("sim").as("sim"))
+    },
+
+    // ---- embedding near-dup ------------------------------------------
+    Q("q_emb_near_dup", Some(
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlCosine("a.embedding", "b.embedding")} AS sim
+         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         | WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val a = e.as("a"); val b = e.as("b")
+      val sim = VectorFns.cosine(col("a.embedding"), col("b.embedding"))
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .filter(sim >= 0.35)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("sim"))
+    },
+
+    // ---- SimHash -----------------------------------------------------
+    Q("q_simhash", Some(
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlTokSet) AS tok FROM documents),
+         | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok),
+         | bits AS (SELECT doc_id, b.bit AS bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |   FROM hh, (SELECT unnest(range(0, 32)) AS bit) b GROUP BY doc_id, b.bit)
+         | SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFns.tokenSet(col("text"))).as("tok"))
+        .withColumn("h", TextFns.hash32(col("tok")))
+        .withColumn("bit", explode(sequence(lit(0), lit(31))))
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(when(expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+          .cast(LongType).as("simhash"))
+    },
+
+    // ---- B4: text stats ----------------------------------------------
+    Q("q_text_stats", Some(
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         | CAST(sum(CAST(len($sqlToks) AS BIGINT)) AS DOUBLE) / count(*) AS avg_tokens,
+         | CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         | FROM documents GROUP BY lang""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents").groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"),
+        (sum(TextFns.tokenCount(col("text")).cast(LongType)).cast(DoubleType) / count(lit(1)))
+          .as("avg_tokens"),
+        countDistinct(col("source")).cast(LongType).as("n_sources"))
+    },
+
+    // ---- token counting ----------------------------------------------
+    Q("q_token_count", Some(
+      s"SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents"
+    )) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_obs"))
+    },
+
+    // ---- language identification -------------------------------------
+    Q("q_lang_id", Some {
+      val scores = TextFns.LangMarkers.map { case (lang, m) =>
+        val set = m.map(x => s"'$x'").mkString("[", ", ", "]")
+        s"len(list_filter($sqlTokSet, x -> list_contains($set, x))) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextFns.LangMarkers.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseExpr = langs.dropRight(1).map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
+         | SELECT doc_id, lang, CASE $caseExpr ELSE '${langs.last}' END AS lang_pred FROM sc""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextFns.langPredict(col("text")).as("lang_pred"))
+    },
+
+    // ---- quality scoring ---------------------------------------------
+    Q("q_quality_score", Some(
+      s"""WITH m AS (SELECT doc_id,
+         |   CAST(len($sqlToks) AS DOUBLE) AS nt,
+         |   CAST(length(text) AS DOUBLE) AS nc,
+         |   CAST(len(list_filter($sqlToks, x -> list_contains(['the', 'a', 'an', 'and', 'of'], x))) AS DOUBLE) AS sh
+         |   FROM documents)
+         | SELECT doc_id, least(nt / 64.0, 1.0) * 0.5 + least(sh / nt * 8.0, 1.0) * 0.3 +
+         |   (CASE WHEN (nc - (nt - 1.0)) / nt >= 3.0 AND (nc - (nt - 1.0)) / nt <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+         | FROM m""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+    },
+
+    // ---- document fingerprinting -------------------------------------
+    Q("q_fingerprint", Some(
+      s"""SELECT doc_id,
+         | md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp,
+         | ('0x' || substr(md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')), 1, 4))::BIGINT AS fp_bucket
+         | FROM documents""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        TextFns.fingerprintBucket(col("text")).as("fp_bucket"))
+    },
+
+    // ---- multimodal metadata plumbing --------------------------------
+    Q("q_multimodal_meta", Some(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | ascii(text) AS first_cp, md5(text) AS content_hash FROM documents""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"),
+        ascii(col("text")).as("first_cp"),
+        md5(col("text").cast(BinaryType)).as("content_hash"))
+    },
+
+    // ---- B7: multimodal join -----------------------------------------
+    Q("q_multimodal_join", Some(
+      """SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars, e.label AS label,
+        | CAST(len(e.embedding) AS BIGINT) AS dim
+        | FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      docs.join(broadcast(e), docs("doc_id") === e("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          size(col("embedding")).cast(LongType).as("dim"))
+    },
+
+    // ---- B5: tumbling event-time window ------------------------------
+    Q("q_event_window", Some(
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS hour_us, event_type,
+        | count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      eventsUs(s, d)
+        .withColumn("hour_us", col("ts_us") - col("ts_us") % 3600000000L)
+        .groupBy(col("hour_us"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("sum_value"),
+          (sum(col("value").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_value"))
+    },
+
+    // ---- B6: sessionization ------------------------------------------
+    Q("q_sessionize", Some(
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        | s AS (SELECT user_id, event_id, ts_us,
+        |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        | SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |   min(ts_us) AS t_start, max(ts_us) AS t_end
+        | FROM s GROUP BY user_id, session_id""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      eventsUs(s, d)
+        .withColumn("brk",
+          when(lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id").cast(LongType).as("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("t_start"), max(col("ts_us")).as("t_end"))
+    }
+  )
+
+  def all: Map[String, Fn] = registry.map(q => q.name -> q.fn).toMap
+  def oracles: Map[String, String] = registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

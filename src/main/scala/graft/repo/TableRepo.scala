@@ -1,0 +1,437 @@
+package graft.repo
+
+import java.net.URI
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A partitioned-Parquet table repository — the Spark-native re-expression of
+  * the reference's `TableRepo` (/root/reference/parquetranger/core.py:47-281).
+  *
+  * Layout policy (core.py:47-56):
+  *   - `groupCols = Nil, maxRecordsPerFile = 0`  -> one unpartitioned dataset
+  *   - `maxRecordsPerFile = N`                   -> files capped at N rows
+  *   - `groupCols = Seq(...)`                    -> Hive-style `col=val/` dirs
+  *     (the reference's one-directory-per-group tree, core.py:358-372; Spark
+  *     drops group cols from the files and re-materializes them on read,
+  *     which is the reference's `drop_group_cols=True` mode, core.py:216-223)
+  *
+  * The pandas row index (the reference's primary key, core.py:114-133)
+  * becomes explicit `keyCols`; "RangeIndex means no key" becomes
+  * `keyCols = Nil`.
+  *
+  * Schema behavior mirrors core.py:374-422: first write pins the schema
+  * (sidecar `_graft_schema.json`, the analog of the `empty.meta` sentinel);
+  * later writes are harmonized — pinned columns cast, missing columns
+  * null-backfilled, unknown columns dropped (core.py:547-558). With
+  * `allowSchemaExtension = true`, new columns widen the pinned schema and all
+  * existing data is rewritten with null backfill (core.py:405-421).
+  *
+  * Scale notes: all mutation paths are single Spark jobs over DataFrames —
+  * appends are plain file additions (no read-modify-write), upserts rewrite
+  * only affected partitions via dynamic partition overwrite, and reads are
+  * one partition-pruned, predicate-pushed Parquet scan. There is no
+  * driver-side row materialization anywhere.
+  */
+class TableRepo(
+    val rootPath: String,
+    val spark: SparkSession,
+    val groupCols: Seq[String] = Nil,
+    val keyCols: Seq[String] = Nil,
+    val maxRecordsPerFile: Long = 0L,
+    val fixedSchema: Option[StructType] = None,
+    val allowSchemaExtension: Boolean = false,
+    val envParents: Map[String, String] = Map.empty
+) {
+
+  private val name: String = new Path(rootPath).getName
+  @volatile private var currentParent: Option[String] = None
+
+  /** Active root, honoring the selected environment (core.py:196-201). */
+  def root: String = currentParent.map(p => s"$p/$name").getOrElse(rootPath)
+  private def dataPath: String = s"$root/data"
+  private def schemaPath: String = s"$root/_graft_schema.json"
+  private def metaPath: String = s"$root/_repo_meta.json"
+
+  private def fs: FileSystem =
+    FileSystem.get(URI.create(root), spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- envs
+
+  /** Switch to a named environment — same table name under a different
+    * parent directory (core.py:196-201; tests/test_envs.py:6-47).
+    */
+  def setEnv(env: String): Unit = {
+    require(envParents.contains(env), s"unknown env '$env'")
+    currentParent = Some(envParents(env))
+  }
+
+  def setEnvToDefault(): Unit = currentParent = None
+
+  /** Context-managed environment switch (core.py:245-250). */
+  def envCtx[T](env: String)(body: => T): T = {
+    val prev = currentParent
+    setEnv(env)
+    try body
+    finally currentParent = prev
+  }
+
+  // ------------------------------------------------------------- schema
+
+  /** Pinned schema: fixed > sidecar > none (core.py:388-404). */
+  def pinnedSchema: Option[StructType] =
+    fixedSchema.orElse {
+      val p = new Path(schemaPath)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try Some(DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType])
+        finally in.close()
+      } else None
+    }
+
+  private def pinSchema(st: StructType): Unit = {
+    if (fixedSchema.isDefined) return
+    val out = fs.create(new Path(schemaPath), true)
+    try out.write(st.json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Project `df` onto `target`: cast pinned columns, null-backfill missing
+    * ones, drop unknown ones (core.py:547-558; tests/test_diff_cols.py:33-58).
+    */
+  private def harmonize(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toIndexedSeq.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Resolve the schema for an incoming batch: pin on first write; widen +
+    * rewrite history when extension is allowed (core.py:374-422).
+    */
+  private def resolveSchema(df: DataFrame): StructType =
+    pinnedSchema match {
+      case None =>
+        pinSchema(df.schema); df.schema
+      case Some(pinned) =>
+        val newFields = df.schema.fields.filter(f => !pinned.fieldNames.contains(f.name))
+        if (newFields.nonEmpty && allowSchemaExtension) {
+          val widened = StructType(pinned.fields ++ newFields)
+          if (exists) {
+            // Backfill rewrite of all existing files (core.py:411-421).
+            writeData(harmonize(readRaw(), widened), overwrite = true)
+          }
+          pinSchema(widened)
+          widened
+        } else pinned
+    }
+
+  // --------------------------------------------------------------- write
+
+  private def configuredWriter(df: DataFrame, mode: String) = {
+    var w = df.write.mode(mode)
+    if (groupCols.nonEmpty) w = w.partitionBy(groupCols: _*)
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    w
+  }
+
+  /** Write harmonized data. `overwrite` uses a staging dir + swap so the
+    * input plan may read from this repo (Spark refuses to overwrite a path
+    * it is reading). Dynamic variant rewrites only partitions present in
+    * `df` (the reference's `replace_groups`, core.py:153-155).
+    */
+  private def writeData(df: DataFrame, overwrite: Boolean, dynamic: Boolean = false): Unit = {
+    if (!overwrite) {
+      configuredWriter(df, "append").parquet(dataPath)
+    } else if (dynamic && groupCols.nonEmpty) {
+      val staged = stage(df)
+      try configuredWriter(staged, "overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(dataPath)
+      finally dropStaging()
+    } else {
+      val tmp = s"$root/tmp-staging-data"
+      fs.delete(new Path(tmp), true)
+      var w = df.write.mode("overwrite")
+      if (groupCols.nonEmpty) w = w.partitionBy(groupCols: _*)
+      if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+      w.parquet(tmp)
+      fs.delete(new Path(dataPath), true)
+      if (!fs.rename(new Path(tmp), new Path(dataPath)))
+        throw new RuntimeException(s"staging swap failed for $dataPath")
+    }
+  }
+
+  /** Materialize a plan into a staging dir and re-read it, breaking lineage
+    * against this repo's files so a subsequent overwrite of them is legal.
+    */
+  private def stage(df: DataFrame): DataFrame = {
+    val tmp = s"$root/tmp-staging-merge"
+    fs.delete(new Path(tmp), true)
+    df.write.parquet(tmp)
+    spark.read.parquet(tmp)
+  }
+
+  private def dropStaging(): Unit =
+    fs.delete(new Path(s"$root/tmp-staging-merge"), true)
+
+  /** Append a batch (the reference's `extend`, core.py:91-112). Pure file
+    * addition — no read-modify-write, no lock; safe under concurrent callers
+    * via the Parquet output committer.
+    */
+  def extend(df: DataFrame): Unit = {
+    val schema = resolveSchema(df)
+    writeData(harmonize(df, schema), overwrite = false)
+  }
+
+  /** Batch ingest (the reference's `batch_extend`, core.py:135-136). The
+    * reference runs k worker processes under named locks; in Spark the
+    * idiomatic equivalent is ONE append job over the union — task
+    * parallelism covers all batches at once, and concurrent independent
+    * jobs appending to one directory would race on the committer's shared
+    * `_temporary` dir.
+    */
+  def batchExtend(dfs: Seq[DataFrame]): Unit = {
+    require(dfs.nonEmpty, "batchExtend needs at least one batch")
+    val schema = resolveSchema(dfs.head)
+    val union = dfs.map(harmonize(_, schema)).reduce(_.unionByName(_))
+    writeData(union, overwrite = false)
+  }
+
+  /** Rewrite the repo into ~`targetRecordsPerFile`-row files — the
+    * compaction counterpart of `maxRecordsPerFile` sizing (the reference
+    * tops up small files in place, core.py:307-321; at scale, periodic
+    * compaction is the idiomatic equivalent).
+    */
+  def compact(targetRecordsPerFile: Long): Unit = {
+    val n = count()
+    if (n == 0) return
+    val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    val tmp = s"$root/tmp-staging-data"
+    fs.delete(new Path(tmp), true)
+    var w = getFullDf.repartition(parts).write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
+    if (groupCols.nonEmpty) w = w.partitionBy(groupCols: _*)
+    w.parquet(tmp)
+    fs.delete(new Path(dataPath), true)
+    if (!fs.rename(new Path(tmp), new Path(dataPath)))
+      throw new RuntimeException(s"compaction swap failed for $dataPath")
+  }
+
+  /** Overwrite everything (core.py:157-160). */
+  def replaceAll(df: DataFrame): Unit = {
+    val schema = resolveSchema(df)
+    writeData(harmonize(df, schema), overwrite = true)
+  }
+
+  /** Dynamic partition overwrite: groups present in `df` are replaced,
+    * untouched groups survive (core.py:153-155; tests/test_core.py:178-179).
+    */
+  def replaceGroups(df: DataFrame): Unit = {
+    require(groupCols.nonEmpty, "replaceGroups requires group columns")
+    val schema = resolveSchema(df)
+    writeData(harmonize(df, schema), overwrite = true, dynamic = true)
+  }
+
+  /** Drop duplicate keys keeping the first occurrence in batch order
+    * (core.py:119; tests/test_core.py:141-146). Spark has no implicit row
+    * order, so "first" is pinned with a monotonic id captured before any
+    * shuffle.
+    */
+  private def dedupKeepFirst(df: DataFrame): DataFrame = {
+    val ord = "__graft_ord"
+    val rn = "__graft_rn"
+    df.withColumn(ord, monotonically_increasing_id())
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col(ord))))
+      .filter(col(rn) === 1)
+      .drop(ord, rn)
+  }
+
+  /** Keyed upsert (the reference's `replace_records`, core.py:114-133).
+    * Observable contract (tests/test_core.py:119-179): one row per key in
+    * scope after the call, updates win over existing rows, unmatched updates
+    * are appended. With `byGroups = true` the key is scoped to the group —
+    * the same key may live in different groups (core.py:116-117).
+    *
+    * Spark plan: MERGE as anti-join ∪ updates. For grouped repos only the
+    * affected partitions (those containing matched keys plus those receiving
+    * updates) are rewritten, via dynamic partition overwrite — at 100 TB this
+    * touches a handful of partitions, not the table.
+    */
+  def replaceRecords(updates: DataFrame, byGroups: Boolean = false): Unit = {
+    require(keyCols.nonEmpty, "replaceRecords requires keyCols (the reference's meaningful index)")
+    val schema = resolveSchema(updates)
+    val u = dedupKeepFirst(harmonize(updates, schema))
+    if (!exists) { writeData(u, overwrite = false); return }
+    val keys = if (byGroups && groupCols.nonEmpty) (groupCols ++ keyCols).distinct else keyCols
+    val existing = getFullDf
+    if (groupCols.isEmpty) {
+      val merged = existing.join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(u)
+      writeData(merged, overwrite = true)
+    } else {
+      val affected = existing.join(u.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(groupCols.map(col): _*)
+        .union(u.select(groupCols.map(col): _*))
+        .distinct()
+      val survivors = existing
+        .join(affected, groupCols, "left_semi")
+        .join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val newData = survivors.unionByName(u)
+      // Dynamic overwrite only touches partitions PRESENT in newData; an
+      // affected partition whose rows were all consumed (e.g. an unscoped
+      // upsert moving a key to another group) must be deleted explicitly.
+      // Both sets are tiny (bounded by the update's group count).
+      val affectedGroups = affected.collect().map(_.toSeq).toSet
+      val presentGroups = newData.select(groupCols.map(col): _*).distinct().collect().map(_.toSeq).toSet
+      writeData(newData, overwrite = true, dynamic = true)
+      (affectedGroups -- presentGroups).foreach { vals =>
+        val dir = groupCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new Path(s"$dataPath/$dir"), true)
+      }
+    }
+  }
+
+  /** Unlink all data and the schema sentinel (core.py:162-167). */
+  def purge(): Unit = {
+    fs.delete(new Path(dataPath), true)
+    fs.delete(new Path(schemaPath), false)
+    fs.delete(new Path(metaPath), false)
+  }
+
+  // ---------------------------------------------------------------- read
+
+  def exists: Boolean = fs.exists(new Path(dataPath))
+
+  private def readRaw(): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dataPath)
+
+  /** Full-table scan (core.py:169-175). One partition-aware Parquet scan;
+    * harmonized back to the pinned schema so partition-directory type
+    * inference and file-level schema drift never leak to callers.
+    */
+  def getFullDf: DataFrame =
+    pinnedSchema match {
+      case Some(pinned) if !exists => spark.createDataFrame(new java.util.ArrayList[Row](), pinned)
+      case Some(pinned)            => harmonize(readRaw(), pinned)
+      case None if !exists         => throw new IllegalStateException(s"repo $root is empty")
+      case None                    => readRaw()
+    }
+
+  /** Partition-restricted read (core.py:184-194). The equality filters hit
+    * Catalyst's partition pruning — only matching directories are listed.
+    */
+  def getPartitionDf(values: Map[String, Any]): DataFrame =
+    values.foldLeft(getFullDf) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+
+  /** Arbitrary per-group computation — the reference's `map_partitions`
+    * (core.py:138-151; tests/test_parallel.py:41-76). Distribution is native:
+    * one shuffle on the level columns, then `flatMapGroups` per group.
+    */
+  def mapGroups(level: Seq[String], out: StructType)(
+      f: (Seq[String], Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val df = getFullDf
+    val sep = "\u0001"
+    df.groupByKey(r => level.map(c => String.valueOf(r.getAs[Any](c))).mkString(sep))(Encoders.STRING)
+      .flatMapGroups((k: String, it: Iterator[Row]) => f(k.split(sep).toSeq, it))(Encoders.row(out))
+  }
+
+  /** All data file paths (core.py:260-265). */
+  def paths: Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    if (!exists) return out.toSeq
+    val it = fs.listFiles(new Path(dataPath), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
+    }
+    out.toSeq
+  }
+
+  def nFiles: Int = paths.size
+
+  /** Row count — Catalyst answers this from Parquet footers (the reference's
+    * metadata-only count, core.py:543-544).
+    */
+  def count(): Long = if (exists) readRaw().count() else 0L
+
+  // ------------------------------------------------------------ metadata
+
+  /** Sidecar key-value metadata — the analog of the reference's pickled
+    * Parquet key-value metadata (core.py:294-301,431-438). Parquet KV meta
+    * is not writable through the DataFrame API, so this is a JSON sidecar.
+    */
+  def setMetadata(meta: Map[String, String]): Unit = {
+    val out = fs.create(new Path(metaPath), true)
+    val json = meta.map { case (k, v) => s"${TableRepo.jq(k)}: ${TableRepo.jq(v)}" }
+      .mkString("{", ", ", "}")
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def fullMetadata: Map[String, String] = {
+    val p = new Path(metaPath)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    TableRepo.parseFlatJson(raw)
+  }
+}
+
+object TableRepo {
+  private[repo] def jq(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Minimal parser for the flat string->string JSON objects `setMetadata`
+    * emits (no external JSON dependency is available offline).
+    */
+  private[repo] def parseFlatJson(raw: String): Map[String, String] = {
+    val out = mutable.LinkedHashMap[String, String]()
+    var i = 0
+    def skipWs(): Unit = while (i < raw.length && raw(i).isWhitespace) i += 1
+    def parseString(): String = {
+      val sb = new StringBuilder
+      require(raw(i) == '"'); i += 1
+      while (raw(i) != '"') {
+        if (raw(i) == '\\') {
+          i += 1
+          raw(i) match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case 'n' => sb += '\n'
+            case 'u' => sb += Integer.parseInt(raw.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c => sb += c
+          }
+        } else sb += raw(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    skipWs()
+    if (i >= raw.length || raw(i) != '{') return out.toMap
+    i += 1
+    skipWs()
+    while (i < raw.length && raw(i) != '}') {
+      val k = parseString()
+      skipWs(); require(raw(i) == ':'); i += 1; skipWs()
+      val v = parseString()
+      out(k) = v
+      skipWs()
+      if (i < raw.length && raw(i) == ',') { i += 1; skipWs() }
+    }
+    out.toMap
+  }
+}

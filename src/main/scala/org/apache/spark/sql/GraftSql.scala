@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` helpers so graft can wrap native Catalyst
+  * [[Expression]]s as user-facing [[Column]]s (Spark 4 removed the public
+  * `new Column(expr)` constructor). Classic (non-Connect) backend only.
+  */
+object GraftSql {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

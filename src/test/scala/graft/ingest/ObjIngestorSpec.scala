@@ -1,0 +1,65 @@
+package graft.ingest
+
+import graft.SparkSuite
+
+/** Port of /root/reference/parquetranger/tests/test_ingestors.py: recursive
+  * shredding of nested objects — atoms stay, dicts become child tables with
+  * parent FKs, lists fan out, bare atoms wrap as `element`.
+  */
+class ObjIngestorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val jsons = Seq(
+    """{"id_": "a@x.com", "name": "A", "age": 3,
+       |"related-dic": {"k1": "v1", "k2": 2},
+       |"related-list": [{"n": 1}, {"n": 2}]}""".stripMargin.replaceAll("\n", ""),
+    """{"id_": "b@x.com", "name": "B", "age": 4}""",
+    """{"id_": "c@x.com", "name": "C", "tags": ["t1", "t2", "t3"]}"""
+  )
+
+  lazy val tables: Map[String, org.apache.spark.sql.DataFrame] =
+    ObjIngestor.shredJson(spark, jsons.toDS(), rootName = "obj", idCol = Some("id_"))
+
+  test("root table keeps atoms and the chosen id (ingestor.py:30-47)") {
+    val root = tables("obj")
+    assert(root.columns.contains("__id"))
+    assert(root.columns.contains("name") && root.columns.contains("age"))
+    assert(root.count() == 3)
+    assert(root.filter($"__id" === "a@x.com").count() == 1)
+  }
+
+  test("nested dict becomes child table with parent FK (ingestor.py:60-66)") {
+    val child = tables("obj.related-dic")
+    assert(child.columns.toSet.contains("__parent_id"))
+    assert(child.count() == 1)
+    val row = child.collect().head
+    assert(row.getAs[String]("__parent_id") == "a@x.com")
+    assert(row.getAs[String]("k1") == "v1")
+  }
+
+  test("nested list fans out one row per element (ingestor.py:56-59)") {
+    val child = tables("obj.related-list.list")
+    assert(child.count() == 2)
+    assert(child.select("n").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(child.select("__parent_id").distinct().as[String].head() == "a@x.com")
+  }
+
+  test("atom lists wrap as element column (ingestor.py:67-69)") {
+    val child = tables("obj.tags.list")
+    assert(child.columns.contains("element"))
+    assert(child.select("element").as[String].collect().sorted.toSeq == Seq("t1", "t2", "t3"))
+  }
+
+  test("empty objects shred to an id-only root (test_ingestors.py:64-66)") {
+    val t = ObjIngestor.shredJson(spark, Seq("""{"only": 1}""").toDS(), rootName = "r")
+    assert(t("r").count() == 1)
+  }
+
+  test("dumpAll persists every table as a repo (ingestor.py:87-98)") {
+    val repos = ObjIngestor.dumpAll(spark, tables, scratch("shred-dump"))
+    assert(repos.keySet == tables.keySet)
+    repos.foreach { case (path, repo) =>
+      assert(repo.count() == tables(path).count())
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.repo
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Port of the reference's schema-drift contract
+  * (/root/reference/parquetranger/tests/test_diff_cols.py).
+  */
+class SchemaSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("F4a: missing column null-backfilled, unknown column dropped (diff_cols.py:33-45)") {
+    val repo = new TableRepo(scratch("f4a"), spark)
+    repo.extend(Seq((1L, "x"), (2L, "y")).toDF("A", "C"))
+    repo.extend(Seq((10L, "z")).toDF("B", "C")) // A missing, B unknown
+    val out = repo.getFullDf
+    assert(out.columns.toSeq == Seq("A", "C"))
+    assert(out.filter($"C" === "z").select("A").collect().head.isNullAt(0))
+  }
+
+  test("F4a+extension: new column widens schema and rewrites history (diff_cols.py:15-30)") {
+    val repo = new TableRepo(scratch("f4a-ext"), spark, allowSchemaExtension = true)
+    repo.extend(Seq((1L, "x")).toDF("A", "C"))
+    repo.extend(Seq((10L, "z")).toDF("B", "C"))
+    val out = repo.getFullDf
+    assert(out.columns.toSeq == Seq("A", "C", "B"))
+    // old row null-backfilled for B, new row null for A
+    assert(out.filter($"C" === "x").select("B").collect().head.isNullAt(0))
+    assert(out.filter($"C" === "z").select("A").collect().head.isNullAt(0))
+    assert(out.filter($"C" === "z").select("B").as[Long].head() == 10L)
+  }
+
+  test("F4b: type drift long->double unified to pinned type (diff_cols.py:33-45)") {
+    val repo = new TableRepo(scratch("f4b"), spark)
+    repo.extend(Seq((1.5, "x")).toDF("A", "C"))
+    repo.extend(Seq((2L, "y")).toDF("A", "C")) // long cast to pinned double
+    val out = repo.getFullDf
+    assert(out.schema("A").dataType == DoubleType)
+    assert(out.select("A").as[Double].collect().sorted.toSeq == Seq(1.5, 2.0))
+  }
+
+  test("F4c: fixedSchema pins types a-priori (core.py:390-391)") {
+    val pinned = StructType(Seq(
+      StructField("A", DoubleType), StructField("C", StringType)))
+    val repo = new TableRepo(scratch("f4c"), spark, fixedSchema = Some(pinned))
+    repo.extend(Seq((2L, "y")).toDF("A", "C"))
+    assert(repo.getFullDf.schema("A").dataType == DoubleType)
+  }
+
+  test("grouped repos share one schema decision across groups (test_parallel.py:86-94)") {
+    val repo = new TableRepo(scratch("gshared"), spark, groupCols = Seq("C"))
+    repo.extend(Seq((1L, "x", "g1")).toDF("A", "B", "C"))
+    repo.extend(Seq((2L, "g2")).toDF("A", "C")) // B missing in a NEW group
+    val out = repo.getFullDf
+    assert(out.columns.toSeq == Seq("A", "B", "C"))
+    assert(out.filter($"C" === "g2").select("B").collect().head.isNullAt(0))
+  }
+
+  test("timestamps and binary round-trip (test_core.py:254-258,283-300)") {
+    val ts = java.sql.Timestamp.valueOf("2023-04-04 00:00:00")
+    val repo = new TableRepo(scratch("types"), spark)
+    val df = Seq((ts, Array[Byte](1, 2, 3))).toDF("d", "b")
+    repo.extend(df)
+    val row = repo.getFullDf.collect().head
+    assert(row.getTimestamp(0) == ts)
+    assert(row.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
+  }
+}

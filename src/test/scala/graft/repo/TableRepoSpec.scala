@@ -1,0 +1,202 @@
+package graft.repo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Port of the reference's core contract
+  * (/root/reference/parquetranger/tests/test_core.py): layout grid,
+  * incremental appends, upserts incl. duplicate keys and cross-group keys,
+  * partition reads, file sizing.
+  */
+class TableRepoSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** The canonical keyed fixture (tests/test_core.py:11-48): string key,
+    * data cols A/B, group cols C (1-3) and C2 (a/b/ba).
+    */
+  def df1: DataFrame = Seq(
+    ("a1", 1L, "x", 1L, "a"), ("a2", 2L, "y", 2L, "b"),
+    ("a3", 3L, "z", 1L, "a"), ("a4", 4L, "w", 3L, "ba")
+  ).toDF("k", "A", "B", "C", "C2")
+
+  def df2: DataFrame = Seq(
+    ("b1", 5L, "p", 1L, "b"), ("b2", 6L, "q", 2L, "a")
+  ).toDF("k", "A", "B", "C", "C2")
+
+  // layout grid: group_cols x max_records (tests/test_core.py:219-232)
+  for {
+    groupCols <- Seq(Nil, Seq("C"), Seq("C", "C2"), Seq("C2", "C"), Seq("C2"))
+    maxRecords <- Seq(0L, 1L)
+  } test(s"append round-trip groupCols=$groupCols maxRecords=$maxRecords") {
+    val repo = new TableRepo(scratch("grid"), spark,
+      groupCols = groupCols, keyCols = Seq("k"), maxRecordsPerFile = maxRecords)
+    repo.extend(df1)
+    repo.extend(df2)
+    assertSameRows(
+      repo.getFullDf.orderBy("k"),
+      df1.unionByName(df2).orderBy("k"))
+    if (maxRecords == 1) assert(repo.nFiles >= 6)
+  }
+
+  test("grouped layout creates one directory per group value (test_core.py:70-71)") {
+    val repo = new TableRepo(scratch("dirs"), spark, groupCols = Seq("C2"))
+    repo.extend(df1)
+    val dirs = new java.io.File(repo.root + "/data").listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("C2=a", "C2=b", "C2=ba"))
+  }
+
+  test("partition read prunes to one group (test_core.py:51-75)") {
+    val repo = new TableRepo(scratch("prune"), spark, groupCols = Seq("C"))
+    repo.extend(df1)
+    val part = repo.getPartitionDf(Map("C" -> 1L))
+    assert(part.select("k").as[String].collect().sorted.toSeq == Seq("a1", "a3"))
+  }
+
+  test("upsert: updates win, remainder appended (test_core.py:119-146)") {
+    val repo = new TableRepo(scratch("upsert"), spark, keyCols = Seq("k"))
+    repo.extend(df1)
+    val updates = Seq(
+      ("a2", 20L, "Y2", 2L, "b"), // existing key -> replaced
+      ("c9", 90L, "N", 1L, "a")   // new key -> appended
+    ).toDF("k", "A", "B", "C", "C2")
+    repo.replaceRecords(updates)
+    val out = repo.getFullDf
+    assert(out.count() == 5)
+    assert(out.filter($"k" === "a2").select("A").as[Long].head() == 20L)
+    assert(out.filter($"k" === "c9").count() == 1)
+  }
+
+  test("upsert input dedup keeps first occurrence (test_core.py:141-146)") {
+    val repo = new TableRepo(scratch("dupkey"), spark, keyCols = Seq("k"))
+    repo.extend(df1)
+    val updates = Seq(
+      ("b2", 100L, "first", 2L, "a"),
+      ("b2", 200L, "second", 2L, "a")
+    ).toDF("k", "A", "B", "C", "C2")
+    repo.replaceRecords(updates)
+    val got = repo.getFullDf.filter($"k" === "b2")
+    assert(got.count() == 1)
+    assert(got.select("A").as[Long].head() == 100L)
+  }
+
+  test("scoped upsert allows same key in different groups (test_core.py:149-179)") {
+    val repo = new TableRepo(scratch("scoped"), spark,
+      groupCols = Seq("C2"), keyCols = Seq("k"))
+    repo.extend(df1) // a4 lives in group ba
+    val updates = Seq(("a4", 44L, "moved", 3L, "a")).toDF("k", "A", "B", "C", "C2")
+    repo.replaceRecords(updates, byGroups = true)
+    val out = repo.getFullDf
+    // a4 now exists in BOTH groups: untouched in ba, inserted in a
+    assert(out.filter($"k" === "a4").count() == 2)
+    assert(out.filter($"k" === "a4" && $"C2" === "a").select("A").as[Long].head() == 44L)
+    assert(out.filter($"k" === "a4" && $"C2" === "ba").select("A").as[Long].head() == 4L)
+  }
+
+  test("unscoped upsert on grouped repo keeps one row per key") {
+    val repo = new TableRepo(scratch("unscoped"), spark,
+      groupCols = Seq("C2"), keyCols = Seq("k"))
+    repo.extend(df1)
+    val updates = Seq(("a4", 44L, "moved", 3L, "a")).toDF("k", "A", "B", "C", "C2")
+    repo.replaceRecords(updates)
+    val out = repo.getFullDf
+    assert(out.filter($"k" === "a4").count() == 1)
+    assert(out.filter($"k" === "a4").select($"C2").as[String].head() == "a")
+    assert(out.count() == 4)
+  }
+
+  test("replaceGroups overwrites only touched groups (test_core.py:178-179)") {
+    val repo = new TableRepo(scratch("rgroups"), spark, groupCols = Seq("C2"))
+    repo.extend(df1)
+    repo.replaceGroups(Seq(("z1", 99L, "zz", 9L, "a")).toDF("k", "A", "B", "C", "C2"))
+    val out = repo.getFullDf
+    assert(out.filter($"C2" === "a").count() == 1) // replaced
+    assert(out.filter($"C2" === "b").count() == 1) // untouched
+    assert(out.filter($"C2" === "ba").count() == 1) // untouched
+  }
+
+  test("replaceAll and purge (test_core.py:157-167)") {
+    val repo = new TableRepo(scratch("purge"), spark)
+    repo.extend(df1)
+    repo.replaceAll(df2)
+    assert(repo.count() == 2)
+    repo.purge()
+    assert(!repo.exists)
+    assert(repo.count() == 0)
+  }
+
+  test("maxRecordsPerFile bounds rows per file (test_core.py:85-93 analog)") {
+    val repo = new TableRepo(scratch("sized"), spark, maxRecordsPerFile = 2)
+    repo.extend(df1.unionByName(df2))
+    assert(repo.nFiles >= 3)
+    repo.paths.foreach { p =>
+      assert(spark.read.parquet(p).count() <= 2)
+    }
+  }
+
+  test("compact rewrites into fewer files") {
+    val repo = new TableRepo(scratch("compact"), spark, maxRecordsPerFile = 1)
+    repo.extend(df1)
+    assert(repo.nFiles >= 4)
+    repo.compact(100)
+    assert(repo.nFiles == 1)
+    assert(repo.count() == 4)
+  }
+
+  test("batchExtend equals sequential extends (test_parallel.py:14-38)") {
+    val seqRepo = new TableRepo(scratch("seq"), spark, groupCols = Seq("C"))
+    val batRepo = new TableRepo(scratch("bat"), spark, groupCols = Seq("C"))
+    seqRepo.extend(df1); seqRepo.extend(df2)
+    batRepo.batchExtend(Seq(df1, df2))
+    assertSameRows(seqRepo.getFullDf.orderBy("k"), batRepo.getFullDf.orderBy("k"))
+  }
+
+  test("empty-group values never materialize as directories") {
+    val repo = new TableRepo(scratch("nonempty"), spark, groupCols = Seq("C2"))
+    repo.extend(df1.filter($"C2" =!= "ba"))
+    val dirs = new java.io.File(repo.root + "/data").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(!dirs.contains("C2=ba"))
+  }
+
+  test("mapGroups runs arbitrary per-group logic (test_parallel.py:41-76)") {
+    val repo = new TableRepo(scratch("mapg"), spark, groupCols = Seq("C"))
+    repo.extend(df1)
+    val out = repo.mapGroups(Seq("C"),
+      StructType(Seq(StructField("C", LongType), StructField("n", LongType)))) { (key, rows) =>
+      Iterator(org.apache.spark.sql.Row(key.head.toLong, rows.size.toLong))
+    }
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("environments switch roots and restore (test_envs.py:6-47)") {
+    val envParent = scratch("env-parent")
+    val repo = new TableRepo(scratch("envs") + "/tbl", spark,
+      envParents = Map("test" -> envParent))
+    repo.extend(df1)
+    repo.envCtx("test") {
+      repo.extend(df2)
+      assert(repo.count() == 2)
+      assert(repo.root.startsWith(envParent))
+    }
+    assert(repo.count() == 4)
+  }
+
+  test("metadata sidecar round-trips (test_metadata.py:6-20)") {
+    val repo = new TableRepo(scratch("meta"), spark)
+    repo.extend(df1)
+    val meta = Map("owner" -> "graft", "note" -> "line1\nline2 \"quoted\"")
+    repo.setMetadata(meta)
+    assert(repo.fullMetadata == meta)
+  }
+
+  test("ungrouped upsert without keyCols is rejected (test_core.py:182-188)") {
+    val repo = new TableRepo(scratch("nokey"), spark)
+    repo.extend(df1)
+    intercept[IllegalArgumentException] {
+      repo.replaceRecords(df2)
+    }
+  }
+}

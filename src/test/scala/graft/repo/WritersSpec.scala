@@ -1,0 +1,53 @@
+package graft.repo
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Port of /root/reference/parquetranger/tests/test_writer.py. */
+class WritersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("i", LongType), StructField("thing", LongType)))
+
+  test("record writer flushes on limit and on close (test_writer.py:8-23)") {
+    val repo = new TableRepo(scratch("rw"), spark)
+    val w = new RecordWriter(repo, schema, recordLimit = 7)
+    (0 until 30).foreach(i => w.add(Map("i" -> i.toLong, "thing" -> (i * 10).toLong)))
+    assert(repo.count() == 28) // 4 full flushes of 7
+    w.close()
+    assert(repo.count() == 30)
+  }
+
+  test("replacing record writer upserts by key (test_writer.py:17-23)") {
+    val repo = new TableRepo(scratch("rw-rep"), spark, keyCols = Seq("i"))
+    val w = new RecordWriter(repo, schema, recordLimit = 100, replace = true)
+    (0 until 30).foreach(i => w.add(Map("i" -> i.toLong, "thing" -> (i * 10).toLong)))
+    w.close()
+    val w2 = new RecordWriter(repo, schema, recordLimit = 100, replace = true)
+    w2.add(Map("i" -> 10L, "thing" -> 1L))
+    w2.close()
+    assert(repo.count() == 30)
+    assert(repo.getFullDf.filter($"i" === 10L).select("thing").as[Long].head() == 1L)
+  }
+
+  test("records project onto the schema: missing null, extras dropped (test_writer.py:53-64)") {
+    val repo = new TableRepo(scratch("rw-fixed"), spark)
+    val w = new RecordWriter(repo, schema, recordLimit = 10)
+    w.add(Map("i" -> 1L, "junk" -> "zzz")) // thing missing, junk dropped
+    w.close()
+    val row = repo.getFullDf.collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(1))
+  }
+
+  test("df-batch writer counts rows, not batches (test_writer.py:26-50)") {
+    val repo = new TableRepo(scratch("dfw"), spark)
+    val w = new DfBatchWriter(repo, rowLimit = 50)
+    (0 until 20).foreach { b =>
+      w.add((0 until 30).map(i => (b * 30 + i).toLong).toDF("v"))
+    }
+    w.close()
+    assert(repo.count() == 600)
+  }
+}
