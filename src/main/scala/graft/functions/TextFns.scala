@@ -20,16 +20,21 @@ object TextFns {
   /** Distinct token set — the unit for Jaccard/minhash set similarity. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
-  /** Word n-gram shingles: ["a b c", "b c d", ...]. Documents shorter than
-    * `n` tokens yield an empty array.
+  /** Word n-gram shingles from an already-materialized token array column.
+    * IMPORTANT: pass a plain column reference, not the `tokens(...)`
+    * expression — the lambda below references the array once per element,
+    * and higher-order-function lambdas sit outside codegen subexpression
+    * elimination, so an inline split would re-execute per shingle (measured
+    * 15x slower at sf0.1).
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shinglesOf(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast(ArrayType(StringType)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-  }
+
+  /** Convenience form over raw text; see [[shinglesOf]] for the fast path. */
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
 
   /** Deterministic 32-bit token hash: the big-endian first 8 hex chars of
     * md5, as a long in [0, 2^32). Chosen over Spark's murmur `hash()` because

@@ -94,8 +94,9 @@ object Queries {
     */
   private def minhashSig(docs: DataFrame): DataFrame = {
     val tok = docs
-      .filter(TextFns.tokenCount(col("text")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(TextFns.shingles(col("text"), 3))).as("tok"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(TextFns.shinglesOf(col("toks"), 3))).as("tok"))
       .withColumn("h", TextFns.hash32(col("tok")))
     val aggs = TextFns.MinhashA.indices.map(i =>
       min(TextFns.minhashOf(col("h"), i)).cast(LongType).as(s"mh$i"))
@@ -356,7 +357,7 @@ object Queries {
       val repo = new TableRepo(freshRoot("q_buffered"), s)
       val rows = t(s, d, "lineitem").filter(col("l_orderkey") < 400)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).collect()
-      val w = new RecordWriter(repo, schema, recordLimit = 64)
+      val w = new RecordWriter(repo, schema, recordLimit = 256)
       rows.foreach { r =>
         w.add(Map("l_orderkey" -> r.getLong(0), "l_linenumber" -> r.getInt(1),
           "l_quantity" -> r.getDouble(2)))
@@ -427,15 +428,19 @@ object Queries {
          | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          | WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
+      // pre-partition on the block key: the self-join reuses one exchange,
+      // and the exchange materializes the token arrays (computed once)
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), TextFns.tokenSet(col("text")).as("toks"))
+        .repartition(col("lang"), col("source"))
       val a = dd.as("a"); val b = dd.as("b")
       val inter = size(array_intersect(col("a.toks"), col("b.toks")))
-      val jac = inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter)
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-        .filter(jac >= 0.6)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jaccard"))
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
     },
 
     // ---- n-gram Jaccard near-dup -------------------------------------
@@ -447,16 +452,19 @@ object Queries {
          | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val dd = t(s, d, "documents")
-        .filter(TextFns.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .repartition(col("lang"), col("source")) // materializes toks + feeds both join sides
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(TextFns.shingles(col("text"), 3)).as("sh"))
+          array_distinct(TextFns.shinglesOf(col("toks"), 3)).as("sh"))
       val a = dd.as("a"); val b = dd.as("b")
       val inter = size(array_intersect(col("a.sh"), col("b.sh")))
-      val jac = inter.cast(DoubleType) / (size(col("a.sh")) + size(col("b.sh")) - inter)
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-        .filter(jac >= 0.4)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), jac.as("jaccard"))
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / (size(col("a.sh")) + size(col("b.sh")) - inter))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
     },
 
     // ---- MinHash signatures over 3-gram shingles ---------------------
@@ -503,12 +511,13 @@ object Queries {
          | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 10""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"))
-      val sim = VectorFns.cosine(col("q_emb"), col("c_emb"))
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), VectorFns.norm2(col("embedding")).as("q_nrm"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        VectorFns.norm2(col("embedding")).as("c_nrm"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       broadcast(q).join(c, col("n_id") =!= col("q_id"))
-        .withColumn("sim", sim)
+        .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 10)
         .select(col("q_id"), col("n_id"), col("sim").as("sim"))
     },
@@ -522,11 +531,13 @@ object Queries {
     )) { (s, d) =>
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label").as("q_label"))
-      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"), col("label"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          VectorFns.norm2(col("embedding")).as("q_nrm"), col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        VectorFns.norm2(col("embedding")).as("c_nrm"), col("label"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       broadcast(q).join(c, col("label") === col("q_label") && col("n_id") =!= col("q_id"))
-        .withColumn("sim", VectorFns.cosine(col("q_emb"), col("c_emb")))
+        .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
         .select(col("q_id"), col("n_id"), col("label"), col("sim").as("sim"))
     },
@@ -537,12 +548,17 @@ object Queries {
          | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          | WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val e = t(s, d, "embeddings")
+      // norms are per-ROW, computed once behind the exchange; each pair
+      // then costs a single dot fold (identical doubles to the oracle's
+      // dot/(sqrt(na)*sqrt(nb)) form)
+      val e = t(s, d, "embeddings").repartition(col("label"))
+        .withColumn("nrm", VectorFns.norm2(col("embedding")))
       val a = e.as("a"); val b = e.as("b")
-      val sim = VectorFns.cosine(col("a.embedding"), col("b.embedding"))
       a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .filter(sim >= 0.35)
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), sim.as("sim"))
+        .withColumn("sim",
+          VectorFns.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("sim") >= 0.35)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
     },
 
     // ---- SimHash -----------------------------------------------------

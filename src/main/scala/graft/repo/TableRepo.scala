@@ -288,11 +288,13 @@ class TableRepo(
       // Dynamic overwrite only touches partitions PRESENT in newData; an
       // affected partition whose rows were all consumed (e.g. an unscoped
       // upsert moving a key to another group) must be deleted explicitly.
-      // Both sets are tiny (bounded by the update's group count).
-      val affectedGroups = affected.collect().map(_.toSeq).toSet
-      val presentGroups = newData.select(groupCols.map(col): _*).distinct().collect().map(_.toSeq).toSet
+      // One driver-side collect of a tiny set (bounded by the update's
+      // group count), fused into a single anti-join job.
+      val emptiedGroups = affected
+        .join(newData.select(groupCols.map(col): _*).distinct(), groupCols, "left_anti")
+        .collect().map(_.toSeq)
       writeData(newData, overwrite = true, dynamic = true)
-      (affectedGroups -- presentGroups).foreach { vals =>
+      emptiedGroups.foreach { vals =>
         val dir = groupCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
         fs.delete(new Path(s"$dataPath/$dir"), true)
       }
