@@ -412,6 +412,48 @@ object Queries {
       ObjIngestor.shred(ev, rootName = "root", idCol = Some("event_id"))("root.props")
     },
 
+    // ---- A29: per-file census ----------------------------------------
+    Q("q_file_census", None) { (s, d) =>
+      // layout-dependent (no cross-engine oracle): rows per physical file
+      // of a size-bounded repo, via input_file_name()
+      val repo = new TableRepo(freshRoot("q_census"), s, maxRecordsPerFile = 1000)
+      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 3).select(lineCols.map(col): _*))
+      repo.getFullDf
+        .withColumn("file", input_file_name())
+        .groupBy(col("file")).agg(count(lit(1)).as("n_rows"))
+    },
+
+    // ---- ANN via sign-random-projection LSH buckets ------------------
+    Q("q_ann_srp", Some {
+      val dim = 64; val bits = 4
+      val planes = (0 until bits).map { i =>
+        (0 until dim).map(j => if ((i * 31 + j * 17) % 2 == 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+      }
+      val bucketSql = (0 until bits).map { i =>
+        s"(CASE WHEN list_inner_product(embedding::DOUBLE[], ${planes(i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         | SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
+         |   ${sqlCosine("q.embedding", "c.embedding")} AS sim
+         | FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         | WHERE q.vec_id < 5
+         | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val e = t(s, d, "embeddings")
+        .withColumn("bucket", VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64))
+      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), VectorFns.norm2(col("embedding")).as("q_nrm"),
+        col("bucket").as("q_bucket"))
+      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
+        VectorFns.norm2(col("embedding")).as("c_nrm"), col("bucket"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      broadcast(q).join(c, col("bucket") === col("q_bucket") && col("n_id") =!= col("q_id"))
+        .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("bucket").cast(LongType).as("bucket"), col("sim"))
+    },
+
     // ---- B1: exact dedup ---------------------------------------------
     Q("q_dedup_exact", Some(
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)"

@@ -9,6 +9,36 @@ import graft.repo.TableRepo
 class RepoSinkSpec extends SparkSuite {
   import spark.implicits._
 
+  test("windowed streaming aggregation over events matches the batch result") {
+    import org.apache.spark.sql.functions._
+    // the file stream source needs a directory, not a single file
+    val src = scratch("stream-events")
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val batch = spark.read.parquet(s"$src/events.parquet")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+    val expected = batch
+      .groupBy(date_trunc("hour", col("ts2")).as("h"), col("event_type"))
+      .count().collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(src)
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts2", "1 hour")
+      .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
+      .count()
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("winagg")
+      .select(col("window.start").as("h"), col("event_type"), col("count"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
   test("foreachBatch sink appends micro-batches into the repo") {
     val srcDir = scratch("stream-src")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(srcDir)
