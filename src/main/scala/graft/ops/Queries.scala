@@ -463,17 +463,21 @@ object Queries {
     },
 
     // ---- B2: near-dup via exact blocked Jaccard ----------------------
+    // Jaccard runs over 32-bit token HASHES, not strings: same set
+    // cardinalities (collisions hit both engines identically), ~10x
+    // smaller shuffled pair payloads, integer intersects.
     Q("q_near_dup", Some(
-      s"""WITH dd AS (SELECT doc_id, lang, source, $sqlTokSet AS toks FROM documents)
+      s"""WITH dd AS (SELECT doc_id, lang, source, list_distinct(list_transform($sqlToks, t -> ('0x'||substr(md5(t),1,8))::BIGINT)) AS toks FROM documents)
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
          | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          | WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       // pre-partition on the block key: the self-join reuses one exchange,
-      // and the exchange materializes the token arrays (computed once)
+      // and the exchange materializes the hashed token sets (computed once)
       val dd = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"), TextFns.tokenSet(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
         .repartition(col("lang"), col("source"))
       val a = dd.as("a"); val b = dd.as("b")
       val inter = size(array_intersect(col("a.toks"), col("b.toks")))
@@ -487,7 +491,7 @@ object Queries {
 
     // ---- n-gram Jaccard near-dup -------------------------------------
     Q("q_ngram_jaccard", Some(
-      s"""WITH dd AS (SELECT doc_id, lang, source, $sqlShingles AS sh FROM documents WHERE len($sqlToks) >= 3)
+      s"""WITH dd AS (SELECT doc_id, lang, source, list_distinct(list_transform($sqlShingles, g -> ('0x'||substr(md5(g),1,8))::BIGINT)) AS sh FROM documents WHERE len($sqlToks) >= 3)
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
          | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -498,7 +502,7 @@ object Queries {
         .filter(size(col("toks")) >= 3)
         .repartition(col("lang"), col("source")) // materializes toks + feeds both join sides
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(TextFns.shinglesOf(col("toks"), 3)).as("sh"))
+          array_distinct(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
       val a = dd.as("a"); val b = dd.as("b")
       val inter = size(array_intersect(col("a.sh"), col("b.sh")))
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&

@@ -168,18 +168,17 @@ class TableRepo(
     }
   }
 
-  /** Materialize a plan into a staging dir and re-read it, breaking lineage
-    * against this repo's files so a subsequent overwrite of them is legal.
+  /** Materialize a merge plan, breaking lineage against this repo's files
+    * so a subsequent overwrite of them is legal (Spark's analysis-time
+    * "cannot overwrite a path being read from" check). `localCheckpoint`
+    * pins the rows in executor block storage — cheaper than a parquet
+    * staging round-trip, and the merge-scoped data is bounded by the
+    * affected partitions, not the table.
     */
-  private def stage(df: DataFrame): DataFrame = {
-    val tmp = s"$root/tmp-staging-merge"
-    fs.delete(new Path(tmp), true)
-    df.write.parquet(tmp)
-    spark.read.parquet(tmp)
-  }
+  private def stage(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
 
-  private def dropStaging(): Unit =
-    fs.delete(new Path(s"$root/tmp-staging-merge"), true)
+  private def dropStaging(): Unit = ()
 
   /** Append a batch (the reference's `extend`, core.py:91-112). Pure file
     * addition — no read-modify-write, no lock; safe under concurrent callers
