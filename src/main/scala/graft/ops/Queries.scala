@@ -642,12 +642,16 @@ object Queries {
         countDistinct(col("source")).cast(LongType).as("n_sources"))
     },
 
-    // ---- token counting ----------------------------------------------
+    // ---- token counting (whitespace + BPE-ish regex) ------------------
     Q("q_token_count", Some(
-      s"SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens, CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents"
+      s"""SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]")).cast(LongType)
+          .as("n_bpe_tokens"),
         length(col("text")).cast(LongType).as("n_chars_obs"))
     },
 

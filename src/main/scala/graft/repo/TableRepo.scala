@@ -358,6 +358,43 @@ class TableRepo(
 
   def nFiles: Int = paths.size
 
+  /** One-file read (the reference's `read_df_from_path`, core.py:225-228),
+    * harmonized to the pinned schema like every other read.
+    */
+  def readFileDf(path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    pinnedSchema.map(p => harmonize(raw, StructType(p.filter(f => raw.columns.contains(f.name)))))
+      .getOrElse(raw)
+  }
+
+  /** Lazy per-file DataFrames (the reference's `dfs`/`tables` iterators,
+    * core.py:271-277). Each element is a plan over one file — nothing is
+    * read until acted on.
+    */
+  def perFileDfs: Iterator[DataFrame] = paths.iterator.map(readFileDf)
+
+  /** Directory paths holding a partition's files (the reference's
+    * `get_partition_paths`, core.py:177-182).
+    */
+  def partitionPaths(values: Map[String, Any]): Seq[String] = {
+    val needles = groupCols.flatMap(c => values.get(c).map(v => s"$c=$v"))
+    paths // absolute URIs (file:/...); match on the col=val path segments
+      .filter(p => needles.forall(n => p.contains(s"/$n/")))
+      .map(p => p.substring(0, p.lastIndexOf('/')))
+      .distinct
+  }
+
+  // writer factories (the reference's get_*_batch_writer family,
+  // core.py:230-243)
+  def extendingRecordWriter(schema: StructType, recordLimit: Int = 1000000): RecordWriter =
+    new RecordWriter(this, schema, recordLimit)
+  def replacingRecordWriter(schema: StructType, recordLimit: Int = 1000000): RecordWriter =
+    new RecordWriter(this, schema, recordLimit, replace = true)
+  def extendingDfWriter(rowLimit: Long = 1000000L): DfBatchWriter =
+    new DfBatchWriter(this, rowLimit)
+  def replacingDfWriter(rowLimit: Long = 1000000L): DfBatchWriter =
+    new DfBatchWriter(this, rowLimit, replace = true)
+
   /** Row count — Catalyst answers this from Parquet footers (the reference's
     * metadata-only count, core.py:543-544).
     */

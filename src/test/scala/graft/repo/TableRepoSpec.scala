@@ -192,6 +192,28 @@ class TableRepoSpec extends SparkSuite {
     assert(repo.fullMetadata == meta)
   }
 
+  test("per-file readers and partition paths (core.py:177-182,225-277)") {
+    val repo = new TableRepo(scratch("perfile"), spark,
+      groupCols = Seq("C2"), maxRecordsPerFile = 1)
+    repo.extend(df1)
+    assert(repo.perFileDfs.map(_.count()).sum == 4)
+    val pp = repo.partitionPaths(Map("C2" -> "a"))
+    assert(pp.size == 1 && pp.head.endsWith("C2=a"))
+    assert(repo.readFileDf(repo.paths.head).count() == 1)
+  }
+
+  test("writer factories wire replace/extend flush paths (core.py:230-243)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType), StructField("A", LongType)))
+    val repo = new TableRepo(scratch("factories"), spark, keyCols = Seq("k"))
+    val w = repo.extendingRecordWriter(schema, 10)
+    w.add(Map("k" -> "a", "A" -> 1L)); w.close()
+    val rw = repo.replacingRecordWriter(schema, 10)
+    rw.add(Map("k" -> "a", "A" -> 2L)); rw.close()
+    assert(repo.count() == 1)
+    assert(repo.getFullDf.select("A").as[Long].head() == 2L)
+  }
+
   test("ungrouped upsert without keyCols is rejected (test_core.py:182-188)") {
     val repo = new TableRepo(scratch("nokey"), spark)
     repo.extend(df1)
