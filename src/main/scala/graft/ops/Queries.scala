@@ -721,6 +721,72 @@ object Queries {
           size(col("embedding")).cast(LongType).as("dim"))
     },
 
+    // ---- train/test split (deterministic hash split) ------------------
+    Q("q_train_test_split", Some(
+      s"""SELECT doc_id, ${sqlMd5Mod("CAST(doc_id AS VARCHAR)", 100)} AS h,
+         | CASE WHEN ${sqlMd5Mod("CAST(doc_id AS VARCHAR)", 100)} < 80 THEN 'train' ELSE 'test' END AS split
+         | FROM documents""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val h = HashBucket.bucket(col("doc_id"), 100)
+      t(s, d, "documents").select(col("doc_id"), h.cast(LongType).as("h"),
+        when(h < 80, "train").otherwise("test").as("split"))
+    },
+
+    // ---- deterministic pseudo-random shuffle --------------------------
+    Q("q_shuffle", Some(
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents
+        | ORDER BY rk LIMIT 100""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast(StringType).cast(BinaryType)).as("rk"))
+        .orderBy(col("rk")).limit(100)
+    },
+
+    // ---- sequence packing (token-budget bins per shard) ---------------
+    Q("q_pack_sequences", Some(
+      s"""WITH o AS (SELECT doc_id, lang, CAST(len($sqlToks) AS BIGINT) AS nt,
+         |   md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents)
+         | SELECT doc_id, lang, nt,
+         |   (sum(nt) OVER (PARTITION BY lang ORDER BY rk ROWS UNBOUNDED PRECEDING) - nt) // 512 AS bin
+         | FROM o""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      // packing is per-shard (lang here; fingerprint bucket at scale) so
+      // the running sum never needs a single global partition
+      val w = Window.partitionBy(col("lang")).orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFns.tokenCount(col("text")).cast(LongType).as("nt"),
+          md5(col("doc_id").cast(StringType).cast(BinaryType)).as("rk"))
+        .withColumn("cum", sum(col("nt")).over(w))
+        .select(col("doc_id"), col("lang"), col("nt"), expr("(cum - nt) div 512").as("bin"))
+    },
+
+    // ---- contamination check (cross-split shingle overlap) ------------
+    Q("q_contamination", Some(
+      s"""WITH s AS (SELECT doc_id,
+         |   CASE WHEN ${sqlMd5Mod("CAST(doc_id AS VARCHAR)", 100)} < 80 THEN 'train' ELSE 'test' END AS sp,
+         |   unnest(list_distinct(list_transform($sqlShingles, g -> ('0x'||substr(md5(g),1,8))::BIGINT))) AS h
+         |   FROM documents WHERE len($sqlToks) >= 3)
+         | SELECT a.doc_id AS train_doc, b.doc_id AS test_doc, count(*) AS n_shared
+         | FROM s a JOIN s b ON a.h = b.h AND a.sp = 'train' AND b.sp = 'test'
+         | GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"),
+          when(HashBucket.bucket(col("doc_id"), 100) < 80, "train").otherwise("test").as("sp"),
+          TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("sp"),
+          explode(array_distinct(transform(TextFns.shinglesOf(col("toks"), 3),
+            g => TextFns.hash32(g)))).as("h"))
+      sh.filter(col("sp") === "train").as("a")
+        .join(sh.filter(col("sp") === "test").as("b"), col("a.h") === col("b.h"))
+        .groupBy(col("a.doc_id").as("train_doc"), col("b.doc_id").as("test_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+    },
+
     // ---- B5: tumbling event-time window ------------------------------
     Q("q_event_window", Some(
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS hour_us, event_type,
