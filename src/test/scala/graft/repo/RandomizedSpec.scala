@@ -1,0 +1,73 @@
+package graft.repo
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Randomized fidelity tests: the reference's seeded bulk-append round-trip
+  * (/root/reference/parquetranger/tests/test_core.py:283-300, scaled to
+  * keep the suite fast), MultiIndex keys (tests/test_diff_cols.py:8-12),
+  * datetime grouping (tests/test_core.py:254-258), and a seeded sweep of
+  * the md5 bucket expression against direct BigInteger math.
+  */
+class RandomizedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def alnum(rng: Random, n: Int): String =
+    Iterator.continually(rng.nextPrintableChar()).filter(_.isLetterOrDigit).take(n).mkString
+
+  test("seeded bulk appends round-trip exactly (test_core.py:283-300, seed 7)") {
+    val rng = new Random(7)
+    val repo = new TableRepo(scratch("bulk"), spark)
+    val batches = (0 until 8).map { _ =>
+      (0 until 5000).map { _ =>
+        (rng.nextDouble(), rng.nextInt(1000).toLong, alnum(rng, 5))
+      }
+    }
+    batches.foreach(b => repo.extend(b.toDF("A", "B", "C")))
+    val expected = batches.flatten
+    assert(repo.count() == expected.size)
+    val got = repo.getFullDf.agg(sum($"B"), count(lit(1))).collect().head
+    assert(got.getLong(0) == expected.map(_._2).sum)
+  }
+
+  test("multi-column keys (MultiIndex) upsert (test_diff_cols.py:8-12)") {
+    val repo = new TableRepo(scratch("mkey"), spark, keyCols = Seq("ix", "iy"))
+    repo.extend(Seq(("A", 1L, 10.0), ("A", 2L, 20.0), ("C", 1L, 30.0)).toDF("ix", "iy", "v"))
+    repo.replaceRecords(Seq(("A", 2L, 99.0), ("D", 9L, 1.0)).toDF("ix", "iy", "v"))
+    val out = repo.getFullDf
+    assert(out.count() == 4)
+    assert(out.filter($"ix" === "A" && $"iy" === 2L).select("v").as[Double].head() == 99.0)
+  }
+
+  test("datetime group keys and sized files (test_core.py:254-258)") {
+    val repo = new TableRepo(scratch("dtgroup"), spark,
+      groupCols = Seq("d"), maxRecordsPerFile = 7)
+    val rows = (0 until 10).flatMap { day =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2023, 4, 4).plusDays(day))
+      (0 until 3).map(i => (d, day * 10L + i))
+    }
+    repo.extend(rows.toDF("d", "x"))
+    assert(repo.count() == 30)
+    assert(repo.getPartitionDf(Map("d" -> "2023-04-05")).count() == 3)
+  }
+
+  test("md5 bucket expression matches direct BigInteger math on a seeded sweep") {
+    val rng = new Random(742)
+    val cases = (0 until 200).map(_ => (alnum(rng, 1 + rng.nextInt(20)), 1 + rng.nextInt(5000)))
+    val expected = cases.map { case (s, n) =>
+      new java.math.BigInteger(1,
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")))
+        .mod(java.math.BigInteger.valueOf(n.toLong)).intValue()
+    }
+    // spot-check a subset through Spark (full sweep would be 200 tiny jobs)
+    val sample = rng.shuffle(cases.indices.toList).take(12)
+    sample.foreach { i =>
+      val (s, n) = cases(i)
+      val sparkVal = Seq(s).toDF("v").select(HashBucket.bucket($"v", n)).first().getInt(0)
+      assert(sparkVal == expected(i), s"md5mod mismatch for ($s, $n)")
+    }
+  }
+}
