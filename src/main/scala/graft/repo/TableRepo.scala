@@ -311,8 +311,18 @@ class TableRepo(
 
   def exists: Boolean = fs.exists(new Path(dataPath))
 
+  /** Raw scan. With a pinned schema the read skips Parquet schema
+    * inference entirely (no footer-merge job — at scale that's a pass over
+    * every file's metadata); files always hold harmonized columns, and
+    * partition-directory values are decoded as the pinned types instead of
+    * inference. Without a pin (first contact with a foreign dataset) fall
+    * back to a merged-schema inference read.
+    */
   private def readRaw(): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(dataPath)
+    pinnedSchema match {
+      case Some(p) => spark.read.schema(p).parquet(dataPath)
+      case None    => spark.read.option("mergeSchema", "true").parquet(dataPath)
+    }
 
   /** Full-table scan (core.py:169-175). One partition-aware Parquet scan;
     * harmonized back to the pinned schema so partition-directory type
