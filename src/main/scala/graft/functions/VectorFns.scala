@@ -1,14 +1,15 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Embedding-similarity primitives over `array<float>` columns, built from
-  * codegen'd higher-order functions (`zip_with` + ordered `aggregate` fold).
+/** Embedding-similarity primitives over `array<float>` columns.
   * Accumulation is an in-order left fold in double precision — the same
   * order DuckDB's list functions use — so similarity values are
-  * bit-reproducible across engines.
+  * bit-reproducible across engines. The dot product is a native codegen
+  * [[FloatVecDotExpr]] (tight loop, no intermediate array); the
+  * higher-order-function forms remain for non-float inputs.
   */
 object VectorFns {
 
@@ -16,11 +17,15 @@ object VectorFns {
   private def foldSum(c: Column): Column =
     aggregate(c, lit(0.0), (acc, x) => acc + x)
 
+  /** float-array dot product (native expression; see FloatVecDot). */
   def dot(a: Column, b: Column): Column =
+    GraftSql.column(FloatVecDotExpr(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** HOF fallback for non-float array types. */
+  def dotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
 
-  def norm2(a: Column): Column =
-    sqrt(foldSum(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType))))
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
