@@ -146,11 +146,12 @@ class TableRepo(
     * it is reading). Dynamic variant rewrites only partitions present in
     * `df` (the reference's `replace_groups`, core.py:153-155).
     */
-  private def writeData(df: DataFrame, overwrite: Boolean, dynamic: Boolean = false): Unit = {
+  private def writeData(df: DataFrame, overwrite: Boolean, dynamic: Boolean = false,
+      alreadyStaged: Boolean = false): Unit = {
     if (!overwrite) {
       configuredWriter(df, "append").parquet(dataPath)
     } else if (dynamic && groupCols.nonEmpty) {
-      val staged = stage(df)
+      val staged = if (alreadyStaged) df else stage(df)
       try configuredWriter(staged, "overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(dataPath)
@@ -283,16 +284,19 @@ class TableRepo(
       val survivors = existing
         .join(affected, groupCols, "left_semi")
         .join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      val newData = survivors.unionByName(u)
+      // Materialize the merge ONCE (checkpoint), then both the
+      // emptied-partition detection and the write read the materialized
+      // rows instead of recomputing the anti-join.
+      val newData = stage(survivors.unionByName(u))
       // Dynamic overwrite only touches partitions PRESENT in newData; an
       // affected partition whose rows were all consumed (e.g. an unscoped
       // upsert moving a key to another group) must be deleted explicitly.
       // One driver-side collect of a tiny set (bounded by the update's
-      // group count), fused into a single anti-join job.
+      // group count).
       val emptiedGroups = affected
         .join(newData.select(groupCols.map(col): _*).distinct(), groupCols, "left_anti")
         .collect().map(_.toSeq)
-      writeData(newData, overwrite = true, dynamic = true)
+      writeData(newData, overwrite = true, dynamic = true, alreadyStaged = true)
       emptiedGroups.foreach { vals =>
         val dir = groupCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
         fs.delete(new Path(s"$dataPath/$dir"), true)
