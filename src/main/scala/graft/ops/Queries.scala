@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.{TextFns, VectorFns}
 import graft.ingest.ObjIngestor
-import graft.repo.{HashBucket, RecordWriter, TableRepo}
+import graft.repo.{HashBucket, HashBucketLayout, RecordWriter, TableRepo}
 
 /** The full query inventory (SURVEY.md §2): every Tier-A operator of the
   * reference re-expressed Spark-first, plus the Tier-B LLM-pipeline
@@ -153,12 +153,15 @@ object Queries {
     },
 
     // ---- A30/A19: grouped aggregation (TPC-H Q1 shape) ---------------
+    // sum outputs are re-CAST to DECIMAL(18,2) on BOTH sides: DuckDB widens
+    // sum(DECIMAL(18,2)) to DECIMAL(38,2) while Spark yields decimal(28,2) —
+    // identical values, type-sensitive hash mismatch without the pin.
     Q("q_pricing_summary", Some(
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS n_rows,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_disc_price,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
         | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", "")
@@ -166,9 +169,12 @@ object Queries {
       val dec = DecimalType(18, 2)
       t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast(dec)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
-        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)).as("sum_disc_price"),
+        sum(col("l_quantity").cast(dec)).cast(dec).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(dec).as("sum_base_price"),
+        // scale 4 (the product's natural scale): a scale-2 cast would ROUND,
+        // and the engines disagree on half-way decimal rounding
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .cast(DecimalType(18, 4)).as("sum_disc_price"),
         (sum(col("l_quantity").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
         (sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_price"))
     },
@@ -185,14 +191,20 @@ object Queries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // (l_orderkey, l_linenumber) is NOT unique in this data — the order
-      // must be total or "first" is engine-dependent
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(
-        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        col("l_quantity"), col("l_extendedprice"))
+      // keep-first as a hash aggregate: min(struct(order cols)) per key is
+      // one partial-aggregating shuffle — no per-partition full sort like a
+      // row_number window. Struct comparison is lexicographic over the
+      // fields, so leading with the full tie-break order (the (l_orderkey,
+      // l_linenumber) pair is NOT unique in this data) gives the same row
+      // the QUALIFY oracle picks. Null-safe here: the compared columns are
+      // null-free in this dataset; a null-bearing variant would need
+      // engine-aligned null ordering.
       t(s, d, "lineitem")
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"))).as("m"))
+        .select(col("l_orderkey"), col("m.l_linenumber").as("l_linenumber"),
+          col("m.l_quantity").as("l_quantity"))
     },
 
     // ---- B8: top-n per group ----------------------------------------
@@ -265,6 +277,29 @@ object Queries {
          | FROM orders WHERE o_orderkey % 8 IN (0, 2)""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val repo = new TableRepo(freshRoot("q_upsert"), s, keyCols = Seq("o_orderkey"))
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1))
+      val updates = o.filter(col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      repo.replaceRecords(updates)
+      repo.getFullDf
+    },
+
+    // ---- A9 + A7: keyed upsert on a hash-bucketed layout --------------
+    // The reference's HashPartitioner-as-group_cols default (core.py:25-44,
+    // 62): the md5 bucket of the key is an implicit partition column, so
+    // the upsert rewrites only the bucket dirs its keys land in — the
+    // layout that makes keyed upsert scale-safe on otherwise-unpartitioned
+    // tables (bucket-dir scoping asserted in TableRepoSpec).
+    Q("q_upsert_bucketed", Some(
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 NOT IN (0, 2)
+         | UNION ALL
+         | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 8 IN (0, 2)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_upsert_bucketed"), s, keyCols = Seq("o_orderkey"),
+        hashBucket = Some(HashBucketLayout("o_orderkey", 16)))
       val o = t(s, d, "orders")
       repo.extend(o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1))
       val updates = o.filter(col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2)
@@ -413,14 +448,24 @@ object Queries {
     },
 
     // ---- A29: per-file census ----------------------------------------
-    Q("q_file_census", None) { (s, d) =>
-      // layout-dependent (no cross-engine oracle): rows per physical file
-      // of a size-bounded repo, via input_file_name()
+    Q("q_file_census", Some(
+      """WITH n AS (SELECT count(*) AS c FROM lineitem WHERE l_orderkey % 10 = 3),
+        | f AS (SELECT unnest(range(CAST(ceil(c / 1000.0) AS BIGINT))) AS i, c FROM n)
+        | SELECT CAST(least(1000, c - i * 1000) AS BIGINT) AS n_rows FROM f""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      // per-file iteration, reshaped layout-independently so it IS
+      // oracle-able: a single writer task rolls files at exactly
+      // maxRecordsPerFile rows, so the multiset of per-file row counts is
+      // ceil(n/1000) files of [1000 x floor, remainder] — derivable from
+      // count(*) alone. Filenames stay out of the output (layout noise);
+      // the per-file cap itself is asserted in TableRepoSpec.
       val repo = new TableRepo(freshRoot("q_census"), s, maxRecordsPerFile = 1000)
-      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 3).select(lineCols.map(col): _*))
+      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 3)
+        .select(lineCols.map(col): _*).coalesce(1))
       repo.getFullDf
         .withColumn("file", input_file_name())
         .groupBy(col("file")).agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"))
     },
 
     // ---- ANN via sign-random-projection LSH buckets ------------------
@@ -433,7 +478,7 @@ object Queries {
       val bucketSql = (0 until bits).map { i =>
         s"(CASE WHEN list_inner_product(embedding::DOUBLE[], ${planes(i)}) > 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+      s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings)
          | SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
          |   ${sqlCosine("q.embedding", "c.embedding")} AS sim
          | FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
@@ -497,12 +542,20 @@ object Queries {
          | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
+      // TWO exchanges, both load-bearing: the first materializes the token
+      // arrays (shinglesOf references the array per element — an inline
+      // split would re-execute per shingle), the second materializes the
+      // hashed shingle SETS so the self-join's both sides read finished
+      // arrays from the shuffle instead of recomputing them above the
+      // exchange (recompute there is plan-dependent: 63 s at local[32] vs
+      // 3 s when materialized). Shuffled volume is tiny next to that.
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
-        .repartition(col("lang"), col("source")) // materializes toks + feeds both join sides
+        .repartition(col("lang"), col("source"))
         .select(col("doc_id"), col("lang"), col("source"),
           array_distinct(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
+        .repartition(col("lang"), col("source"))
       val a = dd.as("a"); val b = dd.as("b")
       val inter = size(array_intersect(col("a.sh"), col("b.sh")))
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
@@ -747,7 +800,7 @@ object Queries {
       s"""WITH o AS (SELECT doc_id, lang, CAST(len($sqlToks) AS BIGINT) AS nt,
          |   md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents)
          | SELECT doc_id, lang, nt,
-         |   (sum(nt) OVER (PARTITION BY lang ORDER BY rk ROWS UNBOUNDED PRECEDING) - nt) // 512 AS bin
+         |   CAST((sum(nt) OVER (PARTITION BY lang ORDER BY rk ROWS UNBOUNDED PRECEDING) - nt) // 512 AS BIGINT) AS bin
          | FROM o""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       // packing is per-shard (lang here; fingerprint bucket at scale) so
@@ -790,16 +843,18 @@ object Queries {
     // ---- B5: tumbling event-time window ------------------------------
     Q("q_event_window", Some(
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS hour_us, event_type,
-        | count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
+      // sum_value pinned to DECIMAL(18,2) on both sides (DuckDB widens to
+      // DECIMAL(38,2), Spark to decimal(28,2) — same values, different type)
       val dec = DecimalType(18, 2)
       eventsUs(s, d)
         .withColumn("hour_us", col("ts_us") - col("ts_us") % 3600000000L)
         .groupBy(col("hour_us"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).as("sum_value"),
+          sum(col("value").cast(dec)).cast(dec).as("sum_value"),
           (sum(col("value").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_value"))
     },
 

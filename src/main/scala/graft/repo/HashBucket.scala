@@ -45,6 +45,15 @@ case class Md5ModExpr(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "md5_mod"
 }
 
+/** Declarative request for md5-bucketed layout: partition a repo by
+  * `bucket(col) = md5(str(col)) % numGroups` — the reference's
+  * `HashPartitioner` used as `group_cols` (core.py:25-44; default
+  * num_groups=128, core.py:62). Makes keyed upsert partition-scoped on
+  * otherwise-unpartitioned tables: the bucket is a pure function of the key,
+  * so an upsert rewrites only the buckets its keys land in.
+  */
+case class HashBucketLayout(col: String, numGroups: Int = 128)
+
 /** Column-level API for md5 bucketing. `numGroups` buckets over the string
   * form of `c` (non-string inputs are cast to string first, mirroring the
   * reference's `str(v)`).

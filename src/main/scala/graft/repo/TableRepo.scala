@@ -16,6 +16,8 @@ import org.apache.spark.sql.types._
   * Layout policy (core.py:47-56):
   *   - `groupCols = Nil, maxRecordsPerFile = 0`  -> one unpartitioned dataset
   *   - `maxRecordsPerFile = N`                   -> files capped at N rows
+  *   - `hashBucket = Some(...)`                  -> md5-bucket partition dirs
+  *     (the reference's `HashPartitioner` as group_cols, core.py:25-44,62)
   *   - `groupCols = Seq(...)`                    -> Hive-style `col=val/` dirs
   *     (the reference's one-directory-per-group tree, core.py:358-372; Spark
   *     drops group cols from the files and re-materializes them on read,
@@ -46,11 +48,31 @@ class TableRepo(
     val maxRecordsPerFile: Long = 0L,
     val fixedSchema: Option[StructType] = None,
     val allowSchemaExtension: Boolean = false,
-    val envParents: Map[String, String] = Map.empty
+    val envParents: Map[String, String] = Map.empty,
+    val hashBucket: Option[HashBucketLayout] = None
 ) {
 
   private val name: String = new Path(rootPath).getName
   @volatile private var currentParent: Option[String] = None
+
+  /** Synthetic partition column for [[hashBucket]] layout — named like the
+    * reference's `HashPartitioner.key` (`__pqr-hash-{col}-{n}__`,
+    * core.py:41-43) so the directory tree is recognizably a hash layout.
+    */
+  private val bucketColName: Option[String] =
+    hashBucket.map(hb => s"__graft_hash_${hb.col}_${hb.numGroups}__")
+
+  /** Effective layout partitioning: user group cols plus the hash bucket. */
+  private def layoutCols: Seq[String] = groupCols ++ bucketColName
+
+  /** Materialize the bucket column (a pure function of the source column) if
+    * this repo is hash-bucketed and `df` doesn't carry it yet.
+    */
+  private def withBucket(df: DataFrame): DataFrame = (hashBucket, bucketColName) match {
+    case (Some(hb), Some(b)) if !df.columns.contains(b) =>
+      df.withColumn(b, HashBucket.bucketStr(col(hb.col), hb.numGroups))
+    case _ => df
+  }
 
   /** Active root, honoring the selected environment (core.py:196-201). */
   def root: String = currentParent.map(p => s"$p/$name").getOrElse(rootPath)
@@ -136,7 +158,7 @@ class TableRepo(
 
   private def configuredWriter(df: DataFrame, mode: String) = {
     var w = df.write.mode(mode)
-    if (groupCols.nonEmpty) w = w.partitionBy(groupCols: _*)
+    if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     w
   }
@@ -146,11 +168,12 @@ class TableRepo(
     * it is reading). Dynamic variant rewrites only partitions present in
     * `df` (the reference's `replace_groups`, core.py:153-155).
     */
-  private def writeData(df: DataFrame, overwrite: Boolean, dynamic: Boolean = false,
+  private def writeData(dfIn: DataFrame, overwrite: Boolean, dynamic: Boolean = false,
       alreadyStaged: Boolean = false): Unit = {
+    val df = withBucket(dfIn)
     if (!overwrite) {
       configuredWriter(df, "append").parquet(dataPath)
-    } else if (dynamic && groupCols.nonEmpty) {
+    } else if (dynamic && layoutCols.nonEmpty) {
       val staged = if (alreadyStaged) df else stage(df)
       try configuredWriter(staged, "overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -160,7 +183,7 @@ class TableRepo(
       val tmp = s"$root/tmp-staging-data"
       fs.delete(new Path(tmp), true)
       var w = df.write.mode("overwrite")
-      if (groupCols.nonEmpty) w = w.partitionBy(groupCols: _*)
+      if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
       if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
       w.parquet(tmp)
       fs.delete(new Path(dataPath), true)
@@ -215,9 +238,9 @@ class TableRepo(
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val tmp = s"$root/tmp-staging-data"
     fs.delete(new Path(tmp), true)
-    var w = getFullDf.repartition(parts).write.mode("overwrite")
+    var w = withBucket(getFullDf).repartition(parts).write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
-    if (groupCols.nonEmpty) w = w.partitionBy(groupCols: _*)
+    if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
     w.parquet(tmp)
     fs.delete(new Path(dataPath), true)
     if (!fs.rename(new Path(tmp), new Path(dataPath)))
@@ -271,34 +294,40 @@ class TableRepo(
     val u = dedupKeepFirst(harmonize(updates, schema))
     if (!exists) { writeData(u, overwrite = false); return }
     val keys = if (byGroups && groupCols.nonEmpty) (groupCols ++ keyCols).distinct else keyCols
-    val existing = getFullDf
-    if (groupCols.isEmpty) {
-      val merged = existing.join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    if (layoutCols.isEmpty) {
+      val merged = getFullDf.join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(u)
       writeData(merged, overwrite = true)
     } else {
-      val affected = existing.join(u.select(keys.map(col): _*).distinct(), keys, "left_semi")
-        .select(groupCols.map(col): _*)
-        .union(u.select(groupCols.map(col): _*))
+      // For hash-bucketed repos the bucket column comes from the partition
+      // directories of the scan (free) on the existing side and is
+      // recomputed from the key column (pure function) on the update side —
+      // so the whole merge is scoped to bucket partitions exactly like a
+      // user-grouped repo is scoped to its group dirs.
+      val existing = readLayout()
+      val u2 = withBucket(u)
+      val affected = existing.join(u2.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(layoutCols.map(col): _*)
+        .union(u2.select(layoutCols.map(col): _*))
         .distinct()
       val survivors = existing
-        .join(affected, groupCols, "left_semi")
-        .join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .join(affected, layoutCols, "left_semi")
+        .join(u2.select(keys.map(col): _*).distinct(), keys, "left_anti")
       // Materialize the merge ONCE (checkpoint), then both the
       // emptied-partition detection and the write read the materialized
       // rows instead of recomputing the anti-join.
-      val newData = stage(survivors.unionByName(u))
+      val newData = stage(survivors.unionByName(u2))
       // Dynamic overwrite only touches partitions PRESENT in newData; an
       // affected partition whose rows were all consumed (e.g. an unscoped
       // upsert moving a key to another group) must be deleted explicitly.
       // One driver-side collect of a tiny set (bounded by the update's
       // group count).
       val emptiedGroups = affected
-        .join(newData.select(groupCols.map(col): _*).distinct(), groupCols, "left_anti")
+        .join(newData.select(layoutCols.map(col): _*).distinct(), layoutCols, "left_anti")
         .collect().map(_.toSeq)
       writeData(newData, overwrite = true, dynamic = true, alreadyStaged = true)
       emptiedGroups.foreach { vals =>
-        val dir = groupCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+        val dir = layoutCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
         fs.delete(new Path(s"$dataPath/$dir"), true)
       }
     }
@@ -328,6 +357,17 @@ class TableRepo(
       case None    => spark.read.option("mergeSchema", "true").parquet(dataPath)
     }
 
+  /** Harmonized scan that also surfaces the hash-bucket partition column
+    * (read from the directory names, not recomputed) — the merge and
+    * bucket-scoped reads filter on it so Catalyst prunes bucket dirs.
+    */
+  private def readLayout(): DataFrame = (pinnedSchema, bucketColName) match {
+    case (Some(p), Some(b)) =>
+      val withB = StructType(p.fields :+ StructField(b, StringType))
+      harmonize(spark.read.schema(withB).parquet(dataPath), withB)
+    case _ => withBucket(getFullDf)
+  }
+
   /** Full-table scan (core.py:169-175). One partition-aware Parquet scan;
     * harmonized back to the pinned schema so partition-directory type
     * inference and file-level schema drift never leak to callers.
@@ -345,6 +385,16 @@ class TableRepo(
     */
   def getPartitionDf(values: Map[String, Any]): DataFrame =
     values.foldLeft(getFullDf) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+
+  /** One hash bucket's rows (the reference's `get_partition_df("166")` on a
+    * HashPartitioner layout, tests/test_core.py:270-280). The equality
+    * filter on the bucket partition column prunes to that directory.
+    */
+  def getBucketDf(bucket: String): DataFrame = {
+    val b = bucketColName.getOrElse(
+      throw new IllegalStateException("getBucketDf requires a hashBucket layout"))
+    readLayout().filter(col(b) === lit(bucket)).drop(b)
+  }
 
   /** Arbitrary per-group computation — the reference's `map_partitions`
     * (core.py:138-151; tests/test_parallel.py:41-76). Distribution is native:
@@ -391,7 +441,7 @@ class TableRepo(
     * `get_partition_paths`, core.py:177-182).
     */
   def partitionPaths(values: Map[String, Any]): Seq[String] = {
-    val needles = groupCols.flatMap(c => values.get(c).map(v => s"$c=$v"))
+    val needles = layoutCols.flatMap(c => values.get(c).map(v => s"$c=$v"))
     paths // absolute URIs (file:/...); match on the col=val path segments
       .filter(p => needles.forall(n => p.contains(s"/$n/")))
       .map(p => p.substring(0, p.lastIndexOf('/')))

@@ -1,13 +1,16 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming sessionization — the continuous counterpart of the
   * batch `q_sessionize` query (lag/running-sum windows). State per user is
   * the open session; a gap above `gapUs` microseconds closes it and emits.
-  * Built on `flatMapGroupsWithState` with event-time timeout so sessions
-  * also close when the watermark passes their horizon (late-data safe).
+  * Built on `flatMapGroupsWithState`; when the input stream carries a
+  * watermark, the event-time timeout closes (and emits) a trailing open
+  * session once the watermark passes its `last event + gap` horizon — so
+  * quiet users still get their final session, late-data safe.
   *
   * Scale: state size is O(active users), not O(events); the shuffle key is
   * user_id — the same single partitioning the batch plan uses.
@@ -21,48 +24,67 @@ object Sessionize {
   val DefaultGapUs: Long = 30L * 60 * 1000 * 1000
 
   /** Fold a user's (in-batch) events into sessions; keeps the trailing open
-    * session in state, emits every closed one.
+    * session in state, emits every closed one. With `withTimeout`, a timed-out
+    * invocation (empty event iterator, watermark past the horizon) closes and
+    * emits the open session; otherwise each live invocation re-arms the
+    * timeout at `last event + gap` (clamped above the current watermark —
+    * Spark rejects a timeout timestamp at or before it).
     */
-  def step(gapUs: Long)(
+  def step(gapUs: Long, withTimeout: Boolean = false)(
       userId: Long,
       events: Iterator[Event],
       state: GroupState[OpenSession]): Iterator[Session] = {
-    val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
-    var open = state.getOption
-    val out = Vector.newBuilder[Session]
-    sorted.foreach { e =>
-      open = open match {
-        case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-          Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
-        case Some(s) =>
-          out += Session(userId, s.startUs, s.lastUs, s.n)
-          Some(OpenSession(e.ts_us, e.ts_us, 1))
-        case None =>
-          Some(OpenSession(e.ts_us, e.ts_us, 1))
+    if (withTimeout && state.hasTimedOut) {
+      val out = state.getOption.map(s => Session(userId, s.startUs, s.lastUs, s.n))
+      state.remove()
+      out.iterator
+    } else {
+      val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
+      var open = state.getOption
+      val out = Vector.newBuilder[Session]
+      sorted.foreach { e =>
+        open = open match {
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+          case Some(s) =>
+            out += Session(userId, s.startUs, s.lastUs, s.n)
+            Some(OpenSession(e.ts_us, e.ts_us, 1))
+          case None =>
+            Some(OpenSession(e.ts_us, e.ts_us, 1))
+        }
       }
-    }
-    open match {
-      case Some(s) if state.hasTimedOut =>
-        out += Session(userId, s.startUs, s.lastUs, s.n)
-        state.remove()
-      case Some(s) =>
+      open.foreach { s =>
         state.update(s)
-        if (events.isEmpty && state.hasTimedOut) state.remove()
-      case None => state.remove()
+        if (withTimeout)
+          state.setTimeoutTimestamp(
+            math.max(s.lastUs / 1000 + gapUs / 1000, state.getCurrentWatermarkMs + 1))
+      }
+      out.result().iterator
     }
-    out.result().iterator
   }
 
-  /** Attach to a (streaming or batch) Dataset[Event]. For streaming use
-    * with `update`/`append` via flatMapGroupsWithState; the caller sets
-    * watermark upstream.
+  private def hasWatermark(ds: Dataset[_]): Boolean =
+    ds.queryExecution.analyzed.collectFirst { case _: EventTimeWatermark => () }.nonEmpty
+
+  /** Attach to a (streaming or batch) Dataset[Event]. On a watermarked
+    * stream the event-time timeout is wired automatically; without a
+    * watermark (or in batch) sessions only close when a gap-exceeding event
+    * arrives — use [[closeAll]] to drain a batch completely.
+    *
+    * NOTE: for the timeout path the watermarked timestamp column must
+    * still be present in `events`'s schema (extra columns beyond the Event
+    * fields are fine) — Spark requires an event-time attribute in the
+    * grouped input, not just a watermark node upstream.
     */
   def sessions(events: Dataset[Event], gapUs: Long = DefaultGapUs): Dataset[Session] = {
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val outEnc = Encoders.product[Session]
+    val withTimeout = events.isStreaming && hasWatermark(events)
+    val conf =
+      if (withTimeout) GroupStateTimeout.EventTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[OpenSession, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(step(gapUs))
+        OutputMode.Append(), conf)(step(gapUs, withTimeout))
   }
 
   /** Drain whatever is still open (batch use: emit trailing sessions). */

@@ -221,4 +221,40 @@ class TableRepoSpec extends SparkSuite {
       repo.replaceRecords(df2)
     }
   }
+
+  test("hash-bucketed layout matches the reference buckets (test_core.py:270-280)") {
+    // df C = e,f,g x3: with 3 groups, bucket "2" holds 6 rows; with 300
+    // groups, bucket "166" holds the 3 md5("e") rows
+    val df = Seq.tabulate(9)(i => ("efg" (i % 3).toString, i.toLong)).toDF("C", "A")
+    val repo = new TableRepo(scratch("hasher"), spark, hashBucket = Some(HashBucketLayout("C", 3)))
+    repo.extend(df)
+    assert(repo.getBucketDf("2").count() == 6)
+    assert(repo.getBucketDf("2").columns.toSeq == Seq("C", "A"), "bucket col must not leak")
+    val repo2 = new TableRepo(scratch("hasher300"), spark,
+      hashBucket = Some(HashBucketLayout("C", 300)))
+    repo2.extend(df)
+    assert(repo2.getBucketDf("166").count() == 3)
+  }
+
+  test("bucketed upsert rewrites only the buckets its keys land in") {
+    val repo = new TableRepo(scratch("bucket-upsert"), spark,
+      keyCols = Seq("k"), hashBucket = Some(HashBucketLayout("k", 8)))
+    repo.extend(df1)
+    repo.extend(df2)
+    val before = repo.paths.map(p => p -> new java.io.File(new java.net.URI(p)).lastModified()).toMap
+    val bucketDirOf = (p: String) => p.substring(0, p.lastIndexOf('/'))
+    val touchedBuckets = Set("a2").map(k =>
+      HashBucket.bucketStr(lit(k), 8)).map(c => spark.range(1).select(c).head().getString(0))
+    // update one key -> exactly one bucket dir may change
+    repo.replaceRecords(Seq(("a2", 99L, "Y", 2L, "b")).toDF("k", "A", "B", "C", "C2"))
+    val untouched = before.filter { case (p, _) =>
+      !touchedBuckets.exists(b => p.contains(s"=$b/") || bucketDirOf(p).endsWith(s"=$b"))
+    }
+    untouched.foreach { case (p, mtime) =>
+      val f = new java.io.File(new java.net.URI(p))
+      assert(f.exists() && f.lastModified() == mtime, s"untouched bucket file changed: $p")
+    }
+    assert(repo.getFullDf.filter($"k" === "a2").select("A").as[Long].head() == 99L)
+    assert(repo.count() == 6)
+  }
 }

@@ -56,4 +56,36 @@ class SessionizeSpec extends SparkSuite {
     streamed.foreach { case (k, v) => assert(batch(k) == v, s"session $k differs") }
     assert(streamed.size == batch.size - batch.keys.map(_._1).toSet.size)
   }
+
+  test("watermark closes a trailing open session via event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (user_id, event_id, ts_us)
+    val stream = ms.toDF()
+      .withColumn("ts", timestamp_micros($"_3"))
+      .withWatermark("ts", "0 seconds")
+      // the watermarked column must SURVIVE the projection — Spark requires
+      // an event-time attribute in the grouped input for EventTimeTimeout
+      .select($"_1".as("user_id"), $"_2".as("event_id"), $"_3".as("ts_us"), $"ts")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessions(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_wm").start()
+
+    val sec = 1000000L
+    // user 1: two events 1 s apart -> one open session, horizon = 2 s + 30 min
+    ms.addData((1L, 1L, 1 * sec), (1L, 2L, 2 * sec))
+    q.processAllAvailable()
+    assert(spark.table("sess_wm").count() == 0, "session must still be open")
+    // user 2 far in the future pushes the watermark past user 1's horizon;
+    // the timeout fires in the watermark-advance batch that follows
+    ms.addData((2L, 3L, 10000 * sec))
+    q.processAllAvailable()
+    ms.addData((2L, 4L, 10001 * sec))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_wm").as[Sessionize.Session].collect()
+      .map(s => (s.user_id, s.t_start, s.t_end, s.n_events)).toSet
+    assert(sessions.contains((1L, 1 * sec, 2 * sec, 2L)),
+      s"user 1's session should have been closed by the watermark, got $sessions")
+  }
 }
