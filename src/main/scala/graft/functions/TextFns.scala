@@ -44,6 +44,14 @@ object TextFns {
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 8), 16, 10).cast(LongType)
 
+  /** Document-frequency cap for shingle-hash equi-joins (contamination /
+    * near-dup candidate generation): shingles present in more documents
+    * than this are boilerplate and are dropped before joining — a hot
+    * shingle fans out O(df^2) pairs, the classic skew killer at 100 TB.
+    * The knob is a constant here so the SQL oracles can mirror it exactly.
+    */
+  val ShingleDfCap: Int = 50
+
   /** MinHash parameters: k universal-hash functions h_i(x) = (a_i*x + b_i)
     * mod P over the 32-bit token hash. a_i < 2^18 keeps a_i * x < 2^50 —
     * exact in both long and double arithmetic, so engines agree bit-for-bit.

@@ -105,7 +105,8 @@ object ObjIngestor {
   /** Write every shredded table into a TableRepo under `baseDir` — the
     * reference's `dump_all` (ingestor.py:87-98). Table-name sanitization
     * replaces the reference's md5-coded names + `key-map.json` sidecar with
-    * readable path-derived names.
+    * readable path-derived names. For the reference's heterogeneous-shape
+    * splitting, see [[dumpAllRouted]].
     */
   def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] =
     tables.map { case (path, t) =>
@@ -114,4 +115,69 @@ object ObjIngestor {
       repo.extend(t)
       path -> repo
     }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private val MetaCols = Set("__id", "__parent_id", "__pos")
+
+  /** Reference-parity heterogeneous-shape routing (ingestor.py:77-82): rows
+    * at one path whose PRESENT (non-null) field sets differ go to separate
+    * tables keyed by `schema-<md5(sorted fields)[0,9)>` — the reference's
+    * md5-of-type-map table codes (`_m5`, ingestor.py:112-113). Field TYPES
+    * are already unified by schema inference here, so the present-field set
+    * IS the shape. The distinct-shape collect is bounded by shape
+    * cardinality (the reference holds one writer per shape in a dict — same
+    * bound), not row count.
+    *
+    * Returns path -> (schemaCode -> rows of that shape, absent fields
+    * dropped).
+    */
+  def routeByShape(tables: Map[String, DataFrame]): Map[String, Map[String, DataFrame]] =
+    tables.map { case (path, t) =>
+      val meta = t.columns.filter(MetaCols.contains)
+      val dataCols = t.columns.filterNot(MetaCols.contains).sorted
+      val shapeExpr = concat_ws(",",
+        dataCols.map(c => when(col(s"`$c`").isNotNull, lit(c))).toIndexedSeq: _*)
+      val shaped = t.withColumn("__shape", shapeExpr)
+      val shapes = shaped.select("__shape").distinct().collect().map(_.getString(0))
+      path -> shapes.map { sh =>
+        val present = if (sh.isEmpty) Array.empty[String] else sh.split(',')
+        val code = "schema-" + md5Hex(sh).take(9)
+        code -> shaped.filter(col("__shape") === sh)
+          .select((meta ++ present).toIndexedSeq.map(c => col(s"`$c`")): _*)
+      }.toMap
+    }
+
+  /** `dump_all` with shape routing and the `key-map.json` sidecar
+    * (ingestor.py:87-109): each shape table lands under
+    * `<base>/<safe path>/<schemaCode>`, and the sidecar maps every schema
+    * code to its source path and field list so readers can resolve the
+    * md5-coded directory names.
+    */
+  def dumpAllRouted(spark: SparkSession, tables: Map[String, DataFrame],
+      baseDir: String): Map[(String, String), TableRepo] = {
+    val routed = routeByShape(tables)
+    val repos = for ((path, byShape) <- routed; (code, t) <- byShape) yield {
+      val safe = path.replaceAll("[^A-Za-z0-9_.-]", "_")
+      val repo = new TableRepo(s"$baseDir/$safe/$code", spark)
+      repo.extend(t)
+      (path, code) -> repo
+    }
+    def jq(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val entries = routed.toSeq.sortBy(_._1).flatMap { case (path, byShape) =>
+      byShape.toSeq.sortBy(_._1).map { case (code, t) =>
+        val fields = t.columns.filterNot(MetaCols.contains).sorted.mkString(",")
+        s"${jq(code)}: ${jq(s"$path|$fields")}"
+      }
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$baseDir/key-map.json"),
+      entries.mkString("{", ", ", "}"))
+    repos.toMap
+  }
 }

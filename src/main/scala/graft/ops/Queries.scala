@@ -816,15 +816,24 @@ object Queries {
     },
 
     // ---- contamination check (cross-split shingle overlap) ------------
+    // Skew guard: shingles appearing in more than ShingleDfCap documents
+    // (boilerplate) are dropped before the equi-join on shingle hash — a
+    // hot shingle otherwise fans out quadratically at scale. The cap (50)
+    // is far above this data's max df (9), so small-sf results are
+    // unchanged and the oracle verifies the guarded pipeline end-to-end.
     Q("q_contamination", Some(
-      s"""WITH s AS (SELECT doc_id,
+      s"""WITH s0 AS (SELECT doc_id,
          |   CASE WHEN ${sqlMd5Mod("CAST(doc_id AS VARCHAR)", 100)} < 80 THEN 'train' ELSE 'test' END AS sp,
          |   unnest(list_distinct(list_transform($sqlShingles, g -> ('0x'||substr(md5(g),1,8))::BIGINT))) AS h
-         |   FROM documents WHERE len($sqlToks) >= 3)
+         |   FROM documents WHERE len($sqlToks) >= 3),
+         | rare AS (SELECT h FROM s0 GROUP BY h HAVING count(*) <= ${TextFns.ShingleDfCap}),
+         | s AS (SELECT s0.* FROM s0 JOIN rare USING (h))
          | SELECT a.doc_id AS train_doc, b.doc_id AS test_doc, count(*) AS n_shared
          | FROM s a JOIN s b ON a.h = b.h AND a.sp = 'train' AND b.sp = 'test'
          | GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
+      // one exchange on h feeds the document-frequency aggregate AND both
+      // join sides (ReusedExchange) — the stop-list costs no extra shuffle
       val sh = t(s, d, "documents")
         .select(col("doc_id"),
           when(HashBucket.bucket(col("doc_id"), 100) < 80, "train").otherwise("test").as("sp"),
@@ -833,8 +842,12 @@ object Queries {
         .select(col("doc_id"), col("sp"),
           explode(array_distinct(transform(TextFns.shinglesOf(col("toks"), 3),
             g => TextFns.hash32(g)))).as("h"))
-      sh.filter(col("sp") === "train").as("a")
-        .join(sh.filter(col("sp") === "test").as("b"), col("a.h") === col("b.h"))
+        .repartition(col("h"))
+      val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= TextFns.ShingleDfCap).select(col("h"))
+      val shF = sh.join(rare, Seq("h"), "left_semi")
+      shF.filter(col("sp") === "train").as("a")
+        .join(shF.filter(col("sp") === "test").as("b"), col("a.h") === col("b.h"))
         .groupBy(col("a.doc_id").as("train_doc"), col("b.doc_id").as("test_doc"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 5)

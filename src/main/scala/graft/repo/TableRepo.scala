@@ -344,6 +344,11 @@ class TableRepo(
 
   def exists: Boolean = fs.exists(new Path(dataPath))
 
+  /** Recreate the data directory — the writer retry path calls this when a
+    * flush found the directory racily deleted (core.py:488-497 analog).
+    */
+  def mkdirs(): Unit = { fs.mkdirs(new Path(dataPath)): Unit }
+
   /** Raw scan. With a pinned schema the read skips Parquet schema
     * inference entirely (no footer-merge job — at scale that's a pass over
     * every file's metadata); files always hold harmonized columns, and

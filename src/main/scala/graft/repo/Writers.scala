@@ -35,9 +35,22 @@ class RecordWriter(
 
   def addAll(recs: Iterable[Map[String, Any]]): Unit = recs.foreach(add)
 
+  /** One batch write — overridable seam (tests inject faults here). */
+  protected def writeBatch(df: DataFrame): Unit =
+    if (replace) repo.replaceRecords(df) else repo.extend(df)
+
+  /** Flush with one retry after recreating the repo's directories — the
+    * reference's `_write` recreates a racily-deleted table dir and tries
+    * again (core.py:488-497); same contract for flaky object stores.
+    */
   def flush(): Unit = if (buf.nonEmpty) {
     val df = repo.spark.createDataFrame(buf.toList.asJava, schema)
-    if (replace) repo.replaceRecords(df) else repo.extend(df)
+    try writeBatch(df)
+    catch {
+      case _: java.io.IOException =>
+        repo.mkdirs()
+        writeBatch(df)
+    }
     buf.clear()
   }
 
@@ -56,9 +69,14 @@ class DfBatchWriter(
   private val buf = ArrayBuffer[DataFrame]()
   private var bufferedRows = 0L
 
-  def add(df: DataFrame): Unit = {
+  /** Buffer a batch. Counting a lazy plan is one Spark job per batch, so
+    * callers that already know the row count pass it as `rowsHint` and the
+    * job is skipped; without a hint the count runs (the reference counts
+    * eagerly too — its batches are materialized pandas frames).
+    */
+  def add(df: DataFrame, rowsHint: Long = -1L): Unit = {
     buf += df
-    bufferedRows += df.count()
+    bufferedRows += (if (rowsHint >= 0L) rowsHint else df.count())
     if (bufferedRows >= rowLimit) flush()
   }
 

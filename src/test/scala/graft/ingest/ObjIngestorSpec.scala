@@ -62,4 +62,27 @@ class ObjIngestorSpec extends SparkSuite {
       assert(repo.count() == tables(path).count())
     }
   }
+
+  test("heterogeneous shapes split into md5-coded tables + key-map (ingestor.py:77-109)") {
+    val js = Seq(
+      """{"id_": "x1", "a": 1, "b": "u"}""",
+      """{"id_": "x2", "a": 2, "c": true}""",
+      """{"id_": "x3", "a": 3, "c": false}""")
+    val t = ObjIngestor.shredJson(spark, js.toDS(), rootName = "r", idCol = Some("id_"))
+    val routed = ObjIngestor.routeByShape(t)
+    val byShape = routed("r")
+    assert(byShape.size == 2, s"expected 2 shapes, got ${byShape.keySet}")
+    assert(byShape.values.map(_.count()).toSeq.sorted == Seq(1L, 2L))
+    // each shape table carries only its present fields (plus meta cols)
+    val colSets = byShape.values.map(_.columns.toSet - "__id").toSet
+    assert(colSets == Set(Set("a", "b", "id_"), Set("a", "c", "id_")))
+
+    val base = scratch("shred-routed")
+    val repos = ObjIngestor.dumpAllRouted(spark, t, base)
+    assert(repos.size == 2)
+    repos.foreach { case ((_, code), repo) => assert(repo.count() == byShape(code).count()) }
+    val keyMap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/key-map.json")), "UTF-8")
+    byShape.keys.foreach(code => assert(keyMap.contains(code)))
+  }
 }

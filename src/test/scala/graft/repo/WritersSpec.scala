@@ -50,4 +50,29 @@ class WritersSpec extends SparkSuite {
     w.close()
     assert(repo.count() == 600)
   }
+
+  test("df-batch writer accepts a row-count hint (no count job per batch)") {
+    val repo = new TableRepo(scratch("dfw-hint"), spark)
+    val w = new DfBatchWriter(repo, rowLimit = 50)
+    (0 until 4).foreach { b =>
+      w.add((0 until 30).map(i => (b * 30 + i).toLong).toDF("v"), rowsHint = 30L)
+    }
+    w.close()
+    assert(repo.count() == 120)
+  }
+
+  test("record writer retries a failed flush after recreating dirs (core.py:488-497)") {
+    val repo = new TableRepo(scratch("rw-retry"), spark)
+    var failures = 0
+    val w = new RecordWriter(repo, schema, recordLimit = 100) {
+      override protected def writeBatch(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (failures == 0) { failures += 1; throw new java.io.IOException("dir vanished") }
+        super.writeBatch(df)
+      }
+    }
+    w.add(Map("i" -> 1L, "thing" -> 2L))
+    w.close()
+    assert(failures == 1)
+    assert(repo.count() == 1)
+  }
 }
