@@ -53,12 +53,18 @@ object TextFns {
   val ShingleDfCap: Int = 50
 
   /** MinHash parameters: k universal-hash functions h_i(x) = (a_i*x + b_i)
-    * mod P over the 32-bit token hash. a_i < 2^18 keeps a_i * x < 2^50 —
+    * mod P over the 32-bit token hash. a_i <= 2^19 keeps a_i * x < 2^51 —
     * exact in both long and double arithmetic, so engines agree bit-for-bit.
+    * 8 permutations / 4 LSH bands of 2 rows: candidate recall ~ 1-(1-s^2)^4
+    * (s = true Jaccard). Widening is just appending constants here — the
+    * signature aggregate, band construction, and both SQL oracles are all
+    * generated from these sequences.
     */
   val MinhashP: Long = 4294967311L // smallest prime > 2^32
-  val MinhashA: Seq[Long] = Seq(131071L, 8191L, 524287L, 127L)
-  val MinhashB: Seq[Long] = Seq(12345L, 67890L, 424242L, 777L)
+  val MinhashA: Seq[Long] = Seq(131071L, 8191L, 524287L, 127L, 65537L, 4099L, 196613L, 89L)
+  val MinhashB: Seq[Long] = Seq(12345L, 67890L, 424242L, 777L, 31337L, 271828L, 161803L, 55555L)
+  /** LSH band layout: signature indices grouped two rows per band. */
+  val MinhashBands: Seq[Seq[Int]] = MinhashA.indices.grouped(2).toSeq.map(_.toSeq)
 
   /** One minhash value: min over the document's distinct tokens of h_i. */
   def minhashOf(tokenHash: Column, i: Int): Column =

@@ -292,17 +292,24 @@ object Queries {
     // the upsert rewrites only the bucket dirs its keys land in — the
     // layout that makes keyed upsert scale-safe on otherwise-unpartitioned
     // tables (bucket-dir scoping asserted in TableRepoSpec).
-    Q("q_upsert_bucketed", Some(
-      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 8 NOT IN (0, 2)
+    Q("q_upsert_bucketed", Some {
+      val bkt = sqlMd5Mod("CAST(o_orderkey AS VARCHAR)", 16)
+      s"""SELECT $orderColsSql FROM orders
+         | WHERE o_orderkey % 4 IN (0, 1) AND NOT (o_orderkey % 8 IN (0, 2) AND $bkt = 3)
          | UNION ALL
          | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
-         | FROM orders WHERE o_orderkey % 8 IN (0, 2)""".stripMargin.replaceAll("\n", "")
-    )) { (s, d) =>
+         | FROM orders WHERE o_orderkey % 8 IN (0, 2) AND $bkt = 3""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
       val repo = new TableRepo(freshRoot("q_upsert_bucketed"), s, keyCols = Seq("o_orderkey"),
         hashBucket = Some(HashBucketLayout("o_orderkey", 16)))
       val o = t(s, d, "orders")
       repo.extend(o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1))
-      val updates = o.filter(col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2)
+      // updates restricted to keys hashing into ONE of the 16 buckets: the
+      // measured work is the scoped path (one bucket dir rewritten), which
+      // is the point of the layout — uniform-key updates would rewrite all
+      // buckets and measure only dynamic-overwrite overhead
+      val updates = o.filter((col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2) &&
+          HashBucket.bucket(col("o_orderkey"), 16) === 3)
         .withColumn("o_orderstatus", lit("U"))
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       repo.replaceRecords(updates)
@@ -576,25 +583,28 @@ object Queries {
          | SELECT doc_id, $hs FROM hh GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
     }) { (s, d) => minhashSig(t(s, d, "documents")) },
 
-    // ---- MinHash LSH candidate pairs (2 bands × 2 rows) --------------
+    // ---- MinHash LSH candidate pairs (bands generated from the same
+    // constants on both engines — widen by appending to TextFns.MinhashA/B)
     Q("q_lsh_near_dup", Some {
       val hs = TextFns.MinhashA.indices.map { i =>
         s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
       }.mkString(", ")
+      val bandSelects = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+        val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
+      }.mkString(" UNION ALL ")
       s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
          | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok),
          | sig AS (SELECT doc_id, $hs FROM hh GROUP BY doc_id),
-         | bands AS (SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bh FROM sig
-         |   UNION ALL SELECT doc_id, 1 AS band, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bh FROM sig)
+         | bands AS ($bandSelects)
          | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
       val sig = minhashSig(t(s, d, "documents"))
-      val b0 = sig.select(col("doc_id"), lit(0).as("band"),
-        concat_ws("_", col("mh0"), col("mh1")).as("bh"))
-      val b1 = sig.select(col("doc_id"), lit(1).as("band"),
-        concat_ws("_", col("mh2"), col("mh3")).as("bh"))
-      val bands = b0.union(b1)
+      val bands = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+        sig.select(col("doc_id"), lit(bnd).as("band"),
+          concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
+      }.reduce(_.union(_))
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
