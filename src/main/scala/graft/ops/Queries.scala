@@ -881,6 +881,18 @@ object Queries {
           (sum(col("value").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_value"))
     },
 
+    // ---- B5 via the engine's window() machinery -----------------------
+    // same hour x type grid as q_event_window but through
+    // streaming/EventWindows.hourly — the exact plan Structured Streaming
+    // runs (window() + groupBy), oracled here on its batch form
+    Q("q_event_window_fn", Some(
+      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS hour_us, event_type,
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      graft.streaming.EventWindows.hourly(eventsUs(s, d))
+    },
+
     // ---- B6: sessionization ------------------------------------------
     Q("q_sessionize", Some(
       """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,

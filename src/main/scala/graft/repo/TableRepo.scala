@@ -247,7 +247,14 @@ class TableRepo(
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val tmp = s"$root/tmp-staging-data"
     fs.delete(new Path(tmp), true)
-    var w = withBucket(getFullDf).repartition(parts).write.mode("overwrite")
+    val base = withBucket(getFullDf)
+    // partitioned layouts rebalance BY the layout cols so each partition
+    // dir is written by one task (round-robin would cross every task with
+    // every dir: parts x dirs small files — the opposite of compaction)
+    val rebalanced =
+      if (layoutCols.nonEmpty) base.repartition(parts, layoutCols.map(col): _*)
+      else base.repartition(parts)
+    var w = rebalanced.write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
     if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
     w.parquet(tmp)
@@ -419,8 +426,14 @@ class TableRepo(
   /** Partition-restricted read (core.py:184-194). The equality filters hit
     * Catalyst's partition pruning — only matching directories are listed.
     */
-  def getPartitionDf(values: Map[String, Any]): DataFrame =
-    values.foldLeft(getFullDf) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+  def getPartitionDf(values: Map[String, Any]): DataFrame = {
+    // filters naming the hash-bucket partition column need the layout read
+    // (the bucket col is directory-only; getFullDf drops it)
+    val onBucket = bucketColName.exists(values.contains)
+    val base = if (onBucket) readLayout() else getFullDf
+    val filtered = values.foldLeft(base) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+    if (onBucket) filtered.drop(bucketColName.get) else filtered
+  }
 
   /** One hash bucket's rows (the reference's `get_partition_df("166")` on a
     * HashPartitioner layout, tests/test_core.py:270-280). The equality

@@ -54,6 +54,23 @@ class RandomizedSpec extends SparkSuite {
     assert(repo.getPartitionDf(Map("d" -> "2023-04-05")).count() == 3)
   }
 
+  test("bucketed and plain keyed repos agree under seeded random upserts") {
+    val rng = new Random(4242)
+    def batch(n: Int) = (0 until n).map(_ => (rng.nextInt(400).toLong, rng.nextDouble(), alnum(rng, 4)))
+    val plain = new TableRepo(scratch("rand-plain"), spark, keyCols = Seq("k"))
+    val bucketed = new TableRepo(scratch("rand-bucket"), spark,
+      keyCols = Seq("k"), hashBucket = Some(HashBucketLayout("k", 7)))
+    val first = batch(300).distinctBy(_._1) // unique keys for a clean baseline
+    Seq(plain, bucketed).foreach(_.extend(first.toDF("k", "v", "s")))
+    (0 until 3).foreach { _ =>
+      val updates = batch(80).distinctBy(_._1).toDF("k", "v", "s")
+      plain.replaceRecords(updates)
+      bucketed.replaceRecords(updates)
+    }
+    assertSameRows(plain.getFullDf.orderBy("k"), bucketed.getFullDf.orderBy("k"))
+    assert(bucketed.getFullDf.groupBy("k").count().filter($"count" > 1).count() == 0)
+  }
+
   test("md5 bucket expression matches direct BigInteger math on a seeded sweep") {
     val rng = new Random(742)
     val cases = (0 until 200).map(_ => (alnum(rng, 1 + rng.nextInt(20)), 1 + rng.nextInt(5000)))
