@@ -651,6 +651,30 @@ object Queries {
         .select(col("q_id"), col("n_id"), col("label"), col("sim").as("sim"))
     },
 
+    // ---- IVF build step: nearest-centroid assignment ------------------
+    // one Lloyd-iteration assignment with the first 8 vectors as seed
+    // centroids (deterministic, engine-agnostic): broadcast the centroid
+    // table, one codegen'd dot per (vector, centroid), argmax per vector.
+    // At 100 TB this IS the IVF index build: linear scan x k centroids,
+    // no shuffle except the per-vector argmax window on vec_id.
+    Q("q_ivf_assign", Some(
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         | p AS (SELECT e.vec_id AS vec_id, c.centroid_id AS centroid_id, ${sqlCosine("e.embedding", "c.c_emb")} AS sim
+         |   FROM embeddings e CROSS JOIN c)
+         | SELECT vec_id, centroid_id, sim FROM p
+         | QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val c = e.filter(col("vec_id") < 8).select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_emb"), VectorFns.norm2(col("embedding")).as("c_nrm"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+      e.select(col("vec_id"), col("embedding"), VectorFns.norm2(col("embedding")).as("e_nrm"))
+        .crossJoin(broadcast(c))
+        .withColumn("sim", VectorFns.dot(col("embedding"), col("c_emb")) / (col("e_nrm") * col("c_nrm")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("sim"))
+    },
+
     // ---- embedding near-dup ------------------------------------------
     Q("q_emb_near_dup", Some(
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlCosine("a.embedding", "b.embedding")} AS sim

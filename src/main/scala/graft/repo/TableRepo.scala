@@ -501,6 +501,14 @@ class TableRepo(
   // core.py:230-243)
   def extendingRecordWriter(schema: StructType, recordLimit: Int = 1000000): RecordWriter =
     new RecordWriter(this, schema, recordLimit)
+  /** Fixed-column variant (`get_extending_fixed_dict_batch_writer`,
+    * core.py:233-234; `FixedRecordWriter` core.py:508-513): the writer's
+    * schema is restricted to `cols` — absent record keys become null,
+    * anything else is dropped (RecordWriter's projection contract).
+    */
+  def extendingFixedRecordWriter(schema: StructType, cols: Seq[String],
+      recordLimit: Int = 1000000): RecordWriter =
+    new RecordWriter(this, StructType(schema.filter(f => cols.contains(f.name))), recordLimit)
   def replacingRecordWriter(schema: StructType, recordLimit: Int = 1000000): RecordWriter =
     new RecordWriter(this, schema, recordLimit, replace = true)
   def extendingDfWriter(rowLimit: Long = 1000000L): DfBatchWriter =

@@ -61,6 +61,15 @@ class WritersSpec extends SparkSuite {
     assert(repo.count() == 120)
   }
 
+  test("fixed-column writer factory restricts the schema (core.py:233,508-513)") {
+    val repo = new TableRepo(scratch("rw-fixedcols"), spark)
+    val w = repo.extendingFixedRecordWriter(schema, cols = Seq("i"), recordLimit = 10)
+    w.add(Map("i" -> 5L, "thing" -> 50L)) // thing outside cols -> dropped
+    w.close()
+    assert(repo.getFullDf.columns.toSeq == Seq("i"))
+    assert(repo.getFullDf.select("i").as[Long].head() == 5L)
+  }
+
   test("record writer retries a failed flush after recreating dirs (core.py:488-497)") {
     val repo = new TableRepo(scratch("rw-retry"), spark)
     var failures = 0
