@@ -78,6 +78,24 @@ object Multimodal {
     }
   }
 
+  /** Resize: stride-downsample the payload bytes (stub for an image
+    * resize — a real implementation swaps the byte loop for a codec call;
+    * the per-partition streaming shape and the Dataset[Media] -> Dataset
+    * [Media] contract are the production plumbing).
+    */
+  def resize(media: Dataset[Media], factor: Int): Dataset[Media] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    implicit val enc = Encoders.product[Media]
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out = new Array[Byte]((m.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = m.payload(i * factor); i += 1 }
+        Media(m.media_id, out)
+      }
+    }
+  }
+
   /** Frame sampling: every `stride`-th byte window as a "frame" (stub for
     * video frame extraction — same iterator shape, real plumbing).
     */

@@ -30,6 +30,12 @@ class MultimodalSpec extends SparkSuite {
     assert(f(2L).signature.toSeq == f2(2L).signature.toSeq)
   }
 
+  test("resize stride-downsamples payloads") {
+    val media = Multimodal.withPayload(Seq((1L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text"), "text", "doc_id")
+    val out = Multimodal.resize(media, factor = 3).collect().map(m => m.media_id -> new String(m.payload)).toMap
+    assert(out == Map(1L -> "adg", 2L -> "x"))
+  }
+
   test("frame sampling yields strided windows") {
     val media = Multimodal.withPayload(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "text", "doc_id")
     val frames = Multimodal.sampleFrames(media, frameSize = 4, stride = 2).collect()
