@@ -612,6 +612,60 @@ object Queries {
         .distinct()
     },
 
+    // ---- LSH-candidates -> exact-Jaccard verification -----------------
+    // THE scale path for near-dup at 100 TB: band buckets generate
+    // candidate pairs (linear + bucket joins, never all pairs), exact
+    // n-gram Jaccard then verifies only those candidates. The blocked
+    // exact queries above are this pipeline's small-sf ground truth.
+    Q("q_lsh_verified", Some {
+      val hs = TextFns.MinhashA.indices.map { i =>
+        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      val bandSelects = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+        val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
+         | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok),
+         | sig AS (SELECT doc_id, $hs FROM hh GROUP BY doc_id),
+         | bands AS ($bandSelects),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         | sh AS (SELECT doc_id, list_distinct(list_transform($sqlShingles, g -> ('0x'||substr(md5(g),1,8))::BIGINT)) AS sh FROM documents WHERE len($sqlToks) >= 3),
+         | p AS (SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+         |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+         |   FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
+         | SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.4""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val sig = minhashSig(docs)
+      val bands = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+        sig.select(col("doc_id"), lit(bnd).as("band"),
+          concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
+      }.reduce(_.union(_))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // hashed shingle sets materialized in an exchange (never recomputed
+      // per candidate pair — the q_ngram_jaccard lesson)
+      val sh = docs
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
+        .repartition(col("doc_id"))
+      val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+      cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
+        .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+
     // ---- B3: brute-force top-k cosine --------------------------------
     Q("q_topk_cosine", Some(
       s"""WITH p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, ${sqlCosine("q.embedding", "c.embedding")} AS sim
