@@ -337,17 +337,24 @@ class TableRepo(
       // across buckets, putting the old row outside the updates' buckets.
       val updatesDefineScope = (byGroups || groupCols.isEmpty) &&
         hashBucket.forall(hb => keys.contains(hb.col))
-      // updates-derived scope is one cheap distinct over checkpointed rows
-      // (single consumer); the scan-derived scope is checkpointed because
-      // both the survivors join and the emptied check read it
-      val affected =
-        if (updatesDefineScope) u2.select(layoutCols.map(col): _*).distinct()
-        else stage(existing.join(u2.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .select(layoutCols.map(col): _*)
-          .union(u2.select(layoutCols.map(col): _*))
-          .distinct())
+      // The affected-partition set is bounded by the update's group count
+      // (same bound the emptied-partition collect always relied on), so it
+      // lands on the driver as LITERAL values — the survivors read then
+      // carries `col = value OR ...` predicates Catalyst turns into
+      // PartitionFilters: at 100 TB the merge LISTS AND READS only the
+      // affected directories instead of semi-joining a full table scan.
+      val affectedVals: Array[Seq[Any]] =
+        (if (updatesDefineScope) u2.select(layoutCols.map(col): _*).distinct()
+         else existing.join(u2.select(keys.map(col): _*).distinct(), keys, "left_semi")
+           .select(layoutCols.map(col): _*)
+           .union(u2.select(layoutCols.map(col): _*))
+           .distinct())
+          .collect().map(_.toSeq)
+      val affectedFilter = affectedVals
+        .map(vals => layoutCols.zip(vals).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
       val survivors = existing
-        .join(affected, layoutCols, "left_semi")
+        .filter(affectedFilter)
         .join(u2.select(keys.map(col): _*).distinct(), keys, "left_anti")
       // Materialize the merge ONCE (checkpoint), then both the
       // emptied-partition detection and the write read the materialized
@@ -356,13 +363,14 @@ class TableRepo(
       // Dynamic overwrite only touches partitions PRESENT in newData; an
       // affected partition whose rows were all consumed (an unscoped
       // upsert moving a key to another group) must be deleted explicitly.
-      // One driver-side collect of a tiny set (bounded by the update's
-      // group count).
+      // Driver-side set difference over the already-collected affected set.
       val emptiedGroups =
         if (updatesDefineScope) Array.empty[Seq[Any]]
-        else affected
-          .join(newData.select(layoutCols.map(col): _*).distinct(), layoutCols, "left_anti")
-          .collect().map(_.toSeq)
+        else {
+          val present = newData.select(layoutCols.map(col): _*).distinct()
+            .collect().map(_.toSeq).toSet
+          affectedVals.filterNot(present.contains)
+        }
       writeData(newData, overwrite = true, dynamic = true, alreadyStaged = true)
       emptiedGroups.foreach { vals =>
         val dir = layoutCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
