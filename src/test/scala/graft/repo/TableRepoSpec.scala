@@ -236,6 +236,15 @@ class TableRepoSpec extends SparkSuite {
     assert(repo2.getBucketDf("166").count() == 3)
   }
 
+  test("bucket-value reads prune to the bucket directory (PartitionFilters)") {
+    val repo = new TableRepo(scratch("bucket-prune"), spark,
+      hashBucket = Some(HashBucketLayout("C", 3)))
+    repo.extend(Seq.tabulate(9)(i => ("efg" (i % 3).toString, i.toLong)).toDF("C", "A"))
+    val plan = repo.getBucketDf("2").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no PartitionFilters in:\n$plan")
+    assert(plan.contains("__graft_hash_C_3__"), "filter must target the bucket partition col")
+  }
+
   test("bucketed upsert rewrites only the buckets its keys land in") {
     val repo = new TableRepo(scratch("bucket-upsert"), spark,
       keyCols = Seq("k"), hashBucket = Some(HashBucketLayout("k", 8)))

@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Arrow-type diff between Spark verify output and DuckDB oracle results.
+
+The driver's hash compare is TYPE-sensitive (DuckDB widens aggregates:
+sum(DECIMAL(18,2)) -> DECIMAL(38,2), sum(BIGINT) -> HUGEINT) while
+check_oracle.py compares values only — run this after check_oracle.py to
+catch type drift before the driver does.
+
+Usage: check_types.py <sf_dir> <verify_out_dir>
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+
+def main(sf, out):
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf}/*.parquet"):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    sqls = json.load(open(f"{out}/oracle_sql.json"))
+    bad = 0
+    for name, sql in sorted(sqls.items()):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"SKIP {name}: no spark output")
+            continue
+        oracle_types = {f.name: str(f.type) for f in con.execute(sql).arrow().schema}
+        spark_types = {f.name: str(f.type) for f in pq.read_schema(files[0])}
+        diffs = {
+            k: (spark_types.get(k), oracle_types.get(k))
+            for k in set(oracle_types) | set(spark_types)
+            if spark_types.get(k) != oracle_types.get(k)
+        }
+        if diffs:
+            bad += 1
+            print(f"TYPE-DIFF {name}: {diffs}")
+    print(f"{len(sqls) - bad}/{len(sqls)} queries type-identical")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
