@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSuite
-import graft.repo.TableRepo
+import graft.repo.{HashBucketLayout, TableRepo}
 
 /** Streaming micro-batch ingestion into a repo: a file-source stream drains
   * into the same schema-harmonized append path as batch writes.
@@ -37,6 +37,24 @@ class RepoSinkSpec extends SparkSuite {
       .select(col("window.start").as("h"), col("event_type"), col("count"))
       .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected)
+  }
+
+  test("replacing sink upserts micro-batches into a hash-bucketed repo") {
+    val repo = new TableRepo(scratch("stream-b-repo"), spark, keyCols = Seq("id"),
+      hashBucket = Some(HashBucketLayout("id", 4)))
+    val src = scratch("stream-b-src")
+    val ckpt = scratch("stream-b-ckpt")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").write.parquet(src)
+    def stream = spark.readStream.schema("id LONG, v STRING").parquet(src)
+    val q = RepoSink.start(stream, repo, ckpt, replace = true)
+    q.processAllAvailable(); q.stop()
+    assert(repo.count() == 3)
+    // a later micro-batch updates one key: bucket-scoped upsert, no dup
+    Seq((2L, "B2")).toDF("id", "v").write.mode("append").parquet(src)
+    val q2 = RepoSink.start(stream, repo, ckpt, replace = true)
+    q2.processAllAvailable(); q2.stop()
+    assert(repo.count() == 3)
+    assert(repo.getFullDf.filter($"id" === 2L).select("v").as[String].head() == "B2")
   }
 
   test("foreachBatch sink appends micro-batches into the repo") {
