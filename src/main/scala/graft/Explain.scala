@@ -13,7 +13,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_scan", "q_partition_prune", "q_multimodal_join", "q_pricing_summary",
-        "q_topk_cosine", "q_near_dup", "q_sessionize")
+        "q_topk_cosine", "q_near_dup", "q_sessionize", "q_ngram_jaccard", "q_dedup_first",
+        "q_contamination", "q_upsert_bucketed", "q_lsh_verified", "q_ivf_assign")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

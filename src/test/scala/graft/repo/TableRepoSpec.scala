@@ -236,6 +236,23 @@ class TableRepoSpec extends SparkSuite {
     assert(repo2.getBucketDf("166").count() == 3)
   }
 
+  test("schema evolution rewrites history under a bucketed layout") {
+    val repo = new TableRepo(scratch("bucket-evolve"), spark,
+      keyCols = Seq("k"), hashBucket = Some(HashBucketLayout("k", 4)),
+      allowSchemaExtension = true)
+    repo.extend(df1.drop("C2"))
+    repo.extend(df2) // C2 is new -> widen + backfill rewrite of bucket dirs
+    val out = repo.getFullDf
+    assert(out.columns.contains("C2"))
+    assert(out.count() == 6)
+    assert(out.filter($"k" === "a1").select("C2").collect().head.isNullAt(0))
+    assert(out.filter($"k" === "b1").select("C2").as[String].head() == "b")
+    // layout preserved through the rewrite: bucket dirs, no stray files
+    val dirs = new java.io.File(repo.root + "/data").listFiles()
+    assert(dirs.filter(_.isFile).forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "all data files must live under bucket dirs after the evolution rewrite")
+  }
+
   test("bucket-value reads prune to the bucket directory (PartitionFilters)") {
     val repo = new TableRepo(scratch("bucket-prune"), spark,
       hashBucket = Some(HashBucketLayout("C", 3)))
