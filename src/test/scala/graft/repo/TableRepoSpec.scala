@@ -236,6 +236,20 @@ class TableRepoSpec extends SparkSuite {
     assert(repo2.getBucketDf("166").count() == 3)
   }
 
+  test("empty update set is a no-op upsert on every layout") {
+    for (mk <- Seq(
+        () => new TableRepo(scratch("noop-plain"), spark, keyCols = Seq("k")),
+        () => new TableRepo(scratch("noop-grouped"), spark, groupCols = Seq("C2"), keyCols = Seq("k")),
+        () => new TableRepo(scratch("noop-bucket"), spark, keyCols = Seq("k"),
+          hashBucket = Some(HashBucketLayout("k", 4))))) {
+      val repo = mk()
+      repo.extend(df1)
+      repo.replaceRecords(df2.filter(lit(false)))
+      assert(repo.count() == 4, s"layout ${repo.root} changed on empty upsert")
+      assertSameRows(repo.getFullDf.orderBy("k"), df1.orderBy("k"))
+    }
+  }
+
   test("schema evolution rewrites history under a bucketed layout") {
     val repo = new TableRepo(scratch("bucket-evolve"), spark,
       keyCols = Seq("k"), hashBucket = Some(HashBucketLayout("k", 4)),
