@@ -179,6 +179,36 @@ object Queries {
         (sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_price"))
     },
 
+    // ---- multi-table star join (TPC-H Q5 shape) -----------------------
+    // the canonical warehouse join: lineitem x orders is the one real
+    // shuffle; region/nation/supplier are broadcast (hinted — they stay
+    // tiny at any scale), customer is left to the planner (auto-broadcast
+    // small, shuffle join at warehouse scale). The region filter pushes
+    // into the dimension scan and prunes the whole join tree.
+    Q("q_star_join", Some(
+      """SELECT n_name, count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+        | FROM customer, orders, lineitem, supplier, nation, region
+        | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        | AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | GROUP BY n_name""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+            .cast(DecimalType(18, 4)).as("revenue"))
+    },
+
     // ---- A20: per-group count ---------------------------------------
     Q("q_group_count", Some(
       "SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
