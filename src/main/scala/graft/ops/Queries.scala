@@ -209,6 +209,28 @@ object Queries {
             .cast(DecimalType(18, 4)).as("revenue"))
     },
 
+    // ---- promo revenue share (TPC-H Q14 shape) ------------------------
+    // conditional aggregation over a broadcast fact-dim join; the share is
+    // one IEEE division of two exact decimal sums (determinism contract)
+    Q("q_promo_share", Some(
+      """SELECT
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS promo_revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS total_revenue,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_share
+        | FROM lineitem, part WHERE l_partkey = p_partkey""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      val rev = col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec)
+      val promoRev = when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 4)))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(promoRev).cast(DecimalType(18, 4)).as("promo_revenue"),
+          sum(rev).cast(DecimalType(18, 4)).as("total_revenue"),
+          (sum(promoRev).cast(DoubleType) / sum(rev).cast(DoubleType)).as("promo_share"))
+    },
+
     // ---- A20: per-group count ---------------------------------------
     Q("q_group_count", Some(
       "SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
