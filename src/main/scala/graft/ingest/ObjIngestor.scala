@@ -25,11 +25,12 @@ import graft.repo.TableRepo
   *     position — the analog of the reference's injected uuid4 PKs,
   *     ingestor.py:70-76, made deterministic so runs are reproducible)
   *
-  * Divergence (documented): the reference routes heterogeneous shapes at the
-  * same path into separate tables keyed by an md5 of the sorted type map
-  * (ingestor.py:77-82). Spark's JSON schema inference already unifies shapes
-  * into one nullable schema, which subsumes that mechanism — one table per
-  * path, absent fields null.
+  * Shape handling: Spark's JSON schema inference unifies heterogeneous
+  * shapes into one nullable schema, so the default is one table per path
+  * with absent fields null; [[routeByShape]]/[[dumpAllRouted]] restore the
+  * reference's split-into-md5-coded-tables behavior (ingestor.py:77-82)
+  * plus the `key-map.json` sidecar when separate per-shape tables are
+  * wanted.
   */
 object ObjIngestor {
 
@@ -134,16 +135,20 @@ object ObjIngestor {
     * Returns path -> (schemaCode -> rows of that shape, absent fields
     * dropped).
     */
+  private val ShapeSep = "\u0001" // same collision-safe separator shred() uses
+
   def routeByShape(tables: Map[String, DataFrame]): Map[String, Map[String, DataFrame]] =
     tables.map { case (path, t) =>
       val meta = t.columns.filter(MetaCols.contains)
       val dataCols = t.columns.filterNot(MetaCols.contains).sorted
-      val shapeExpr = concat_ws(",",
+      // control-char-joined so a field name containing ',' can neither break the
+      // split nor collide two distinct field sets into one shape code
+      val shapeExpr = concat_ws(ShapeSep,
         dataCols.map(c => when(col(s"`$c`").isNotNull, lit(c))).toIndexedSeq: _*)
       val shaped = t.withColumn("__shape", shapeExpr)
       val shapes = shaped.select("__shape").distinct().collect().map(_.getString(0))
       path -> shapes.map { sh =>
-        val present = if (sh.isEmpty) Array.empty[String] else sh.split(',')
+        val present = if (sh.isEmpty) Array.empty[String] else sh.split(ShapeSep)
         val code = "schema-" + md5Hex(sh).take(9)
         code -> shaped.filter(col("__shape") === sh)
           .select((meta ++ present).toIndexedSeq.map(c => col(s"`$c`")): _*)
@@ -158,26 +163,33 @@ object ObjIngestor {
     */
   def dumpAllRouted(spark: SparkSession, tables: Map[String, DataFrame],
       baseDir: String): Map[(String, String), TableRepo] = {
-    val routed = routeByShape(tables)
-    val repos = for ((path, byShape) <- routed; (code, t) <- byShape) yield {
-      val safe = path.replaceAll("[^A-Za-z0-9_.-]", "_")
-      val repo = new TableRepo(s"$baseDir/$safe/$code", spark)
-      repo.extend(t)
-      (path, code) -> repo
-    }
-    def jq(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    val entries = routed.toSeq.sortBy(_._1).flatMap { case (path, byShape) =>
-      byShape.toSeq.sortBy(_._1).map { case (code, t) =>
-        val fields = t.columns.filterNot(MetaCols.contains).sorted.mkString(",")
-        s"${jq(code)}: ${jq(s"$path|$fields")}"
+    // shape routing re-reads each table's lineage once per shape (distinct
+    // collect + one filtered write each) — cache the source so the
+    // (possibly expensive) shred lineage is computed once, not s+1 times
+    val cached = tables.view.mapValues(_.persist()).toMap
+    try {
+      val routed = routeByShape(cached)
+      val repos = for ((path, byShape) <- routed; (code, t) <- byShape) yield {
+        val safe = path.replaceAll("[^A-Za-z0-9_.-]", "_")
+        val repo = new TableRepo(s"$baseDir/$safe/$code", spark)
+        repo.extend(t)
+        (path, code) -> repo
       }
-    }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$baseDir/key-map.json"),
-      entries.mkString("{", ", ", "}"))
-    repos.toMap
+      val entries = routed.toSeq.sortBy(_._1).flatMap { case (path, byShape) =>
+        byShape.toSeq.sortBy(_._1).map { case (code, t) =>
+          val fields = t.columns.filterNot(MetaCols.contains).sorted.mkString(",")
+          s"${TableRepo.jq(code)}: ${TableRepo.jq(s"$path|$fields")}"
+        }
+      }
+      // through the Hadoop FileSystem like every other repo write, so a
+      // non-local baseDir (hdfs://, s3a://) gets its sidecar next to its
+      // tables instead of a bogus local path
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(baseDir), spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$baseDir/key-map.json"), true)
+      try out.write(entries.mkString("{", ", ", "}").getBytes("UTF-8"))
+      finally out.close()
+      repos.toMap
+    } finally cached.values.foreach(_.unpersist(): Unit)
   }
 }

@@ -1015,8 +1015,11 @@ object Queries {
     // same hour x type grid as q_event_window but through
     // streaming/EventWindows.hourly — the exact plan Structured Streaming
     // runs (window() + groupBy), oracled here on its batch form
+    // oracle uses a POSITIVE modulus (floor semantics) because window()
+    // floors while `x - x % m` truncates toward zero — they differ for
+    // pre-epoch timestamps even though this data is all post-epoch
     Q("q_event_window_fn", Some(
-      """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS hour_us, event_type,
+      """SELECT (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)) AS hour_us, event_type,
         | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
         | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>

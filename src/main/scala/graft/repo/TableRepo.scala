@@ -247,7 +247,9 @@ class TableRepo(
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     val tmp = s"$root/tmp-staging-data"
     fs.delete(new Path(tmp), true)
-    val base = withBucket(getFullDf)
+    // readLayout surfaces the bucket column from the partition DIRECTORIES
+    // (free) instead of re-running md5 over every row
+    val base = readLayout()
     // partitioned layouts rebalance BY the layout cols so each partition
     // dir is written by one task (round-robin would cross every task with
     // every dir: parts x dirs small files — the opposite of compaction)
@@ -337,24 +339,29 @@ class TableRepo(
       // across buckets, putting the old row outside the updates' buckets.
       val updatesDefineScope = (byGroups || groupCols.isEmpty) &&
         hashBucket.forall(hb => keys.contains(hb.col))
-      // The affected-partition set is bounded by the update's group count
-      // (same bound the emptied-partition collect always relied on), so it
-      // lands on the driver as LITERAL values — the survivors read then
-      // carries `col = value OR ...` predicates Catalyst turns into
-      // PartitionFilters: at 100 TB the merge LISTS AND READS only the
-      // affected directories instead of semi-joining a full table scan.
+      val affectedDf = stage(
+        if (updatesDefineScope) u2.select(layoutCols.map(col): _*).distinct()
+        else existing.join(u2.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select(layoutCols.map(col): _*)
+          .union(u2.select(layoutCols.map(col): _*))
+          .distinct())
+      // When the affected-partition set is small (the overwhelmingly
+      // common upsert), collect it and filter the survivors read with
+      // LITERAL predicates — Catalyst turns them into PartitionFilters, so
+      // at 100 TB the merge lists and reads only the affected directories.
+      // Past the cap, fall back to the distributed semi-join: a huge OR
+      // tree would blow analysis (deep TreeNode recursion), and with that
+      // many partitions touched pruning buys little anyway.
       val affectedVals: Array[Seq[Any]] =
-        (if (updatesDefineScope) u2.select(layoutCols.map(col): _*).distinct()
-         else existing.join(u2.select(keys.map(col): _*).distinct(), keys, "left_semi")
-           .select(layoutCols.map(col): _*)
-           .union(u2.select(layoutCols.map(col): _*))
-           .distinct())
-          .collect().map(_.toSeq)
-      val affectedFilter = affectedVals
-        .map(vals => layoutCols.zip(vals).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
-        .reduceOption(_ || _).getOrElse(lit(false))
-      val survivors = existing
-        .filter(affectedFilter)
+        if (affectedDf.count() <= TableRepo.MaxPartitionPredicateLiterals)
+          affectedDf.collect().map(_.toSeq)
+        else Array.empty
+      val scopedExisting =
+        if (affectedVals.nonEmpty) existing.filter(affectedVals
+          .map(vals => layoutCols.zip(vals).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
+          .reduce(_ || _))
+        else existing.join(affectedDf, layoutCols, "left_semi")
+      val survivors = scopedExisting
         .join(u2.select(keys.map(col): _*).distinct(), keys, "left_anti")
       // Materialize the merge ONCE (checkpoint), then both the
       // emptied-partition detection and the write read the materialized
@@ -363,14 +370,17 @@ class TableRepo(
       // Dynamic overwrite only touches partitions PRESENT in newData; an
       // affected partition whose rows were all consumed (an unscoped
       // upsert moving a key to another group) must be deleted explicitly.
-      // Driver-side set difference over the already-collected affected set.
-      val emptiedGroups =
-        if (updatesDefineScope) Array.empty[Seq[Any]]
-        else {
+      // One bounded collect (driver set difference on the literal path, an
+      // anti-join on the fallback path).
+      val emptiedGroups: Array[Seq[Any]] =
+        if (updatesDefineScope) Array.empty
+        else if (affectedVals.nonEmpty) {
           val present = newData.select(layoutCols.map(col): _*).distinct()
             .collect().map(_.toSeq).toSet
           affectedVals.filterNot(present.contains)
-        }
+        } else affectedDf
+          .join(newData.select(layoutCols.map(col): _*).distinct(), layoutCols, "left_anti")
+          .collect().map(_.toSeq)
       writeData(newData, overwrite = true, dynamic = true, alreadyStaged = true)
       emptiedGroups.foreach { vals =>
         val dir = layoutCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
@@ -553,7 +563,12 @@ class TableRepo(
 }
 
 object TableRepo {
-  private[repo] def jq(s: String): String = "\"" + s.flatMap {
+  /** Cap on the OR-of-literals partition filter in `replaceRecords` —
+    * above this the merge uses a distributed semi-join instead.
+    */
+  val MaxPartitionPredicateLiterals: Int = 512
+
+  private[graft] def jq(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"

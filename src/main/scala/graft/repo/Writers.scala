@@ -42,12 +42,18 @@ class RecordWriter(
   /** Flush with one retry after recreating the repo's directories — the
     * reference's `_write` recreates a racily-deleted table dir and tries
     * again (core.py:488-497); same contract for flaky object stores.
+    * The catch is deliberately broad (a vanished directory surfaces as
+    * AnalysisException / SparkException-wrapped IO errors, not a bare
+    * IOException); a retry of a deterministic failure just fails again,
+    * and a half-committed Spark write leaves no visible files (task
+    * output stays in the committer's temporary area), so re-running the
+    * batch cannot duplicate rows.
     */
   def flush(): Unit = if (buf.nonEmpty) {
     val df = repo.spark.createDataFrame(buf.toList.asJava, schema)
     try writeBatch(df)
     catch {
-      case _: java.io.IOException =>
+      case scala.util.control.NonFatal(_) =>
         repo.mkdirs()
         writeBatch(df)
     }

@@ -56,8 +56,11 @@ object Sessionize {
       open.foreach { s =>
         state.update(s)
         if (withTimeout)
+          // ceil the µs horizon into ms ONCE — truncating each term would
+          // arm the timeout up to ~2 ms early and could split a session
+          // whose closing event arrives inside that window
           state.setTimeoutTimestamp(
-            math.max(s.lastUs / 1000 + gapUs / 1000, state.getCurrentWatermarkMs + 1))
+            math.max((s.lastUs + gapUs + 999) / 1000, state.getCurrentWatermarkMs + 1))
       }
       out.result().iterator
     }

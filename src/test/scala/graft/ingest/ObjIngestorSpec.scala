@@ -63,6 +63,16 @@ class ObjIngestorSpec extends SparkSuite {
     }
   }
 
+  test("shape routing survives field names containing commas") {
+    val js = Seq("""{"id_": "x1", "a,b": 1}""", """{"id_": "x2", "a": 1, "b": 2}""")
+    val t = ObjIngestor.shredJson(spark, js.toDS(), rootName = "r", idCol = Some("id_"))
+    val byShape = ObjIngestor.routeByShape(t)("r")
+    // a comma-named field must neither crash the projection nor collide
+    // with the {a, b} shape into one schema code
+    assert(byShape.size == 2, s"shapes collided: ${byShape.keySet}")
+    assert(byShape.values.map(_.count()).toSeq.sorted == Seq(1L, 1L))
+  }
+
   test("heterogeneous shapes split into md5-coded tables + key-map (ingestor.py:77-109)") {
     val js = Seq(
       """{"id_": "x1", "a": 1, "b": "u"}""",

@@ -27,7 +27,10 @@ def main(sf, out):
     for name, sql in sorted(sqls.items()):
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
-            print(f"SKIP {name}: no spark output")
+            # a missing Spark output is a failed check, not a pass — the
+            # gate must not report type-identical for unchecked queries
+            bad += 1
+            print(f"MISSING {name}: no spark output")
             continue
         oracle_types = {f.name: str(f.type) for f in con.execute(sql).arrow().schema}
         spark_types = {f.name: str(f.type) for f in pq.read_schema(files[0])}
