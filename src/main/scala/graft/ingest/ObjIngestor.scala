@@ -125,8 +125,12 @@ object ObjIngestor {
 
   /** Reference-parity heterogeneous-shape routing (ingestor.py:77-82): rows
     * at one path whose PRESENT (non-null) field sets differ go to separate
-    * tables keyed by `schema-<md5(sorted fields)[0,9)>` — the reference's
-    * md5-of-type-map table codes (`_m5`, ingestor.py:112-113). Field TYPES
+    * tables keyed by `schema-<md5(path + sorted fields)[0,9)>` — the
+    * reference's md5-of-type-map table codes (`_m5`, ingestor.py:112-113),
+    * with the path folded into the hash so codes are GLOBALLY unique: two
+    * paths with identical field sets (common for same-shaped nested lists
+    * under different parents) must not share a code, or the key-map sidecar
+    * could not resolve a code back to its source path. Field TYPES
     * are already unified by schema inference here, so the present-field set
     * IS the shape. The distinct-shape collect is bounded by shape
     * cardinality (the reference holds one writer per shape in a dict — same
@@ -149,7 +153,7 @@ object ObjIngestor {
       val shapes = shaped.select("__shape").distinct().collect().map(_.getString(0))
       path -> shapes.map { sh =>
         val present = if (sh.isEmpty) Array.empty[String] else sh.split(ShapeSep)
-        val code = "schema-" + md5Hex(sh).take(9)
+        val code = "schema-" + md5Hex(path + ShapeSep + sh).take(9)
         code -> shaped.filter(col("__shape") === sh)
           .select((meta ++ present).toIndexedSeq.map(c => col(s"`$c`")): _*)
       }.toMap

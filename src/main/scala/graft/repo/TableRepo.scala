@@ -426,7 +426,14 @@ class TableRepo(
     case (Some(p), Some(b)) =>
       val withB = StructType(p.fields :+ StructField(b, StringType))
       harmonize(spark.read.schema(withB).parquet(dataPath), withB)
-    case _ => withBucket(getFullDf)
+    case (None, Some(b)) =>
+      // no pin (foreign data / deleted sidecar): partition-column type
+      // inference would read a zero-padded bucket dir value like "03" as
+      // integer 3, and the later unionByName would coerce it to "3" — a
+      // silent duplicate-dir corruption. Drop the inferred column and
+      // recompute the bucket from its source column like the write path.
+      withBucket(getFullDf.drop(b))
+    case _ => getFullDf
   }
 
   /** Full-table scan (core.py:169-175). One partition-aware Parquet scan;

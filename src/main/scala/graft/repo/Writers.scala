@@ -42,18 +42,20 @@ class RecordWriter(
   /** Flush with one retry after recreating the repo's directories — the
     * reference's `_write` recreates a racily-deleted table dir and tries
     * again (core.py:488-497); same contract for flaky object stores.
-    * The catch is deliberately broad (a vanished directory surfaces as
-    * AnalysisException / SparkException-wrapped IO errors, not a bare
-    * IOException); a retry of a deterministic failure just fails again,
-    * and a half-committed Spark write leaves no visible files (task
-    * output stays in the committer's temporary area), so re-running the
-    * batch cannot duplicate rows.
+    * The retry fires ONLY when the table directory is actually gone (the
+    * raced case the reference guards — the exception type itself is
+    * unreliable: a vanished dir surfaces as AnalysisException /
+    * SparkException-wrapped IO errors, not a bare IOException). Any other
+    * failure rethrows with the batch still buffered: a failure during job
+    * commit can leave a subset of task outputs visible
+    * (FileOutputCommitter promotes them one rename at a time), and a
+    * blind re-append there would duplicate those rows.
     */
   def flush(): Unit = if (buf.nonEmpty) {
     val df = repo.spark.createDataFrame(buf.toList.asJava, schema)
     try writeBatch(df)
     catch {
-      case scala.util.control.NonFatal(_) =>
+      case scala.util.control.NonFatal(_) if !repo.exists =>
         repo.mkdirs()
         writeBatch(df)
     }

@@ -44,4 +44,25 @@ class HashBucketSpec extends SparkSuite {
     assert(dirs.toSeq == Seq("__bucket=1", "__bucket=2"))
     assert(repo.getPartitionDf(Map("__bucket" -> "1")).count() == 3) // the three "e" rows
   }
+
+  test("unpinned bucketed read recomputes the bucket, never trusts dir-type inference") {
+    // with the schema sidecar gone, Spark's partition-column inference would
+    // read a zero-padded dir value like "042" as integer 42; a later merge
+    // would re-coerce it to "42" and write a duplicate bucket dir. The
+    // fallback must drop the inferred column and recompute via md5.
+    val root = scratch("bucket-nopin")
+    val layout = HashBucketLayout("k", numGroups = 300) // 3-wide zero-padded dirs
+    val repo = new TableRepo(root, spark, keyCols = Seq("k"), hashBucket = Some(layout))
+    repo.extend(Seq(("e", 1L), ("f", 2L), ("g", 3L)).toDF("k", "v"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_graft_schema.json"))
+
+    val foreign = new TableRepo(root, spark, keyCols = Seq("k"), hashBucket = Some(layout))
+    assert(foreign.pinnedSchema.isEmpty) // genuinely on the fallback path
+    assert(foreign.getBucketDf("166").select("k").as[String].collect().toSeq == Seq("e"))
+    foreign.replaceRecords(Seq(("e", 10L)).toDF("k", "v"))
+    assert(foreign.count() == 3) // upsert, not a duplicated key
+    val dirs = new java.io.File(s"$root/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs.forall(_.matches(".*=\\d{3}")), s"non-padded bucket dir leaked: $dirs")
+  }
 }

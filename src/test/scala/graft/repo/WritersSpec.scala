@@ -84,4 +84,24 @@ class WritersSpec extends SparkSuite {
     assert(failures == 1)
     assert(repo.count() == 1)
   }
+
+  test("a failed flush with the directory intact rethrows instead of re-appending") {
+    val repo = new TableRepo(scratch("rw-noretry"), spark)
+    // seed the repo so the data directory exists at failure time — a commit-
+    // phase failure can leave partial task outputs visible, so a blind
+    // re-append there could duplicate rows; the writer must surface it
+    val seed = new RecordWriter(repo, schema, recordLimit = 100)
+    seed.add(Map("i" -> 0L, "thing" -> 0L))
+    seed.close()
+    var attempts = 0
+    val w = new RecordWriter(repo, schema, recordLimit = 100) {
+      override protected def writeBatch(df: org.apache.spark.sql.DataFrame): Unit = {
+        attempts += 1; throw new java.io.IOException("commit failed")
+      }
+    }
+    w.add(Map("i" -> 1L, "thing" -> 2L))
+    intercept[java.io.IOException](w.flush())
+    assert(attempts == 1) // no blind retry
+    assert(repo.count() == 1) // only the seed row
+  }
 }
