@@ -240,6 +240,16 @@ class TableRepo(
     * compaction counterpart of `maxRecordsPerFile` sizing (the reference
     * tops up small files in place, core.py:307-321; at scale, periodic
     * compaction is the idiomatic equivalent).
+    *
+    * NOT atomic for concurrent readers: the swap is delete-then-rename, so
+    * a reader listing `data/` in the gap sees an empty (or half-renamed)
+    * directory. This is a deliberate scope line, not an oversight — the
+    * reference has the same exposure (its in-place top-up rewrites files a
+    * concurrent pandas read may be streaming), and object stores offer no
+    * atomic directory rename to build on anyway. Run compaction in the
+    * same maintenance windows the reference's lock-per-table writes imply;
+    * true snapshot isolation needs a table format with a pointer/log
+    * (Delta/Iceberg) on top, which is outside this engine's contract.
     */
   def compact(targetRecordsPerFile: Long): Unit = {
     val n = count()
