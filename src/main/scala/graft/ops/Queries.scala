@@ -1052,6 +1052,115 @@ object Queries {
           sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_id").cast(LongType).as("session_id"))
         .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("t_start"), max(col("ts_us")).as("t_end"))
+    },
+
+    // ---- as-of join (events -> latest order at or before event time) --
+    // The scale-correct plan is NOT the join the oracle runs (key join +
+    // per-event row_number over every earlier order = O(events x orders/
+    // customer) shuffled pairs). Instead: union both streams, one shuffle
+    // on the key, and a running last-non-null order carried forward by a
+    // ROWS window — linear in events + orders, the classic distributed
+    // as-of. Ties: an order AT the event's timestamp is visible (orders
+    // sort before events at equal t), equal-time orders resolve to the
+    // highest o_orderkey (ascending sort + last).
+    Q("q_asof_join", Some(
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        | m AS (SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+        |   row_number() OVER (PARTITION BY e.event_id ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+        |   FROM ev e JOIN orders o ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= e.ts_us)
+        | SELECT ev.event_id, ev.user_id, ev.ts_us, m.o_orderkey, m.o_totalprice
+        | FROM ev LEFT JOIN m ON m.event_id = ev.event_id AND m.rn = 1""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val ev = eventsUs(s, d).select(col("event_id"), col("user_id").as("k"),
+        col("ts_us").as("t"), lit(1).as("is_ev"),
+        lit(null).cast(LongType).as("o_orderkey"), lit(null).cast(DoubleType).as("o_totalprice"))
+      val od = t(s, d, "orders").select(lit(null).cast(LongType).as("event_id"),
+        // NTZ -> LTZ cast is value-preserving under the pinned UTC session
+        col("o_custkey").as("k"), unix_micros(col("o_orderdate").cast(TimestampType)).as("t"),
+        lit(0).as("is_ev"), col("o_orderkey"), col("o_totalprice"))
+      val w = Window.partitionBy(col("k")).orderBy(col("t"), col("is_ev"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(od)
+        .withColumn("asof_key", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_price", last(col("o_totalprice"), ignoreNulls = true).over(w))
+        .filter(col("is_ev") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("t").as("ts_us"),
+          col("asof_key").as("o_orderkey"), col("asof_price").as("o_totalprice"))
+    },
+
+    // ---- range (interval) join: events within 7 days of an order ------
+    // Equi-join on the customer key carries the plan (one hash shuffle);
+    // the time-range predicate rides along as a join filter, so this never
+    // degenerates into the cross-product a pure interval join would be.
+    // At 100 TB the key join IS the scale story: per-key event and order
+    // volumes are bounded, and AQE handles skewed customers.
+    Q("q_range_join", Some(
+      """SELECT o.o_orderkey, count(e.event_id) AS n_events,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        | FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
+        |  AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+        |  AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 604800000000
+        | GROUP BY o.o_orderkey""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      val od = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("od_us"))
+      val ev = eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      od.join(ev, col("user_id") === col("o_custkey") &&
+          col("ts_us") >= col("od_us") && col("ts_us") < col("od_us") + 604800000000L, "left")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("event_id")).as("n_events"),
+          sum(col("value").cast(dec)).cast(DecimalType(18, 4)).as("sum_value"))
+    },
+
+    // ---- rolling window aggregation (trailing 1 h per user) -----------
+    // RANGE frame on integer µs — the feature-engineering workhorse
+    // (trailing counts/sums per entity). One shuffle on user_id, one sort
+    // per partition; frame arithmetic is O(1) per row via the sliding
+    // aggregate buffer. Equal-timestamp peers are in-frame on both engines
+    // (RANGE ... CURRENT ROW closes at the peer-group end).
+    Q("q_rolling_agg", Some(
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,4)) AS sum_1h
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(dec)).over(w).cast(DecimalType(18, 4)).as("sum_1h"))
+    },
+
+    // ---- exact per-group quantiles (discrete, rank-arithmetic) --------
+    // p-th discrete quantile = the value at rank ceil(p*n) in sorted
+    // order, computed identically on both engines with integer arithmetic
+    // (no interpolation — engines disagree on half-way doubles). The sort
+    // is per-group (one shuffle + per-partition sort); at 100 TB this is
+    // the exact-quantile pattern, with approx_percentile as the
+    // one-pass-sketch alternative when rank exactness can be traded away.
+    Q("q_quantiles", Some(
+      """WITH r AS (SELECT lang, n_chars,
+        |   row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |   count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        | SELECT lang,
+        |  max(CASE WHEN rn = (n*50 + 99) // 100 THEN n_chars END) AS p50,
+        |  max(CASE WHEN rn = (n*90 + 99) // 100 THEN n_chars END) AS p90,
+        |  max(CASE WHEN rn = (n*99 + 99) // 100 THEN n_chars END) AS p99
+        | FROM r GROUP BY lang""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val wr = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      def pick(p: Int) =
+        max(when(col("rn") === expr(s"(n*$p + 99) div 100"), col("n_chars"))).as(s"p$p")
+      t(s, d, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("lang"))
+        .agg(pick(50), pick(90), pick(99))
     }
   )
 
