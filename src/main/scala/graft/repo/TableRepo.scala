@@ -22,6 +22,13 @@ import org.apache.spark.sql.types._
   *     (the reference's one-directory-per-group tree, core.py:358-372; Spark
   *     drops group cols from the files and re-materializes them on read,
   *     which is the reference's `drop_group_cols=True` mode, core.py:216-223)
+  *   - `keepGroupCols = true`                    -> reference-DEFAULT parity
+  *     (`drop_group_cols=False`, core.py:440-441): group columns stay in the
+  *     leaf Parquet files so a foreign reader opening a single file sees
+  *     them. Implemented by partitioning on typed helper copies
+  *     (`__graft_grp_<col>__=val/` dirs) — partition pruning is unchanged,
+  *     the helper columns never surface from any read API, and the data
+  *     columns ride in the files untouched.
   *
   * The pandas row index (the reference's primary key, core.py:114-133)
   * becomes explicit `keyCols`; "RangeIndex means no key" becomes
@@ -49,7 +56,8 @@ class TableRepo(
     val fixedSchema: Option[StructType] = None,
     val allowSchemaExtension: Boolean = false,
     val envParents: Map[String, String] = Map.empty,
-    val hashBucket: Option[HashBucketLayout] = None
+    val hashBucket: Option[HashBucketLayout] = None,
+    val keepGroupCols: Boolean = false
 ) {
 
   private val name: String = new Path(rootPath).getName
@@ -62,16 +70,38 @@ class TableRepo(
   private val bucketColName: Option[String] =
     hashBucket.map(hb => s"__graft_hash_${hb.col}_${hb.numGroups}__")
 
-  /** Effective layout partitioning: user group cols plus the hash bucket. */
-  private def layoutCols: Seq[String] = groupCols ++ bucketColName
-
-  /** Materialize the bucket column (a pure function of the source column) if
-    * this repo is hash-bucketed and `df` doesn't carry it yet.
+  /** `keepGroupCols` partitions on helper COPIES of the group columns so the
+    * originals stay in the leaf files (reference default, core.py:440-441).
     */
-  private def withBucket(df: DataFrame): DataFrame = (hashBucket, bucketColName) match {
-    case (Some(hb), Some(b)) if !df.columns.contains(b) =>
-      df.withColumn(b, HashBucket.bucketStr(col(hb.col), hb.numGroups))
-    case _ => df
+  private val grpHelpers: Seq[(String, String)] =
+    if (keepGroupCols) groupCols.map(c => c -> s"__graft_grp_${c}__") else Nil
+
+  /** Effective layout partitioning: user group cols (or their keep-mode
+    * helpers) plus the hash bucket.
+    */
+  private def layoutCols: Seq[String] =
+    (if (keepGroupCols) grpHelpers.map(_._2) else groupCols) ++ bucketColName
+
+  /** Physical partition column answering for a user-facing column name. */
+  private def physOf(c: String): String =
+    grpHelpers.collectFirst { case (o, h) if o == c => h }.getOrElse(c)
+
+  /** Helper partition columns that must never surface from a read. */
+  private def helperCols: Seq[String] = grpHelpers.map(_._2) ++ bucketColName
+
+  /** Materialize the derived layout columns — the bucket (a pure function
+    * of the source column) and the keep-mode group helpers (copies) — where
+    * `df` doesn't carry them yet.
+    */
+  private def withLayout(df: DataFrame): DataFrame = {
+    val withHelpers = grpHelpers.foldLeft(df) { case (d, (c, h)) =>
+      if (d.columns.contains(h)) d else d.withColumn(h, col(c))
+    }
+    (hashBucket, bucketColName) match {
+      case (Some(hb), Some(b)) if !withHelpers.columns.contains(b) =>
+        withHelpers.withColumn(b, HashBucket.bucketStr(col(hb.col), hb.numGroups))
+      case _ => withHelpers
+    }
   }
 
   /** Co-locate each bucket into one write task. Without this, every input
@@ -179,7 +209,7 @@ class TableRepo(
     */
   private def writeData(dfIn: DataFrame, overwrite: Boolean, dynamic: Boolean = false,
       alreadyStaged: Boolean = false): Unit = {
-    val df = routeToBuckets(withBucket(dfIn))
+    val df = routeToBuckets(withLayout(dfIn))
     if (!overwrite) {
       configuredWriter(df, "append").parquet(dataPath)
     } else if (dynamic && layoutCols.nonEmpty) {
@@ -336,7 +366,7 @@ class TableRepo(
       // The update set is read by the scope computation, the anti-join, and
       // the final union — materialize its (small, bounded-by-caller) rows
       // once instead of re-running the dedup window per consumer.
-      val u2 = stage(withBucket(u))
+      val u2 = stage(withLayout(u))
       // When the scope is derivable from the updates alone — a group-scoped
       // upsert (keys carry their group cols) or a pure hash-bucket layout
       // (bucket is a function of the key) — the affected-partition set is
@@ -428,46 +458,55 @@ class TableRepo(
       case None    => spark.read.option("mergeSchema", "true").parquet(dataPath)
     }
 
-  /** Harmonized scan that also surfaces the hash-bucket partition column
-    * (read from the directory names, not recomputed) — the merge and
-    * bucket-scoped reads filter on it so Catalyst prunes bucket dirs.
+  /** Harmonized scan that also surfaces the derived layout columns — the
+    * hash bucket and the keep-mode group helpers — read from the partition
+    * DIRECTORIES (free), typed from the pinned schema so they compare
+    * cleanly against recomputed update-side values. The merge and
+    * bucket-scoped reads filter on them so Catalyst prunes directories.
     */
-  private def readLayout(): DataFrame = (pinnedSchema, bucketColName) match {
-    case (Some(p), Some(b)) =>
-      val withB = StructType(p.fields :+ StructField(b, StringType))
-      harmonize(spark.read.schema(withB).parquet(dataPath), withB)
-    case (None, Some(b)) =>
-      // no pin (foreign data / deleted sidecar): partition-column type
-      // inference would read a zero-padded bucket dir value like "03" as
-      // integer 3, and the later unionByName would coerce it to "3" — a
-      // silent duplicate-dir corruption. Drop the inferred column and
-      // recompute the bucket from its source column like the write path.
-      withBucket(getFullDf.drop(b))
-    case _ => getFullDf
-  }
+  private def readLayout(): DataFrame =
+    if (helperCols.isEmpty) getFullDf
+    else pinnedSchema match {
+      case Some(p) =>
+        val withH = StructType(p.fields ++
+          grpHelpers.map { case (c, h) => StructField(h, p(c).dataType) } ++
+          bucketColName.map(b => StructField(b, StringType)))
+        harmonize(spark.read.schema(withH).parquet(dataPath), withH)
+      case None =>
+        // no pin (foreign data / deleted sidecar): partition-column type
+        // inference would read a zero-padded bucket dir value like "03" as
+        // integer 3, and the later unionByName would coerce it to "3" — a
+        // silent duplicate-dir corruption. Drop the inferred columns and
+        // recompute them from their source columns like the write path.
+        withLayout(getFullDf)
+    }
 
   /** Full-table scan (core.py:169-175). One partition-aware Parquet scan;
     * harmonized back to the pinned schema so partition-directory type
-    * inference and file-level schema drift never leak to callers.
+    * inference, helper layout columns, and file-level schema drift never
+    * leak to callers.
     */
   def getFullDf: DataFrame =
     pinnedSchema match {
       case Some(pinned) if !exists => spark.createDataFrame(new java.util.ArrayList[Row](), pinned)
       case Some(pinned)            => harmonize(readRaw(), pinned)
       case None if !exists         => throw new IllegalStateException(s"repo $root is empty")
-      case None                    => readRaw()
+      case None                    => readRaw().drop(helperCols: _*)
     }
 
   /** Partition-restricted read (core.py:184-194). The equality filters hit
     * Catalyst's partition pruning — only matching directories are listed.
+    * Filters naming a group column are rewritten onto its keep-mode helper
+    * (the directory column) so pruning still applies; filters naming the
+    * hash-bucket partition column need the layout read (the bucket col is
+    * directory-only; getFullDf drops it).
     */
   def getPartitionDf(values: Map[String, Any]): DataFrame = {
-    // filters naming the hash-bucket partition column need the layout read
-    // (the bucket col is directory-only; getFullDf drops it)
-    val onBucket = bucketColName.exists(values.contains)
-    val base = if (onBucket) readLayout() else getFullDf
-    val filtered = values.foldLeft(base) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
-    if (onBucket) filtered.drop(bucketColName.get) else filtered
+    val needsLayout = values.keys.exists(c => physOf(c) != c) ||
+      bucketColName.exists(values.contains)
+    val base = if (needsLayout) readLayout() else getFullDf
+    val filtered = values.foldLeft(base) { case (d, (c, v)) => d.filter(col(physOf(c)) === lit(v)) }
+    if (needsLayout) filtered.drop(helperCols: _*) else filtered
   }
 
   /** One hash bucket's rows (the reference's `get_partition_df("166")` on a
@@ -477,7 +516,7 @@ class TableRepo(
   def getBucketDf(bucket: String): DataFrame = {
     val b = bucketColName.getOrElse(
       throw new IllegalStateException("getBucketDf requires a hashBucket layout"))
-    readLayout().filter(col(b) === lit(bucket)).drop(b)
+    readLayout().filter(col(b) === lit(bucket)).drop(helperCols: _*)
   }
 
   /** Arbitrary per-group computation — the reference's `map_partitions`
@@ -525,7 +564,10 @@ class TableRepo(
     * `get_partition_paths`, core.py:177-182).
     */
   def partitionPaths(values: Map[String, Any]): Seq[String] = {
-    val needles = layoutCols.flatMap(c => values.get(c).map(v => s"$c=$v"))
+    // callers name user-facing columns; directories are named by the
+    // physical layout columns (keep-mode helpers included)
+    val needles = (groupCols ++ bucketColName)
+      .flatMap(c => values.get(c).map(v => s"${physOf(c)}=$v"))
     paths // absolute URIs (file:/...); match on the col=val path segments
       .filter(p => needles.forall(n => p.contains(s"/$n/")))
       .map(p => p.substring(0, p.lastIndexOf('/')))

@@ -297,4 +297,38 @@ class TableRepoSpec extends SparkSuite {
     assert(repo.getFullDf.filter($"k" === "a2").select("A").as[Long].head() == 99L)
     assert(repo.count() == 6)
   }
+
+  test("keepGroupCols retains group columns in leaf files (core.py:440-441 default)") {
+    val repo = new TableRepo(scratch("keepgrp"), spark,
+      groupCols = Seq("C"), keyCols = Seq("k"), keepGroupCols = true)
+    repo.extend(df1)
+    repo.extend(df2)
+    // partition dirs exist (under the helper name) -> pruning still works
+    val dirs = new java.io.File(repo.root + "/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("__graft_grp_C__=1", "__graft_grp_C__=2", "__graft_grp_C__=3"))
+    // a foreign reader opening ONE leaf file sees the group column + values
+    val leaf = spark.read.parquet(repo.paths.head)
+    assert(leaf.columns.contains("C"), s"group col missing from leaf file: ${leaf.columns.toSeq}")
+    assert(leaf.select("C").distinct().count() == 1) // the dir's own group value
+    // no helper column leaks from any read surface
+    assert(!repo.getFullDf.columns.exists(_.startsWith("__graft_grp_")))
+    assert(!repo.getPartitionDf(Map("C" -> 1L)).columns.exists(_.startsWith("__graft_grp_")))
+    // reads are value-identical to drop mode
+    assertSameRows(repo.getFullDf.orderBy("k"), df1.unionByName(df2).orderBy("k"))
+    assert(repo.getPartitionDf(Map("C" -> 1L)).select("k").as[String]
+      .collect().sorted.toSeq == Seq("a1", "a3", "b1"))
+    // the partition filter targets the helper (directory) column
+    val plan = repo.getPartitionDf(Map("C" -> 1L)).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__graft_grp_C__"),
+      s"prune must hit the helper partition col:\n$plan")
+    // upsert + dynamic overwrite + partitionPaths work through the helpers
+    repo.replaceRecords(Seq(("a2", 99L, "Y", 2L, "b")).toDF("k", "A", "B", "C", "C2"))
+    assert(repo.count() == 6)
+    assert(repo.getFullDf.filter($"k" === "a2").select("A").as[Long].head() == 99L)
+    assert(repo.partitionPaths(Map("C" -> 2L)).nonEmpty)
+    repo.compact(100)
+    assert(repo.count() == 6)
+    assert(spark.read.parquet(repo.paths.head).columns.contains("C"))
+  }
 }
