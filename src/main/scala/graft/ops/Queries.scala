@@ -1161,6 +1161,55 @@ object Queries {
         .withColumn("n", count(lit(1)).over(wn))
         .groupBy(col("lang"))
         .agg(pick(50), pick(90), pick(99))
+    },
+
+    // ---- skew-salted join (manual hot-key mitigation) -----------------
+    // The oracle is the PLAIN join — salting must be invisible in the
+    // result. Pattern: the fact side derives a deterministic salt, the
+    // dimension side replicates R ways, and the join key becomes
+    // (key, salt), splitting one hot key's rows across R reducers. This is
+    // the manual fallback for plans AQE's skew-join can't rewrite (it only
+    // handles sort-merge joins with statistics; streaming-static joins and
+    // broadcast-ineligible full outers, for instance, are on their own).
+    // shuffle_hash hint keeps the demo honest — without it the small dim
+    // broadcasts and there is no shuffle to salt.
+    Q("q_salted_join", Some(
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        | FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        | GROUP BY c_mktsegment""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val R = 8
+      val dec = DecimalType(18, 2)
+      val ev = eventsUs(s, d)
+        .select(col("user_id"), col("value"), pmod(col("event_id"), lit(R)).as("salt_l"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt_r", explode(sequence(lit(0L), lit(R - 1L))))
+      ev.hint("shuffle_hash")
+        .join(cust, col("user_id") === col("c_custkey") && col("salt_l") === col("salt_r"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).cast(DecimalType(18, 4)).as("sum_value"))
+    },
+
+    // ---- stratified sample (deterministic per-group fraction) ---------
+    // 10% per lang, selected by md5 rank — a pure function of the data, so
+    // the sample is reproducible across engines, runs, and cluster sizes
+    // (the property a training-data mixing pipeline needs). One shuffle.
+    Q("q_sample_stratified", Some(
+      """WITH r AS (SELECT doc_id, lang,
+        |   row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |   count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        | SELECT doc_id, lang FROM r WHERE rn <= (n + 9) // 10""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val wr = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)), col("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
+      t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") <= expr("(n + 9) div 10"))
+        .select(col("doc_id"), col("lang"))
     }
   )
 
