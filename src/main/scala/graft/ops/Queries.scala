@@ -1210,6 +1210,59 @@ object Queries {
         .withColumn("n", count(lit(1)).over(wn))
         .filter(col("rn") <= expr("(n + 9) div 10"))
         .select(col("doc_id"), col("lang"))
+    },
+
+    // ---- rollup (multi-level aggregation in one pass) -----------------
+    // ROLLUP computes (flag, status), (flag), () grids in ONE shuffle with
+    // grouping-set expansion — the alternative is three jobs or a union of
+    // three aggregates re-reading the fact table three times.
+    Q("q_rollup", Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(dec)).cast(DecimalType(18, 4)).as("sum_qty"))
+    },
+
+    // ---- pivot (wide-format reshaping) --------------------------------
+    // Explicit pivot values keep the plan single-pass (no distinct-values
+    // pre-job) and the output schema static — the form that scales.
+    Q("q_pivot", Some(
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS qty_F,
+        | CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS qty_O
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag")).pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(dec)))
+        .select(col("l_returnflag"),
+          col("F").cast(DecimalType(18, 4)).as("qty_F"),
+          col("O").cast(DecimalType(18, 4)).as("qty_O"))
+    },
+
+    // ---- corpus diff (full outer join on content fingerprints) --------
+    // Which content is only in corpus A, only in B, or shared — the
+    // snapshot-diff a dataset-curation pipeline runs between crawl
+    // versions. Full outer on the content hash; both key columns survive
+    // (null = absent on that side). Full outers are broadcast-ineligible,
+    // so this is exactly the shape the salted-join pattern exists for when
+    // a fingerprint is hot.
+    Q("q_corpus_diff", Some(
+      """WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE source IN ('src0','src1','src2')),
+        | b AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE source IN ('src2','src3','src4'))
+        | SELECT a.h AS h_a, b.h AS h_b FROM a FULL OUTER JOIN b ON a.h = b.h""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      def fp(srcs: Seq[String]) = t(s, d, "documents")
+        .filter(col("source").isin(srcs: _*))
+        .select(md5(col("text").cast(BinaryType)).as("h")).distinct()
+      fp(Seq("src0", "src1", "src2")).as("a")
+        .join(fp(Seq("src2", "src3", "src4")).as("b"), col("a.h") === col("b.h"), "full_outer")
+        .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
     }
   )
 

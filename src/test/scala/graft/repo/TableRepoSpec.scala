@@ -26,13 +26,15 @@ class TableRepoSpec extends SparkSuite {
     ("b1", 5L, "p", 1L, "b"), ("b2", 6L, "q", 2L, "a")
   ).toDF("k", "A", "B", "C", "C2")
 
-  // layout grid: group_cols x max_records (tests/test_core.py:219-232)
+  // layout grid: group_cols x max_records x keep-mode (tests/test_core.py:219-232)
   for {
     groupCols <- Seq(Nil, Seq("C"), Seq("C", "C2"), Seq("C2", "C"), Seq("C2"))
     maxRecords <- Seq(0L, 1L)
-  } test(s"append round-trip groupCols=$groupCols maxRecords=$maxRecords") {
+    keep <- if (groupCols.nonEmpty) Seq(false, true) else Seq(false)
+  } test(s"append round-trip groupCols=$groupCols maxRecords=$maxRecords keep=$keep") {
     val repo = new TableRepo(scratch("grid"), spark,
-      groupCols = groupCols, keyCols = Seq("k"), maxRecordsPerFile = maxRecords)
+      groupCols = groupCols, keyCols = Seq("k"), maxRecordsPerFile = maxRecords,
+      keepGroupCols = keep)
     repo.extend(df1)
     repo.extend(df2)
     assertSameRows(
