@@ -57,7 +57,8 @@ class TableRepo(
     val allowSchemaExtension: Boolean = false,
     val envParents: Map[String, String] = Map.empty,
     val hashBucket: Option[HashBucketLayout] = None,
-    val keepGroupCols: Boolean = false
+    val keepGroupCols: Boolean = false,
+    val clusterCols: Seq[String] = Nil
 ) {
 
   private val name: String = new Path(rootPath).getName
@@ -112,6 +113,22 @@ class TableRepo(
     */
   private def routeToBuckets(df: DataFrame): DataFrame =
     bucketColName.map(b => df.repartition(col(b))).getOrElse(df)
+
+  /** Cluster rows at rest so Parquet row-group/file min-max statistics
+    * become selective — the lakehouse data-skipping lever (zorder-lite).
+    * Without layout dirs, a range repartition gives files DISJOINT
+    * `clusterCols` ranges; with dirs, rows are sorted within each write
+    * task so every rolled file covers a narrow slice. A filtered read then
+    * skips whole row groups via the pushed predicate against footer stats
+    * — at 100 TB, the difference between scanning a partition and scanning
+    * the few files whose range matches.
+    */
+  private def clustered(df: DataFrame): DataFrame =
+    if (clusterCols.isEmpty) df
+    else {
+      val base = if (layoutCols.isEmpty) df.repartitionByRange(clusterCols.map(col): _*) else df
+      base.sortWithinPartitions((layoutCols ++ clusterCols).map(col): _*)
+    }
 
   /** Active root, honoring the selected environment (core.py:196-201). */
   def root: String = currentParent.map(p => s"$p/$name").getOrElse(rootPath)
@@ -209,7 +226,7 @@ class TableRepo(
     */
   private def writeData(dfIn: DataFrame, overwrite: Boolean, dynamic: Boolean = false,
       alreadyStaged: Boolean = false): Unit = {
-    val df = routeToBuckets(withLayout(dfIn))
+    val df = clustered(routeToBuckets(withLayout(dfIn)))
     if (!overwrite) {
       configuredWriter(df, "append").parquet(dataPath)
     } else if (dynamic && layoutCols.nonEmpty) {
@@ -293,9 +310,15 @@ class TableRepo(
     // partitioned layouts rebalance BY the layout cols so each partition
     // dir is written by one task (round-robin would cross every task with
     // every dir: parts x dirs small files — the opposite of compaction)
-    val rebalanced =
+    val rebalanced0 =
       if (layoutCols.nonEmpty) base.repartition(parts, layoutCols.map(col): _*)
+      else if (clusterCols.nonEmpty) base.repartitionByRange(parts, clusterCols.map(col): _*)
       else base.repartition(parts)
+    // compaction preserves the clustering contract: rewritten files keep
+    // narrow min-max ranges on the cluster columns
+    val rebalanced =
+      if (clusterCols.isEmpty) rebalanced0
+      else rebalanced0.sortWithinPartitions((layoutCols ++ clusterCols).map(col): _*)
     var w = rebalanced.write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
     if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)

@@ -300,6 +300,46 @@ class TableRepoSpec extends SparkSuite {
     assert(repo.count() == 6)
   }
 
+  test("clusterCols gives files disjoint min-max ranges (data skipping at rest)") {
+    import scala.jdk.CollectionConverters._
+    val repo = new TableRepo(scratch("cluster"), spark,
+      maxRecordsPerFile = 100, clusterCols = Seq("A"))
+    // deliberately shuffled input: clustering must come from the WRITE, not
+    // luck of input order
+    val rows = new scala.util.Random(7).shuffle((0L until 1000L).toVector)
+    repo.extend(rows.map(v => (v, s"p$v")).toDF("A", "B"))
+    assert(repo.nFiles >= 10)
+    // read each file's parquet footer stats for column A
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ranges = repo.paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val stats = r.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == "A").get.getStatistics)
+        val mins = stats.map(_.genericGetMin.asInstanceOf[Long])
+        val maxs = stats.map(_.genericGetMax.asInstanceOf[Long])
+        (mins.min, maxs.max)
+      } finally r.close()
+    }.sortBy(_._1)
+    // global range is covered by near-disjoint slices: every file's range
+    // must be narrow, and consecutive files must not interleave
+    ranges.foreach { case (lo, hi) =>
+      assert(hi - lo < 250, s"file range too wide for skipping: [$lo,$hi]") }
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(lo2 >= hi1 - 1, s"interleaved: $ranges")
+      case _ => ()
+    }
+    // a point read's pushed filter can therefore skip all but one file
+    val plan = repo.getFullDf.filter($"A" === searchKey).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(A), EqualTo(A,42)]"), plan)
+    assertSameRows(repo.getFullDf.filter($"A" === searchKey).select("B"),
+      Seq("p42").toDF("B"))
+  }
+  private val searchKey = 42L
+
   test("keepGroupCols retains group columns in leaf files (core.py:440-441 default)") {
     val repo = new TableRepo(scratch("keepgrp"), spark,
       groupCols = Seq("C"), keyCols = Seq("k"), keepGroupCols = true)
