@@ -71,6 +71,40 @@ class RandomizedSpec extends SparkSuite {
     assert(bucketed.getFullDf.groupBy("k").count().filter($"count" > 1).count() == 0)
   }
 
+  for (keep <- Seq(false, true))
+  test(s"grouped repo random upsert sequence matches an in-memory model (keep=$keep)") {
+    // stresses the hairiest merge path: UNSCOPED upserts on a grouped repo,
+    // where a key's update may move it to another group (the old row lives
+    // in a different partition than the update) and groups can empty out
+    val rng = new Random(99)
+    val repo = new TableRepo(scratch(s"rand-model-$keep"), spark,
+      groupCols = Seq("g"), keyCols = Seq("k"), keepGroupCols = keep)
+    val model = scala.collection.mutable.Map[Long, (String, Double)]()
+    def rows(n: Int, nGroups: Int) = (0 until n).map { _ =>
+      (rng.nextInt(120).toLong, s"g${rng.nextInt(nGroups)}", rng.nextDouble())
+    }
+    val init = rows(100, 5).distinctBy(_._1)
+    repo.extend(init.toDF("k", "g", "v"))
+    init.foreach { case (k, g, v) => model(k) = (g, v) }
+    (0 until 3).foreach { _ =>
+      val ups = rows(40, 5).distinctBy(_._1)
+      repo.replaceRecords(ups.toDF("k", "g", "v"))
+      ups.foreach { case (k, g, v) => model(k) = (g, v) }
+    }
+    // final round squeezes every key into 2 groups — the other 3 MUST empty
+    val sweep = model.keys.toSeq.sorted.map(k => (k, s"g${k % 2}", rng.nextDouble()))
+    repo.replaceRecords(sweep.toDF("k", "g", "v"))
+    sweep.foreach { case (k, g, v) => model(k) = (g, v) }
+    val expected = model.toSeq.map { case (k, (g, v)) => (k, g, v) }.toDF("k", "g", "v")
+    assertSameRows(repo.getFullDf.orderBy("k"), expected.orderBy("k"))
+    // on-disk group dirs == the model's live groups (emptied dirs removed)
+    val dirCol = if (keep) "__graft_grp_g__" else "g"
+    val dirs = new java.io.File(repo.root + "/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == model.values.map(_._1).toSet.map((g: String) => s"$dirCol=$g"),
+      s"stale or missing group dirs: $dirs")
+  }
+
   test("md5 bucket expression matches direct BigInteger math on a seeded sweep") {
     val rng = new Random(742)
     val cases = (0 until 200).map(_ => (alnum(rng, 1 + rng.nextInt(20)), 1 + rng.nextInt(5000)))
