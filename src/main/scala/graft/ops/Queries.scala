@@ -1263,6 +1263,43 @@ object Queries {
       fp(Seq("src0", "src1", "src2")).as("a")
         .join(fp(Seq("src2", "src3", "src4")).as("b"), col("a.h") === col("b.h"), "full_outer")
         .select(col("a.h").as("h_a"), col("b.h").as("h_b"))
+    },
+
+    // ---- sliding event-time windows -----------------------------------
+    // The engine's window(size, slide) expands each event into
+    // size/slide overlapping windows BEFORE the aggregation shuffle — the
+    // oracle reproduces the same grid with integer range arithmetic. Same
+    // code runs under Structured Streaming (EventWindows is the tumbling
+    // special case); expansion factor (4x here) is the scale knob.
+    Q("q_sliding_window", Some(
+      """WITH e AS (SELECT epoch_us(ts) AS t, event_type FROM events),
+        | w AS (SELECT event_type, unnest(range((t - 3600000000) // 900000000 + 1, t // 900000000 + 1)) AS wi FROM e)
+        | SELECT wi * 900000000 AS win_start_us, event_type, count(*) AS n_events
+        | FROM w GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      eventsUs(s, d)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("w.start")).as("win_start_us"), col("event_type"),
+          col("n_events"))
+    },
+
+    // ---- distinct aggregation ----------------------------------------
+    // count(DISTINCT x) plans as Expand + two-phase aggregate — partial
+    // distinct-set reduction happens map-side, so the shuffle carries
+    // (group, x) pairs, not rows. The scale alternative when exactness can
+    // be traded is approx_count_distinct's HLL sketch (one pass, no
+    // expand), which has no cross-engine-deterministic oracle.
+    Q("q_count_distinct", Some(
+      """SELECT lang, count(DISTINCT source) AS n_sources,
+        | count(DISTINCT md5(text)) AS n_uniq_texts, count(*) AS n_docs
+        | FROM documents GROUP BY lang""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          countDistinct(md5(col("text").cast(BinaryType))).as("n_uniq_texts"),
+          count(lit(1)).as("n_docs"))
     }
   )
 
