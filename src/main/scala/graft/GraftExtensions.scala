@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{GraftSql, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.FloatVecDotExpr
+import graft.repo.Md5ModExpr
+
+/** `SparkSessionExtensions` injection making the engine's native Catalyst
+  * expressions SQL-callable — attach with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (cluster) or
+  * [[GraftExtensions.register]] (running session / tests):
+  *
+  *   - `graft_md5_mod(str, n)` — the reference's md5-mod-n bucket hash
+  *     (core.py:25-44) as a codegen expression
+  *   - `graft_vec_dot(float_arr, float_arr)` — ordered-fold dot product,
+  *     bit-identical to the HOF formulation, no per-pair allocation
+  *
+  * Both stay inside whole-stage codegen, so `spark.sql` users get the same
+  * hot-path performance as the Column API (`HashBucket.bucket`,
+  * `VectorFns.dot`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$fn: modulus must be a literal INT, got $other")
+  }
+
+  /** The injected function set, shared by the extension class and the
+    * running-session registration path.
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_md5_mod"),
+      new ExpressionInfo(classOf[Md5ModExpr].getName, "graft_md5_mod"),
+      (args: Seq[Expression]) => Md5ModExpr(args.head, litInt(args(1), "graft_md5_mod"))),
+    (FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDotExpr].getName, "graft_vec_dot"),
+      (args: Seq[Expression]) => FloatVecDotExpr(args.head, args(1))))
+
+  /** Register on an already-running session (the extensions config is only
+    * read at session construction).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, b) => GraftSql.registerFunction(spark, id, info, b) }
+}
