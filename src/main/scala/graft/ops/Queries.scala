@@ -1300,6 +1300,26 @@ object Queries {
         .agg(countDistinct(col("source")).as("n_sources"),
           countDistinct(md5(col("text").cast(BinaryType))).as("n_uniq_texts"),
           count(lit(1)).as("n_docs"))
+    },
+
+    // ---- ordered sequence building (per-entity event history) ---------
+    // Builds each user's time-ordered event-type sequence — the
+    // behavioral-sequence construction step of a training pipeline. Spark
+    // aggregates have no ORDER BY, so the order is pinned by a full-frame
+    // ordered window (collect_list respects frame order); the total
+    // (ts, event_id) tie-break makes the string reproducible. One shuffle;
+    // per-entity history bounds the row size, not the table.
+    Q("q_seq_build", Some(
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS seq,
+        | count(*) AS n_events FROM events GROUP BY user_id""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      eventsUs(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+        .withColumn("seq", array_join(collect_list(col("event_type")).over(w), ","))
+        .groupBy(col("user_id"))
+        .agg(max(col("seq")).as("seq"), count(lit(1)).as("n_events"))
     }
   )
 
