@@ -1320,6 +1320,78 @@ object Queries {
         .withColumn("seq", array_join(collect_list(col("event_type")).over(w), ","))
         .groupBy(col("user_id"))
         .agg(max(col("seq")).as("seq"), count(lit(1)).as("n_events"))
+    },
+
+    // ---- corpus vocabulary (top-k token frequencies) ------------------
+    // Tokenizer/vocab bootstrap: explode -> partial-aggregating count ->
+    // global top-k with a total tie-break. Linear, one shuffle on token;
+    // the top-k is a TakeOrderedAndProject, never a full sort at scale.
+    Q("q_vocab", Some(
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS tok FROM documents)
+        | SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+        | ORDER BY freq DESC, tok LIMIT 100""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tok")).limit(100)
+    },
+
+    // ---- dup-graph connected components (canonical doc per cluster) ---
+    // Pairwise near-dup output is not actionable until pairs become
+    // CLUSTERS with one canonical survivor each. Components via iterative
+    // min-label propagation — labels(v) = min(label over neighbors ∪ v) —
+    // which converges to min(doc_id in component): a unique fixpoint, so
+    // the result is deterministic regardless of iteration schedule. Each
+    // round is one join + one aggregate (the standard Spark CC); rounds =
+    // graph diameter (dup clusters are shallow — here it converges in <=3).
+    // The driver-side loop holds only a row COUNT per round (convergence
+    // check), never rows. Oracle: transitive closure by recursive CTE,
+    // then min per node — same fixpoint, engine-independent.
+    Q("q_dup_clusters", Some(
+      s"""WITH RECURSIVE dd AS (SELECT doc_id, lang, source, list_distinct(list_transform($sqlToks, t -> ('0x'||substr(md5(t),1,8))::BIGINT)) AS toks FROM documents),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |   FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |   WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6),
+        | e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p
+        |   UNION SELECT doc_a, doc_a FROM p UNION SELECT doc_b, doc_b FROM p),
+        | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+        | SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dd = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
+        .repartition(col("lang"), col("source"))
+      val a = dd.as("a"); val b = dd.as("b")
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val pairs = a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .localCheckpoint(true) // pairs feed every propagation round
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .union(pairs.select(col("doc_a"), col("doc_a")))
+        .union(pairs.select(col("doc_b"), col("doc_b")))
+        .toDF("src", "dst").distinct()
+        .localCheckpoint(true)
+      var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+        .localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val next = edges
+          .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        converged = next.as("n")
+          .join(labels.as("o"), col("n.src") === col("o.src"))
+          .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
     }
   )
 
