@@ -1392,6 +1392,29 @@ object Queries {
         rounds += 1
       }
       labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
+    },
+
+    // ---- A33/A34: standalone semi/anti joins --------------------------
+    // The merge machinery uses these internally (TableRepo.replaceRecords);
+    // standalone forms for the EXISTS / NOT EXISTS query shapes. Semi/anti
+    // never materialize right-side columns — the build side carries keys
+    // only, and a broadcast-able right side makes them map-side.
+    Q("q_semi_join", Some(
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        | WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "orders")
+        .join(eventsUs(s, d), col("user_id") === col("o_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    Q("q_anti_join", Some(
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = o.o_custkey)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "orders")
+        .join(eventsUs(s, d), col("user_id") === col("o_custkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_totalprice"))
     }
   )
 
