@@ -1391,6 +1391,9 @@ object Queries {
         labels = next
         rounds += 1
       }
+      // 50 rounds covers any realistic dup-cluster diameter; emitting
+      // unconverged labels would be silently wrong, so fail loudly instead
+      require(converged, s"label propagation did not converge in $rounds rounds")
       labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
     },
 
