@@ -58,8 +58,13 @@ class TableRepo(
     val envParents: Map[String, String] = Map.empty,
     val hashBucket: Option[HashBucketLayout] = None,
     val keepGroupCols: Boolean = false,
-    val clusterCols: Seq[String] = Nil
+    val clusterCols: Seq[String] = Nil,
+    val zOrderCols: Seq[String] = Nil
 ) {
+  require(zOrderCols.isEmpty || zOrderCols.length == 2,
+    "zOrderCols interleaves exactly two numeric columns")
+  require(zOrderCols.isEmpty || clusterCols.isEmpty,
+    "zOrderCols and clusterCols are alternative clustering policies")
 
   private val name: String = new Path(rootPath).getName
   @volatile private var currentParent: Option[String] = None
@@ -123,11 +128,27 @@ class TableRepo(
     * — at 100 TB, the difference between scanning a partition and scanning
     * the few files whose range matches.
     */
+  private val zColName = "__graft_z__"
+
+  /** Attach the clustering sort key: the cluster columns themselves, or —
+    * for z-order — the Morton interleave of both dimensions, so files
+    * cover compact 2-D boxes (a lexicographic sort clusters only the
+    * leading column). The code column exists only inside the write plan;
+    * dropped before the write, it never reaches disk.
+    */
+  private def clusterKeyed(df: DataFrame): (DataFrame, Seq[String]) =
+    if (zOrderCols.nonEmpty)
+      (df.withColumn(zColName, ZOrder.code(col(zOrderCols.head), col(zOrderCols(1)))),
+        Seq(zColName))
+    else (df, clusterCols)
+
   private def clustered(df: DataFrame): DataFrame =
-    if (clusterCols.isEmpty) df
+    if (clusterCols.isEmpty && zOrderCols.isEmpty) df
     else {
-      val base = if (layoutCols.isEmpty) df.repartitionByRange(clusterCols.map(col): _*) else df
-      base.sortWithinPartitions((layoutCols ++ clusterCols).map(col): _*)
+      val (keyed, sortCols) = clusterKeyed(df)
+      val base =
+        if (layoutCols.isEmpty) keyed.repartitionByRange(sortCols.map(col): _*) else keyed
+      base.sortWithinPartitions((layoutCols ++ sortCols).map(col): _*).drop(zColName)
     }
 
   /** Active root, honoring the selected environment (core.py:196-201). */
@@ -310,15 +331,16 @@ class TableRepo(
     // partitioned layouts rebalance BY the layout cols so each partition
     // dir is written by one task (round-robin would cross every task with
     // every dir: parts x dirs small files — the opposite of compaction)
+    val (keyed, sortCols) = clusterKeyed(base)
     val rebalanced0 =
-      if (layoutCols.nonEmpty) base.repartition(parts, layoutCols.map(col): _*)
-      else if (clusterCols.nonEmpty) base.repartitionByRange(parts, clusterCols.map(col): _*)
-      else base.repartition(parts)
+      if (layoutCols.nonEmpty) keyed.repartition(parts, layoutCols.map(col): _*)
+      else if (sortCols.nonEmpty) keyed.repartitionByRange(parts, sortCols.map(col): _*)
+      else keyed.repartition(parts)
     // compaction preserves the clustering contract: rewritten files keep
-    // narrow min-max ranges on the cluster columns
+    // narrow min-max ranges (or compact z-order boxes) on the cluster cols
     val rebalanced =
-      if (clusterCols.isEmpty) rebalanced0
-      else rebalanced0.sortWithinPartitions((layoutCols ++ clusterCols).map(col): _*)
+      if (sortCols.isEmpty) rebalanced0
+      else rebalanced0.sortWithinPartitions((layoutCols ++ sortCols).map(col): _*).drop(zColName)
     var w = rebalanced.write.mode("overwrite")
       .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
     if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)

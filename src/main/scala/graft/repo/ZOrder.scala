@@ -1,0 +1,52 @@
+package graft.repo
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Morton (Z-order) interleaving for multi-dimensional clustering — the
+  * 2-D extension of the `clusterCols` data-skipping policy. Sorting by the
+  * interleaved code keeps rows that are close in BOTH dimensions close in
+  * the file order, so every written file covers a compact bounding box and
+  * min-max footer stats prune on either column. A lexicographic 2-column
+  * sort clusters only the leading column; Z-order is the standard
+  * lakehouse answer (Delta OPTIMIZE ZORDER BY, Iceberg sort orders).
+  *
+  * Codegen native expression — stays inside whole-stage codegen on the
+  * write path like [[Md5ModExpr]].
+  */
+object ZOrder {
+
+  /** Spread the low 32 bits of `v` onto the even bit positions. */
+  def spread(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** 64-bit Morton code of the low 32 bits of two non-negative longs.
+    * Called from generated code — keep signature (long, long) -> long.
+    */
+  def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** Column API: `morton(a, b)` with both inputs cast to long. */
+  def code(a: Column, b: Column): Column =
+    GraftSql.column(ZOrderExpr(
+      GraftSql.expression(a.cast("long")), GraftSql.expression(b.cast("long"))))
+}
+
+case class ZOrderExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ZOrder.morton(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.repo.ZOrder.morton($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "zorder"
+}

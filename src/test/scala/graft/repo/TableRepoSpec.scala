@@ -340,6 +340,54 @@ class TableRepoSpec extends SparkSuite {
   }
   private val searchKey = 42L
 
+  test("zOrderCols clusters files into compact 2-D boxes") {
+    import scala.jdk.CollectionConverters._
+    // morton unit semantics first
+    assert(ZOrder.morton(0L, 0L) == 0L)
+    assert(ZOrder.morton(1L, 0L) == 1L)
+    assert(ZOrder.morton(0L, 1L) == 2L)
+    assert(ZOrder.morton(3L, 3L) == 15L)
+    assert(ZOrder.morton(0xffffffffL, 0L) == 0x5555555555555555L)
+
+    val repo = new TableRepo(scratch("zorder"), spark,
+      maxRecordsPerFile = 256, zOrderCols = Seq("x", "y"))
+    // full shuffled 128x128 grid: a random write would give every file a
+    // bounding box near the whole domain (area ~16384); consecutive morton
+    // codes cover provably compact boxes
+    val grid = new scala.util.Random(11)
+      .shuffle((for (x <- 0 until 128; y <- 0 until 128) yield (x.toLong, y.toLong)).toVector)
+    repo.extend(grid.toDF("x", "y"))
+    assert(repo.nFiles >= 16)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val boxes = repo.paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        def range(name: String) = {
+          val st = r.getFooter.getBlocks.asScala.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == name).get.getStatistics)
+          (st.map(_.genericGetMin.asInstanceOf[Long]).min,
+            st.map(_.genericGetMax.asInstanceOf[Long]).max)
+        }
+        val rows = r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        (range("x"), range("y"), rows)
+      } finally r.close()
+    }
+    boxes.foreach { case ((x0, x1), (y0, y1), rows) =>
+      val area = (x1 - x0 + 1) * (y1 - y0 + 1)
+      // a run of m consecutive morton codes spans a box of area O(m); 8x
+      // leaves slack for range-boundary and file-roll misalignment, and is
+      // still 8x tighter than the unclustered ~16384 whole-domain box
+      assert(area <= 8 * rows, s"box [$x0,$x1]x[$y0,$y1] area $area too wide for $rows rows")
+    }
+    // both dimensions prune: point reads push filters on x AND y
+    val plan = repo.getFullDf.filter($"x" === 7L && $"y" === 9L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(x,7)") && plan.contains("EqualTo(y,9)"), plan)
+    assert(repo.getFullDf.filter($"x" === 7L && $"y" === 9L).count() == 1)
+  }
+
   test("keepGroupCols retains group columns in leaf files (core.py:440-441 default)") {
     val repo = new TableRepo(scratch("keepgrp"), spark,
       groupCols = Seq("C"), keyCols = Seq("k"), keepGroupCols = true)
