@@ -14,7 +14,10 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_scan", "q_partition_prune", "q_multimodal_join", "q_pricing_summary",
         "q_topk_cosine", "q_near_dup", "q_sessionize", "q_ngram_jaccard", "q_dedup_first",
-        "q_contamination", "q_upsert_bucketed", "q_lsh_verified", "q_ivf_assign")
+        "q_contamination", "q_upsert_bucketed", "q_lsh_verified", "q_ivf_assign",
+        "q_asof_join", "q_range_join", "q_rolling_agg", "q_quantiles", "q_salted_join",
+        "q_sample_stratified", "q_rollup", "q_pivot", "q_corpus_diff", "q_sliding_window",
+        "q_count_distinct", "q_seq_build", "q_vocab", "q_dup_clusters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
