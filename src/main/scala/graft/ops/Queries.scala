@@ -455,7 +455,10 @@ object Queries {
       val repo = new TableRepo(freshRoot("q_buffered"), s)
       val rows = t(s, d, "lineitem").filter(col("l_orderkey") < 400)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")).collect()
-      val w = new RecordWriter(repo, schema, recordLimit = 256)
+      // 1024 still exercises multiple flushes from sf0.01 up (the flush
+      // contract itself is WritersSpec territory); 256 at sf0.1 meant ~60
+      // sequential one-job flushes — driver overhead, not engine work
+      val w = new RecordWriter(repo, schema, recordLimit = 1024)
       rows.foreach { r =>
         w.add(Map("l_orderkey" -> r.getLong(0), "l_linenumber" -> r.getInt(1),
           "l_quantity" -> r.getDouble(2)))
