@@ -1381,6 +1381,14 @@ object Queries {
         .localCheckpoint(true)
       var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
         .localCheckpoint(true)
+      // min-propagation DECREASES labels monotonically, so the label sum is
+      // a strictly decreasing convergence witness: equal sums between
+      // rounds <=> elementwise fixpoint. One single-column aggregate per
+      // round instead of a join-based diff. (doc_id sums fit a long with
+      // orders of magnitude to spare.)
+      def lblSum(df: DataFrame): Long =
+        df.agg(sum(col("lbl"))).head().getLong(0)
+      var prevSum = lblSum(labels)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 50) {
@@ -1388,9 +1396,9 @@ object Queries {
           .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
           .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
           .localCheckpoint(true)
-        converged = next.as("n")
-          .join(labels.as("o"), col("n.src") === col("o.src"))
-          .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+        val s = lblSum(next)
+        converged = s == prevSum
+        prevSum = s
         labels = next
         rounds += 1
       }
