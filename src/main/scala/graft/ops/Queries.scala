@@ -1408,6 +1408,29 @@ object Queries {
       labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
     },
 
+    // ---- native session windows ---------------------------------------
+    // The engine's session_window(ts, gap) — the built-in counterpart of
+    // the custom q_sessionize pipeline (which additionally numbers
+    // sessions). window.end is last-event + gap by definition, so the
+    // oracle is the sessionize grid with t_end shifted by the gap. Same
+    // operator runs streaming with a watermark (state = open sessions).
+    Q("q_session_window", Some(
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        | s AS (SELECT user_id, event_id, ts_us,
+        |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        | SELECT user_id, min(ts_us) AS win_start_us, max(ts_us) + 1800000000 AS win_end_us, count(*) AS n_events
+        | FROM s GROUP BY user_id, session_id""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      eventsUs(s, d)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("win_start_us"),
+          unix_micros(col("w.end")).as("win_end_us"), col("n_events"))
+    },
+
     // ---- A33/A34: standalone semi/anti joins --------------------------
     // The merge machinery uses these internally (TableRepo.replaceRecords);
     // standalone forms for the EXISTS / NOT EXISTS query shapes. Semi/anti

@@ -35,6 +35,30 @@ class EventWindowsSpec extends SparkSuite {
     assert(batch.nonEmpty)
   }
 
+  test("sliding streaming windows equal the batch grid (q_sliding_window twin)") {
+    val srcDir = scratch("evw-slide-src")
+    events.write.parquet(srcDir)
+    def grid(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", timestamp_micros($"ts_us"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .count()
+      .select(unix_micros(col("w.start")).as("s"), col("event_type"), col("count"))
+    val stream = spark.readStream
+      .schema("event_type STRING, value DOUBLE, ts_us LONG")
+      .parquet(srcDir)
+    val q = grid(stream).writeStream
+      .outputMode("complete").format("memory").queryName("evw_sl").start()
+    q.processAllAvailable()
+    q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = keyed(spark.table("evw_sl").collect())
+    val batch = keyed(grid(events).collect())
+    assert(streamed == batch)
+    // each event lands in exactly size/slide = 4 overlapping windows
+    assert(batch.values.sum == events.count() * 4)
+  }
+
   test("append mode emits exactly the watermark-closed windows") {
     val srcDir = scratch("evw-app-src")
     events.write.parquet(srcDir)
