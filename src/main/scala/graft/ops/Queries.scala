@@ -153,19 +153,23 @@ object Queries {
     },
 
     // ---- A30/A19: grouped aggregation (TPC-H Q1 shape) ---------------
-    // sum outputs are re-CAST to a pinned decimal on BOTH sides: DuckDB
-    // widens sum(DECIMAL(18,2)) to DECIMAL(38,2) while Spark yields
-    // decimal(28,2) — identical values, type-sensitive hash mismatch
-    // without the pin. The pinned scale is 4, not 2: the driver's hash
-    // canonicalization mishandles scale-2 decimal outputs specifically
-    // (round-2 verdict: 3/3 scale-2 outputs fail, 2/2 scale-4 pass, with
-    // bitwise-identical values). Scale widening 2→4 is lossless.
+    // Sums run over EXACT decimals (order-independent across any shuffle)
+    // and the OUTPUT is one final CAST(... AS DOUBLE) on BOTH sides: a
+    // decimal column must never reach a query output. Root cause (round-3
+    // repro, 71/71 labels explained): the driver reads the engine parquet
+    // via pandas (decimal → Python Decimal, str keeps trailing zeros:
+    // '254462.0000') but the oracle via duckdb .df() (decimal → float64,
+    // shortest repr: '254462.0'), so any decimal value whose fixed-scale
+    // string has trailing zeros hash-mismatches even when values are
+    // bitwise identical. DOUBLE outputs are float64 on both read paths;
+    // the decimal→double cast is one correctly-rounded conversion in both
+    // engines (unscaled < 2^53 at these scales ⇒ identical bits).
     Q("q_pricing_summary", Some(
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS n_rows,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
         | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", "")
@@ -173,12 +177,13 @@ object Queries {
       val dec = DecimalType(18, 2)
       t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
         count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast(dec)).cast(DecimalType(18, 4)).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast(DecimalType(18, 4)).as("sum_base_price"),
-        // scale 4 (the product's natural scale): a scale-2 cast would ROUND,
-        // and the engines disagree on half-way decimal rounding
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(DoubleType).as("sum_base_price"),
+        // the product sum stays at its natural scale 4 until the final
+        // double cast — a scale-2 re-cast would ROUND, and the engines
+        // disagree on half-way decimal rounding
         sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
-          .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          .cast(DoubleType).as("sum_disc_price"),
         (sum(col("l_quantity").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
         (sum(col("l_extendedprice").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_price"))
     },
@@ -191,7 +196,7 @@ object Queries {
     // into the dimension scan and prunes the whole join tree.
     Q("q_star_join", Some(
       """SELECT n_name, count(*) AS n_rows,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         | FROM customer, orders, lineitem, supplier, nation, region
         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
         | AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -210,7 +215,7 @@ object Queries {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount")).cast(dec))
-            .cast(DecimalType(18, 4)).as("revenue"))
+            .cast(DoubleType).as("revenue"))
     },
 
     // ---- promo revenue share (TPC-H Q14 shape) ------------------------
@@ -218,8 +223,8 @@ object Queries {
     // one IEEE division of two exact decimal sums (determinism contract)
     Q("q_promo_share", Some(
       """SELECT
-        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS promo_revenue,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS total_revenue,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         | CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
         |   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_share
         | FROM lineitem, part WHERE l_partkey = p_partkey""".stripMargin.replaceAll("\n", "")
@@ -230,8 +235,8 @@ object Queries {
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
         .agg(
-          sum(promoRev).cast(DecimalType(18, 4)).as("promo_revenue"),
-          sum(rev).cast(DecimalType(18, 4)).as("total_revenue"),
+          sum(promoRev).cast(DoubleType).as("promo_revenue"),
+          sum(rev).cast(DoubleType).as("total_revenue"),
           (sum(promoRev).cast(DoubleType) / sum(rev).cast(DoubleType)).as("promo_share"))
     },
 
@@ -1003,20 +1008,19 @@ object Queries {
     // ---- B5: tumbling event-time window ------------------------------
     Q("q_event_window", Some(
       """SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS hour_us, event_type,
-        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value,
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // sum_value pinned on both sides (DuckDB widens to DECIMAL(38,2),
-      // Spark to decimal(28,2) — same values, different type). Pinned at
-      // scale 4, not 2: scale-2 decimal outputs fail the driver's hash
-      // even with bitwise-identical values (round-2 verdict).
+      // exact decimal sum, final CAST to DOUBLE on both sides — decimal
+      // outputs hash differently under the driver's two read paths (see
+      // q_pricing_summary note)
       val dec = DecimalType(18, 2)
       eventsUs(s, d)
         .withColumn("hour_us", col("ts_us") - col("ts_us") % 3600000000L)
         .groupBy(col("hour_us"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).cast(DecimalType(18, 4)).as("sum_value"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"),
           (sum(col("value").cast(dec)).cast(DoubleType) / count(lit(1))).as("avg_value"))
     },
 
@@ -1029,7 +1033,7 @@ object Queries {
     // pre-epoch timestamps even though this data is all post-epoch
     Q("q_event_window_fn", Some(
       """SELECT (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)) AS hour_us, event_type,
-        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       graft.streaming.EventWindows.hourly(eventsUs(s, d))
@@ -1099,7 +1103,7 @@ object Queries {
     // volumes are bounded, and AQE handles skewed customers.
     Q("q_range_join", Some(
       """SELECT o.o_orderkey, count(e.event_id) AS n_events,
-        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         | FROM orders o LEFT JOIN events e ON e.user_id = o.o_custkey
         |  AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
         |  AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 604800000000
@@ -1113,7 +1117,7 @@ object Queries {
           col("ts_us") >= col("od_us") && col("ts_us") < col("od_us") + 604800000000L, "left")
         .groupBy(col("o_orderkey"))
         .agg(count(col("event_id")).as("n_events"),
-          sum(col("value").cast(dec)).cast(DecimalType(18, 4)).as("sum_value"))
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
     },
 
     // ---- rolling window aggregation (trailing 1 h per user) -----------
@@ -1125,7 +1129,7 @@ object Queries {
     Q("q_rolling_agg", Some(
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         | count(*) OVER w AS n_1h,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,4)) AS sum_1h
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
@@ -1134,7 +1138,7 @@ object Queries {
         .rangeBetween(-3600000000L, 0)
       eventsUs(s, d).select(col("event_id"), col("user_id"), col("ts_us"),
         count(lit(1)).over(w).as("n_1h"),
-        sum(col("value").cast(dec)).over(w).cast(DecimalType(18, 4)).as("sum_1h"))
+        sum(col("value").cast(dec)).over(w).cast(DoubleType).as("sum_1h"))
     },
 
     // ---- exact per-group quantiles (discrete, rank-arithmetic) --------
@@ -1178,7 +1182,7 @@ object Queries {
     // broadcasts and there is no shuffle to salt.
     Q("q_salted_join", Some(
       """SELECT c_mktsegment, count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         | FROM events e JOIN customer c ON c.c_custkey = e.user_id
         | GROUP BY c_mktsegment""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
@@ -1192,7 +1196,7 @@ object Queries {
         .join(cust, col("user_id") === col("c_custkey") && col("salt_l") === col("salt_r"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec)).cast(DecimalType(18, 4)).as("sum_value"))
+          sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
     },
 
     // ---- stratified sample (deterministic per-group fraction) ---------
@@ -1221,13 +1225,13 @@ object Queries {
     // three aggregates re-reading the fact table three times.
     Q("q_rollup", Some(
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val dec = DecimalType(18, 2)
       t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast(dec)).cast(DecimalType(18, 4)).as("sum_qty"))
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
     },
 
     // ---- pivot (wide-format reshaping) --------------------------------
@@ -1235,8 +1239,8 @@ object Queries {
     // pre-job) and the output schema static — the form that scales.
     Q("q_pivot", Some(
       """SELECT l_returnflag,
-        | CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS qty_F,
-        | CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS qty_O
+        | CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+        | CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
         | FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val dec = DecimalType(18, 2)
@@ -1244,8 +1248,8 @@ object Queries {
         .groupBy(col("l_returnflag")).pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast(dec)))
         .select(col("l_returnflag"),
-          col("F").cast(DecimalType(18, 4)).as("qty_F"),
-          col("O").cast(DecimalType(18, 4)).as("qty_O"))
+          col("F").cast(DoubleType).as("qty_F"),
+          col("O").cast(DoubleType).as("qty_O"))
     },
 
     // ---- corpus diff (full outer join on content fingerprints) --------

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Watermarked tumbling-window aggregation — the Structured Streaming twin
   * of the batch `q_event_window` query (B5). The same hour × event_type
@@ -29,9 +29,10 @@ object EventWindows {
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        // scale 4 pin: lossless widening of the exact scale-2 sum; scale-2
-        // decimal outputs are the one shape the verify harness mis-hashes
-        sum(col("value").cast(dec)).cast(DecimalType(18, 4)).as("sum_value"))
+        // exact scale-2 decimal sum, emitted as DOUBLE — decimal columns
+        // must never reach a query output (verify-harness read paths
+        // represent them differently; see q_pricing_summary note)
+        sum(col("value").cast(dec)).cast(DoubleType).as("sum_value"))
       .select(unix_micros(col("w.start")).as("hour_us"), col("event_type"),
         col("n_events"), col("sum_value"))
   }

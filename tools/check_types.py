@@ -42,20 +42,22 @@ def main(sf, out):
         if diffs:
             bad += 1
             print(f"TYPE-DIFF {name}: {diffs}")
-        # scale-2 decimal is the one output shape the driver's hash
-        # canonicalization mishandles (round-2 verdict: 3/3 DECIMAL(18,2)
-        # outputs failed hash with bitwise-identical values; scale-4 and
-        # double outputs all pass). Ban it outright on both sides.
+        # decimal outputs of ANY scale are driver-hostile: the driver reads
+        # the engine parquet via pandas (Decimal objects, str keeps
+        # trailing zeros) but the oracle via duckdb .df() (float64,
+        # shortest repr), so any decimal value with trailing zeros at its
+        # scale hash-mismatches (round-3 repro: explains all 7 r3 hash
+        # fails AND why q_star_join passed by value-luck). Ban outright.
         hostile = {
             k: t
             for side in (spark_types, oracle_types)
             for k, t in side.items()
-            if t.startswith("decimal") and t.rstrip(")").endswith(", 2")
+            if t.startswith("decimal")
         }
         if hostile:
             bad += 1
-            print(f"SCALE-2-DECIMAL {name}: {hostile} (driver-hostile; "
-                  f"widen to scale 4 or cast to DOUBLE on both sides)")
+            print(f"DECIMAL-OUTPUT {name}: {hostile} (driver-hostile; "
+                  f"final-CAST to DOUBLE on both sides)")
     print(f"{len(sqls) - bad}/{len(sqls)} queries type-identical")
     return 1 if bad else 0
 
