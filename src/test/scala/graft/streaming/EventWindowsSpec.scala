@@ -17,7 +17,7 @@ class EventWindowsSpec extends SparkSuite {
   }
 
   private def key(r: org.apache.spark.sql.Row) =
-    (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDecimal(3))
+    (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))
 
   test("complete-mode streaming windows equal the batch aggregate") {
     val srcDir = scratch("evw-src")
