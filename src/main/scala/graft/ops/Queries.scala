@@ -1456,6 +1456,102 @@ object Queries {
       t(s, d, "orders")
         .join(eventsUs(s, d), col("user_id") === col("o_custkey"), "left_anti")
         .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ---- cube (all grouping-set combinations + grouping id) -----------
+    // Rollup's full-lattice sibling: one pass expands each row into the
+    // 2^n grouping sets before the aggregation shuffle — no re-reads, no
+    // union of n jobs. grouping_id disambiguates a grouped-out NULL from a
+    // data NULL; both engines put the first cube column in the high bit.
+    Q("q_cube", Some(
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(LongType).as("gid"), count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_rows"), col("sum_qty"))
+    },
+
+    // ---- lead/lag (per-entity temporal neighbors) ---------------------
+    // Inter-event gap + next-event lookahead — the feature-engineering
+    // primitive for behavioral models. One shuffle on user_id; the window
+    // sort is per-entity (bounded by history length, not table size). The
+    // (ts, event_id) tie-break makes lead/lag total-ordered.
+    Q("q_lead_lag", Some(
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        | epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        | lead(event_type) OVER w AS next_type
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      eventsUs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    },
+
+    // ---- ntile (equi-depth bucketing within groups) -------------------
+    // Quartile assignment PER STATUS GROUP — the per-partition sort is
+    // bounded by the group, so no global order bottleneck. (A GLOBAL
+    // ntile needs one partition; at scale use q_quantiles' rank
+    // arithmetic to derive cut points instead.) Total tie-break
+    // (o_totalprice, o_orderkey) pins bucket boundaries.
+    Q("q_ntile", Some(
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        | FROM orders""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast(LongType).as("quartile"))
+    },
+
+    // ---- set operations (INTERSECT / EXCEPT) --------------------------
+    // Distinct-based set semantics (both engines dedup). Planwise these
+    // are aggregate + semi/anti join on the full row — co-partitioned by
+    // the row hash, so they scale like any keyed join.
+    Q("q_intersect", Some(
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier"
+    )) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+
+    Q("q_except", Some(
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier"
+    )) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+
+    // ---- time-series gap filling (per-entity resampling) --------------
+    // Regularize each user's event stream to an hourly grid with explicit
+    // zero rows for silent hours — the resample step before any
+    // sequence model. The grid is generated per entity (sequence +
+    // explode), so the expansion is bounded by each entity's active span,
+    // never a global calendar cross-join; all arithmetic is integer µs.
+    Q("q_gap_fill", Some(
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour, count(*) AS n_events
+        |   FROM events GROUP BY 1, 2),
+        | s AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY 1),
+        | g AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM s)
+        | SELECT g.user_id, g.hour * 3600000000 AS hour_us, coalesce(h.n_events, 0) AS n_events
+        | FROM g LEFT JOIN h ON h.user_id = g.user_id AND h.hour = g.hour""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val hourly = eventsUs(s, d)
+        .withColumn("hour", expr("ts_us div 3600000000"))
+        .groupBy(col("user_id"), col("hour")).agg(count(lit(1)).as("n_events"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      grid.join(hourly, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), (col("hour") * lit(3600000000L)).as("hour_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
     }
   )
 
