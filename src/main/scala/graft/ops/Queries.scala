@@ -1552,6 +1552,114 @@ object Queries {
       grid.join(hourly, Seq("user_id", "hour"), "left")
         .select(col("user_id"), (col("hour") * lit(3600000000L)).as("hour_us"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
+    },
+
+    // ---- inverted index (token -> postings) ---------------------------
+    // The retrieval-side core structure: per token, collection frequency,
+    // document frequency, and the sorted posting list. Build is one
+    // explode + one aggregation shuffle on token; collect_set is bounded
+    // by the df cap (stop-worthy tokens with huge df are exactly the ones
+    // a real index stores as bitmaps, not lists — they're filtered here,
+    // same skew reasoning as ShingleDfCap).
+    Q("q_inverted_index", Some(
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        | agg AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df,
+        |   array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |   FROM tk GROUP BY tok)
+        | SELECT tok, tf, df, postings FROM agg WHERE df BETWEEN 2 AND 50""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"),
+          array_join(sort_array(collect_set(col("doc_id")))
+            .cast(ArrayType(StringType)), ",").as("postings"))
+        .filter(col("df").between(2, 50))
+    },
+
+    // ---- token co-occurrence (bigram lift) ----------------------------
+    // Collocation mining: lift = P(ab) / (P(a)P(b)) as the exact integer
+    // ratio c_ab * N / (c_a * c_b) — all operands exact in int64 AND in
+    // double (< 2^53), so the single division is the only IEEE op and
+    // both engines agree bitwise. Two aggregation shuffles (unigrams,
+    // bigrams) + a join on the unigram key; the c_ab floor prunes the
+    // long tail before the join.
+    Q("q_cooccur", Some(
+      s"""WITH tkk AS (SELECT $sqlToks AS toks FROM documents),
+        | uni AS (SELECT unnest(toks) AS tok FROM tkk),
+        | uc AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY tok),
+        | tot AS (SELECT count(*) AS n FROM uni),
+        | bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |   FROM tkk WHERE len(toks) >= 2),
+        | bc AS (SELECT bigram, count(*) AS c_ab FROM bg GROUP BY bigram HAVING count(*) >= 3)
+        | SELECT b.bigram, b.c_ab, CAST(b.c_ab * t.n AS DOUBLE) / CAST(a.cnt * c.cnt AS DOUBLE) AS lift
+        | FROM bc b JOIN uc a ON a.tok = split_part(b.bigram, ' ', 1)
+        | JOIN uc c ON c.tok = split_part(b.bigram, ' ', 2), tot t
+        | ORDER BY lift DESC, b.bigram LIMIT 100""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val toks = t(s, d, "documents").select(TextFns.tokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("tok"))
+      val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(count(lit(1)).as("n"))
+      val bc = toks.filter(size(col("toks")) >= 2)
+        .select(explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      bc
+        .join(uc.as("a"), col("a.tok") === element_at(split(col("bigram"), " "), 1))
+        .join(uc.as("c"), col("c.tok") === element_at(split(col("bigram"), " "), 2))
+        .crossJoin(tot)
+        .select(col("bigram"), col("c_ab"),
+          ((col("c_ab") * col("n")).cast(DoubleType) /
+            (col("a.cnt") * col("c.cnt")).cast(DoubleType)).as("lift"))
+        .orderBy(col("lift").desc, col("bigram")).limit(100)
+    },
+
+    // ---- per-document keyword extraction (tf x inverse-df) ------------
+    // Top term per document scored tf * N / df — the log-free tf-idf
+    // variant (ln() is libm-dependent and not cross-engine bitwise; the
+    // RANKING it induces per document is identical since log is
+    // monotone). Two shuffles: (doc, tok) term frequencies, then token
+    // document frequencies joined back on the token key.
+    Q("q_keywords", Some(
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        | df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+        | nd AS (SELECT count(*) AS n_docs FROM documents),
+        | sc AS (SELECT f.doc_id, f.tok, f.tf, d.df,
+        |   CAST(f.tf * n.n_docs AS DOUBLE) / d.df AS score
+        |   FROM tf f JOIN df d ON d.tok = f.tok, nd n)
+        | SELECT doc_id, tok AS keyword, tf, df, score FROM sc
+        | QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) = 1""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val tk = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(df, Seq("tok")).crossJoin(nd)
+        .withColumn("score", (col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("doc_id"), col("tok").as("keyword"), col("tf"), col("df"), col("score"))
+    },
+
+    // ---- heavy hitters (frequency floor) ------------------------------
+    // Tokens above 0.5% of total volume — the exact small-sf twin of a
+    // count-min / Misra-Gries pass at 100 TB (where the sketch bounds
+    // memory and this query is its verification harness). Integer-only
+    // predicate (freq * 200 >= N), no division.
+    Q("q_heavy_hitters", Some(
+      s"""WITH tok AS (SELECT unnest($sqlToks) AS tok FROM documents),
+        | c AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+        | t AS (SELECT count(*) AS n FROM tok)
+        | SELECT tok, freq FROM c, t WHERE freq * 200 >= n""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val tok = t(s, d, "documents").select(explode(TextFns.tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      counts.crossJoin(tot).filter(col("freq") * 200 >= col("n"))
+        .select(col("tok"), col("freq"))
     }
   )
 
