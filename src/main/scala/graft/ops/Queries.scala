@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{TextFns, VectorFns}
+import graft.functions.{BloomPrune, TextFns, VectorFns}
 import graft.ingest.ObjIngestor
 import graft.repo.{HashBucket, HashBucketLayout, RecordWriter, TableRepo}
 
@@ -1660,6 +1660,30 @@ object Queries {
       val tot = tok.agg(count(lit(1)).as("n"))
       counts.crossJoin(tot).filter(col("freq") * 200 >= col("n"))
         .select(col("tok"), col("freq"))
+    },
+
+    // ---- bloom-pruned join (semi-join reduction) ----------------------
+    // High-value orders select ~10% of keys; the fact side is pre-filtered
+    // by a broadcast Bloom sketch of those keys BEFORE the join shuffle,
+    // so the exchange carries ~10% of lineitem instead of all of it. The
+    // sketch's false positives are killed by the real join — hence the
+    // oracle is the plain join, proving the pruning is transparent. See
+    // [[graft.functions.BloomPrune]] for the scale arithmetic.
+    Q("q_bloom_join", Some(
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        | WHERE o.o_totalprice >= 450000 GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      val dim = t(s, d, "orders").filter(col("o_totalprice") >= 450000)
+        .select(col("o_orderkey"))
+      val pruned = t(s, d, "lineitem")
+        .filter(BloomPrune.filterFor(dim, "o_orderkey", 100000L)(col("l_orderkey")))
+      pruned.join(dim, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
     }
   )
 
