@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSql, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.FloatVecDotExpr
+import graft.functions.{FloatVecDotExpr, TopKAgg}
 import graft.repo.Md5ModExpr
 
 /** `SparkSessionExtensions` injection making the engine's native Catalyst
@@ -31,7 +31,7 @@ object GraftExtensions {
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
     case other =>
-      throw new IllegalArgumentException(s"$fn: modulus must be a literal INT, got $other")
+      throw new IllegalArgumentException(s"$fn: expected a literal INT argument, got $other")
   }
 
   /** The injected function set, shared by the extension class and the
@@ -43,7 +43,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => Md5ModExpr(args.head, litInt(args(1), "graft_md5_mod"))),
     (FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDotExpr].getName, "graft_vec_dot"),
-      (args: Seq[Expression]) => FloatVecDotExpr(args.head, args(1))))
+      (args: Seq[Expression]) => FloatVecDotExpr(args.head, args(1))),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKAgg(args.head, args(1), litInt(args(2), "graft_topk"))))
 
   /** Register on an already-running session (the extensions config is only
     * read at session construction).

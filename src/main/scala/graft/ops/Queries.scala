@@ -1684,6 +1684,26 @@ object Queries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+    },
+
+    // ---- top-k as an aggregate (bounded-heap, map-side partial) -------
+    // The scale-correct form of q_topn_group: a k-bounded
+    // TypedImperativeAggregate replaces the per-group full sort — each
+    // map task ships at most k candidates per group into the shuffle
+    // instead of the group's entire history. Oracle = the window-rank
+    // formulation, proving the two operators are semantically identical.
+    Q("q_topk_agg", Some(
+      """SELECT o_orderstatus, CAST(rn AS BIGINT) AS rank, o_totalprice, o_orderkey
+        | FROM (SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |   row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |   FROM orders) WHERE rn <= 5""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.TopKAgg.topk(col("o_totalprice"), col("o_orderkey"), 5).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.value").as("o_totalprice"), col("col.tie").as("o_orderkey"))
     }
   )
 
