@@ -17,7 +17,11 @@ object Explain {
         "q_contamination", "q_upsert_bucketed", "q_lsh_verified", "q_ivf_assign",
         "q_asof_join", "q_range_join", "q_rolling_agg", "q_quantiles", "q_salted_join",
         "q_sample_stratified", "q_rollup", "q_pivot", "q_corpus_diff", "q_sliding_window",
-        "q_count_distinct", "q_seq_build", "q_vocab", "q_dup_clusters")
+        "q_count_distinct", "q_seq_build", "q_vocab", "q_dup_clusters",
+        // round 5
+        "q_cube", "q_lead_lag", "q_ntile", "q_intersect", "q_except", "q_gap_fill",
+        "q_inverted_index", "q_cooccur", "q_keywords", "q_heavy_hitters",
+        "q_bloom_join", "q_topk_agg", "q_skew_agg")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1704,6 +1704,29 @@ object Queries {
         .select(col("o_orderstatus"), posexplode(col("top")))
         .select(col("o_orderstatus"), (col("pos") + 1).cast(LongType).as("rank"),
           col("col.value").as("o_totalprice"), col("col.tie").as("o_orderkey"))
+    },
+
+    // ---- salted two-phase aggregation (agg-side skew mitigation) ------
+    // l_returnflag has 3 values — a straight groupBy lands the whole
+    // table on 3 reducers. Salting fans phase 1 across 16x the tasks
+    // (key, salt); phase 2 re-aggregates the 3x16 partials. Decimal sums
+    // and counts are associative, so the result is bitwise the plain
+    // groupBy — which is the oracle. (Spark's partial aggregation does
+    // this implicitly when maps see all keys; explicit salting is the
+    // form that also fixes skewed JOIN keys and high-cardinality
+    // composite keys where hash partial-agg degrades.)
+    Q("q_skew_agg", Some(
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "lineitem")
+        .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("__salt"))
+        .agg(count(lit(1)).as("pc"), sum(col("l_quantity").cast(dec)).as("ps"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pc")).as("n_rows"), sum(col("ps")).cast(DoubleType).as("sum_qty"))
     }
   )
 
