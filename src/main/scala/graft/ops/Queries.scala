@@ -1727,6 +1727,67 @@ object Queries {
         .agg(count(lit(1)).as("pc"), sum(col("l_quantity").cast(dec)).as("ps"))
         .groupBy(col("l_returnflag"))
         .agg(sum(col("pc")).as("n_rows"), sum(col("ps")).cast(DoubleType).as("sum_qty"))
+    },
+
+    // ---- exact per-group median (rank arithmetic) ---------------------
+    // No quantile_cont builtins — their interpolation formulas differ
+    // across engines. Both middle values are picked by integer rank; for
+    // even n the median is (lo + hi) / 2: one addition + one exact
+    // halving, identical IEEE ops both sides. Same per-group-sort shape
+    // as q_quantiles (bounded by the group, not the table).
+    Q("q_median", Some(
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |   count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)
+        | SELECT l_returnflag,
+        |  (max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END)
+        |   + max(CASE WHEN rn = (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty
+        | FROM r GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val wr = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wn = Window.partitionBy(col("l_returnflag"))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("l_returnflag"))
+        .agg(((max(when(col("rn") === expr("(n + 1) div 2"), col("l_quantity")))
+          + max(when(col("rn") === expr("(n + 2) div 2"), col("l_quantity")))) / 2).as("median_qty"))
+    },
+
+    // ---- z-score outliers (exact distributed moments) -----------------
+    // Spark's stddev folds doubles in partition order — nondeterministic
+    // bits. Here both moments are EXACT decimal sums (values are scale-2
+    // prices, so the cast is lossless and sum order is irrelevant); mean,
+    // variance, and z then use one fixed IEEE op sequence — sqrt is
+    // correctly rounded, so both engines agree bitwise. Stats per group
+    // broadcast back onto the rows: two scans, no window over the table.
+    Q("q_outliers", Some(
+      """WITH st AS (SELECT l_returnflag AS flag, count(*) AS n,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |   FROM lineitem GROUP BY 1)
+        | SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+        |   (l.l_extendedprice - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z
+        | FROM lineitem l JOIN st ON st.flag = l.l_returnflag
+        | WHERE abs((l.l_extendedprice - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3
+        |   AND NOT isnan((l.l_extendedprice - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      val p = col("l_extendedprice").cast(dec)
+      val st = t(s, d, "lineitem").groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), sum(p).cast(DoubleType).as("s1"),
+          sum(p * p).cast(DoubleType).as("s2"))
+      val mean = col("s1") / col("n")
+      val z = (col("l_extendedprice") - mean) / sqrt(col("s2") / col("n") - mean * mean)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(st), col("flag") === col("l_returnflag"))
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 3 && !isnan(col("z")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("z"))
     }
   )
 
