@@ -10,6 +10,7 @@ import org.apache.spark.sql.types._
 import graft.functions.{BloomPrune, TextFns, VectorFns}
 import graft.ingest.ObjIngestor
 import graft.repo.{HashBucket, HashBucketLayout, RecordWriter, TableRepo}
+import graft.streaming.StreamJoin
 
 /** The full query inventory (SURVEY.md §2): every Tier-A operator of the
   * reference re-expressed Spark-first, plus the Tier-B LLM-pipeline
@@ -1788,6 +1789,24 @@ object Queries {
         .filter(abs(col("z")) > 3 && !isnan(col("z")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_extendedprice"), col("z"))
+    },
+
+    // ---- event-time interval join (stream-stream join, batch twin) ----
+    // view -> purchase attribution within 30 minutes, run through
+    // [[graft.streaming.StreamJoin.correlate]] — the SAME code is a
+    // watermarked stream-stream join under readStream (state bounded by
+    // the range condition; StreamJoinSpec asserts streamed == batch).
+    Q("q_event_join", Some(
+      """SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id,
+        | epoch_us(a.ts) AS a_ts_us, epoch_us(b.ts) AS b_ts_us
+        | FROM events a JOIN events b ON b.user_id = a.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND epoch_us(b.ts) >= epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val ev = eventsUs(s, d)
+      StreamJoin.correlate(ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"), 1800000000L)
     }
   )
 
