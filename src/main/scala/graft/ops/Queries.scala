@@ -1758,37 +1758,30 @@ object Queries {
     },
 
     // ---- z-score outliers (exact distributed moments) -----------------
-    // Spark's stddev folds doubles in partition order — nondeterministic
-    // bits. Here both moments are EXACT decimal sums (values are scale-2
-    // prices, so the cast is lossless and sum order is irrelevant); mean,
-    // variance, and z then use one fixed IEEE op sequence — sqrt is
-    // correctly rounded, so both engines agree bitwise. Stats per group
-    // broadcast back onto the rows: two scans, no window over the table.
+    // Abnormally active users by event-count z-score. Spark's stddev
+    // folds doubles in partition order — nondeterministic bits. Here both
+    // moments are INTEGER sums (counts and squared counts — exact, order-
+    // independent, no decimal casts at all); mean, variance, and z then
+    // use one fixed IEEE op sequence — sqrt is correctly rounded, so both
+    // engines agree bitwise. The one-row stats relation broadcasts back
+    // onto the counts; no window over the table.
     Q("q_outliers", Some(
-      """WITH st AS (SELECT l_returnflag AS flag, count(*) AS n,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2
-        |   FROM lineitem GROUP BY 1)
-        | SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
-        |   (l.l_extendedprice - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS z
-        | FROM lineitem l JOIN st ON st.flag = l.l_returnflag
-        | WHERE abs((l.l_extendedprice - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 3
-        |   AND NOT isnan((l.l_extendedprice - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)))""".stripMargin.replaceAll("\n", "")
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        | st AS (SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2 FROM c),
+        | zz AS (SELECT user_id, cnt,
+        |   (cnt - CAST(s1 AS DOUBLE) / n) / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
+        |   FROM c, st)
+        | SELECT user_id, cnt, z FROM zz WHERE abs(z) > 2 AND NOT isnan(z)""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val dec = DecimalType(18, 2)
-      val p = col("l_extendedprice").cast(dec)
-      val st = t(s, d, "lineitem").groupBy(col("l_returnflag").as("flag"))
-        .agg(count(lit(1)).as("n"), sum(p).cast(DoubleType).as("s1"),
-          sum(p * p).cast(DoubleType).as("s2"))
-      val mean = col("s1") / col("n")
-      val z = (col("l_extendedprice") - mean) / sqrt(col("s2") / col("n") - mean * mean)
-      t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
-        .join(broadcast(st), col("flag") === col("l_returnflag"))
+      val c = eventsUs(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val st = c.agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      val mean = col("s1").cast(DoubleType) / col("n")
+      val z = (col("cnt") - mean) / sqrt(col("s2").cast(DoubleType) / col("n") - mean * mean)
+      c.crossJoin(broadcast(st))
         .withColumn("z", z)
-        .filter(abs(col("z")) > 3 && !isnan(col("z")))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_extendedprice"), col("z"))
+        .filter(abs(col("z")) > 2 && !isnan(col("z")))
+        .select(col("user_id"), col("cnt"), col("z"))
     },
 
     // ---- event-time interval join (stream-stream join, batch twin) ----
