@@ -1730,31 +1730,36 @@ object Queries {
         .agg(sum(col("pc")).as("n_rows"), sum(col("ps")).cast(DoubleType).as("sum_qty"))
     },
 
-    // ---- exact per-group median (rank arithmetic) ---------------------
+    // ---- exact per-group median (value histogram, no full sort) -------
     // No quantile_cont builtins — their interpolation formulas differ
-    // across engines. Both middle values are picked by integer rank; for
-    // even n the median is (lo + hi) / 2: one addition + one exact
-    // halving, identical IEEE ops both sides. Same per-group-sort shape
-    // as q_quantiles (bounded by the group, not the table).
+    // across engines; for even n the median is (lo + hi) / 2: one
+    // addition + one exact halving, identical IEEE ops both sides.
+    // PLAN: the full-table work is ONE aggregation into a (group, value)
+    // histogram; ranks are then resolved by a cumulative sum over the
+    // few-hundred histogram rows. A row_number formulation would sort
+    // the whole table inside 3 giant group partitions — the histogram
+    // form is the one that survives 100 TB (and generalizes: bucket the
+    // value first when its cardinality is unbounded). The oracle IS the
+    // sort-based rank pick, proving the histogram selection equals it.
     Q("q_median", Some(
       """WITH r AS (SELECT l_returnflag, l_quantity,
-        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
         |   count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)
         | SELECT l_returnflag,
         |  (max(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END)
         |   + max(CASE WHEN rn = (n + 2) // 2 THEN l_quantity END)) / 2 AS median_qty
         | FROM r GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val wr = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wn = Window.partitionBy(col("l_returnflag"))
       t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(wr))
-        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wn))
         .groupBy(col("l_returnflag"))
-        .agg(((max(when(col("rn") === expr("(n + 1) div 2"), col("l_quantity")))
-          + max(when(col("rn") === expr("(n + 2) div 2"), col("l_quantity")))) / 2).as("median_qty"))
+        .agg(((min(when(col("cum") >= expr("(n + 1) div 2"), col("l_quantity")))
+          + min(when(col("cum") >= expr("(n + 2) div 2"), col("l_quantity")))) / 2).as("median_qty"))
     },
 
     // ---- z-score outliers (exact distributed moments) -----------------
