@@ -1805,6 +1805,95 @@ object Queries {
       val ev = eventsUs(s, d)
       StreamJoin.correlate(ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "purchase"), 1800000000L)
+    },
+
+    // ---- explicit grouping sets (rollup/cube's general form) ----------
+    // Caller-chosen aggregation levels in one pass — the Expand operator
+    // replicates each row once per set BEFORE the shuffle, so n levels
+    // cost one job, not n. grouping_id disambiguates levels exactly as
+    // in q_cube.
+    Q("q_grouping_sets", Some(
+      """SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(LongType).as("gid"), count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_rows"), col("sum_qty"))
+    },
+
+    // ---- minhash estimate vs exact (sketch accuracy harness) ----------
+    // For every LSH candidate pair: the signature's Jaccard ESTIMATE
+    // (fraction of agreeing minhash components — exact eighths, so the
+    // division is lossless) next to the exact shingle Jaccard. At 100 TB
+    // this query IS the recall/precision monitor for the dedup sketch:
+    // run it on a sampled shard to validate the band/permutation config
+    // before a full sweep. Same candidate + shingle-set machinery as
+    // q_lsh_verified.
+    Q("q_minhash_est", Some {
+      val hs = TextFns.MinhashA.indices.map { i =>
+        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
+      }.mkString(", ")
+      val bandSelects = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+        val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
+      }.mkString(" UNION ALL ")
+      val eqSum = TextFns.MinhashA.indices
+        .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      val k = TextFns.MinhashA.length
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
+         | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok),
+         | sig AS (SELECT doc_id, $hs FROM hh GROUP BY doc_id),
+         | bands AS ($bandSelects),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         | sh AS (SELECT doc_id, list_distinct(list_transform($sqlShingles, g -> ('0x'||substr(md5(g),1,8))::BIGINT)) AS sh FROM documents WHERE len($sqlToks) >= 3),
+         | p AS (SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+         |   CAST($eqSum AS DOUBLE) / $k AS est_jaccard
+         |   FROM cand c JOIN sig x ON x.doc_id = c.doc_a JOIN sig y ON y.doc_id = c.doc_b)
+         | SELECT p.doc_a, p.doc_b, p.est_jaccard,
+         |   CAST(len(list_intersect(u.sh, v.sh)) AS DOUBLE) / (len(u.sh) + len(v.sh) - len(list_intersect(u.sh, v.sh))) AS jaccard
+         | FROM p JOIN sh u ON u.doc_id = p.doc_a JOIN sh v ON v.doc_id = p.doc_b""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val sig = minhashSig(docs)
+      val bands = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+        sig.select(col("doc_id"), lit(bnd).as("band"),
+          concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
+      }.reduce(_.union(_))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val eqSum = TextFns.MinhashA.indices
+        .map(i => when(col(s"x.mh$i") === col(s"y.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = cand
+        .join(sig.as("x"), col("x.doc_id") === col("doc_a"))
+        .join(sig.as("y"), col("y.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (eqSum.cast(DoubleType) / TextFns.MinhashA.length).as("est_jaccard"))
+      val sh = docs
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          array_distinct(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
+        .repartition(col("doc_id"))
+      val inter = size(array_intersect(col("u.sh"), col("v.sh")))
+      est.join(sh.as("u"), col("u.doc_id") === col("doc_a"))
+        .join(sh.as("v"), col("v.doc_id") === col("doc_b"))
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / (size(col("u.sh")) + size(col("v.sh")) - inter))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
     }
   )
 
