@@ -41,4 +41,30 @@ object StreamJoin {
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL ${horizonUs / 1000000} SECOND"))
       .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts_us"), col("b_ts_us"))
   }
+
+  /** Left-outer form: every trigger appears exactly once with a null
+    * response if nothing matched inside the horizon. In streaming this is
+    * the semantically hard case — "no match" is only knowable once the
+    * watermark proves no in-horizon response can still arrive, so
+    * unmatched rows emit with watermark latency while matches emit
+    * immediately. Same state bound as the inner form. Batch: a plain
+    * left outer interval join, same code.
+    */
+  def correlateOuter(trigger: DataFrame, response: DataFrame, horizonUs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val a = trigger
+      .select(col("user_id"), col("ts_us").as("a_ts_us"), col("event_id").as("a_id"),
+        timestamp_micros(col("ts_us")).as("a_ts"))
+      .withWatermark("a_ts", watermarkDelay)
+    val b = response
+      .select(col("user_id").as("b_user"), col("ts_us").as("b_ts_us"), col("event_id").as("b_id"),
+        timestamp_micros(col("ts_us")).as("b_ts"))
+      .withWatermark("b_ts", watermarkDelay)
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL ${horizonUs / 1000000} SECOND"),
+        "left_outer")
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts_us"), col("b_ts_us"))
+  }
 }
