@@ -1894,6 +1894,63 @@ object Queries {
         .withColumn("jaccard",
           inter.cast(DoubleType) / (size(col("u.sh")) + size(col("v.sh")) - inter))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
+    },
+
+    // ---- near-dup purge (greedy survivor selection) -------------------
+    // The dedup ENDGAME: pairs become a purged corpus. Greedy rule —
+    // every doc that appears as the HIGHER id of any qualifying pair is
+    // dropped, lower ids survive. (One anti-join; the cluster-exact
+    // variant is q_dup_clusters' canonical labels, which costs the
+    // iterative closure. Greedy can over-purge inside chains a<b<c —
+    // for boilerplate removal that is the accepted trade.) Pair
+    // generation is the same lang+source blocking as q_dup_clusters:
+    // linear + per-block joins, never all-pairs.
+    Q("q_near_dup_purge", Some(
+      s"""WITH dd AS (SELECT doc_id, lang, source, list_distinct(list_transform($sqlToks, t -> ('0x'||substr(md5(t),1,8))::BIGINT)) AS toks FROM documents),
+        | p AS (SELECT b.doc_id AS doc_b
+        |   FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |   WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6)
+        | SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        | WHERE d.doc_id NOT IN (SELECT doc_b FROM p)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dd = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
+        .repartition(col("lang"), col("source"))
+      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val purged = dd.as("a").join(dd.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("b.doc_id").as("doc_b"))
+      t(s, d, "documents")
+        .join(purged, col("doc_id") === col("doc_b"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+
+    // ---- cross-corpus precedence dedup --------------------------------
+    // Merging crawl versions: when the same content hash exists in both
+    // corpora, the higher-priority corpus's row wins; within a corpus,
+    // lowest doc_id. One union + one keep-first window on the hash — the
+    // standard A11 keep-first shape applied across sources, so it scales
+    // exactly like q_dedup_first.
+    Q("q_union_dedup", Some(
+      """WITH u AS (
+        |  SELECT doc_id, md5(text) AS h, 0 AS pri FROM documents WHERE source IN ('src0','src1')
+        |  UNION ALL
+        |  SELECT doc_id, md5(text) AS h, 1 AS pri FROM documents WHERE source IN ('src2','src3'))
+        | SELECT doc_id, h, pri FROM u
+        | QUALIFY row_number() OVER (PARTITION BY h ORDER BY pri, doc_id) = 1""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      def corpus(srcs: Seq[String], pri: Int) = t(s, d, "documents")
+        .filter(col("source").isin(srcs: _*))
+        .select(col("doc_id"), md5(col("text").cast(BinaryType)).as("h"), lit(pri).as("pri"))
+      val u = corpus(Seq("src0", "src1"), 0).union(corpus(Seq("src2", "src3"), 1))
+      val w = Window.partitionBy(col("h")).orderBy(col("pri"), col("doc_id"))
+      u.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("doc_id"), col("h"), col("pri"))
     }
   )
 
