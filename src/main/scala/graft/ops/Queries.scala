@@ -1951,6 +1951,63 @@ object Queries {
       val w = Window.partitionBy(col("h")).orderBy(col("pri"), col("doc_id"))
       u.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("doc_id"), col("h"), col("pri"))
+    },
+
+    // ---- ranking-function family (rank/dense_rank/percent_rank/cume) --
+    // All four are functions of the VALUE order only (ties share ranks),
+    // so they are deterministic without a tie-break; percent_rank and
+    // cume_dist are single divisions of exact integers. One per-group
+    // sort, same shape as every ranking window.
+    Q("q_rank_stats", Some(
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        | rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        | percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist
+        | FROM lineitem WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+          rank().over(w).cast(LongType).as("rnk"), dense_rank().over(w).cast(LongType).as("drnk"),
+          percent_rank().over(w).as("prank"), cume_dist().over(w).as("cdist"))
+    },
+
+    // ---- scalar string-function coverage ------------------------------
+    // The per-row string toolkit (case, substring, replace, pad, concat)
+    // — pure codegen projections, shuffle-free, ASCII semantics identical
+    // across engines.
+    Q("q_string_fns", Some(
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        | substr(p_name, 1, 8) AS name8, replace(p_type, ' ', '_') AS type_id,
+        | length(p_name) AS name_len, lpad(CAST(p_size AS VARCHAR), 3, '0') AS size3,
+        | p_brand || ':' || p_type AS brand_type
+        | FROM part""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"), lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        regexp_replace(col("p_type"), " ", "_").as("type_id"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        lpad(col("p_size").cast(StringType), 3, "0").as("size3"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+    },
+
+    // ---- calendar rollup (date_trunc + extract) -----------------------
+    // Monthly order volume: date parts are TZ-free here (naive
+    // timestamps; Spark session TZ pinned UTC), isodow avoids the
+    // engines' differing dayofweek origins. One aggregation shuffle on
+    // the month key.
+    Q("q_date_rollup", Some(
+      """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        | FROM orders GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      t(s, d, "orders")
+        .groupBy(unix_micros(date_trunc("month", col("o_orderdate"))).as("month_us"),
+          year(col("o_orderdate")).cast(LongType).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("revenue"))
     }
   )
 
