@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{GraftSql, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
 import graft.functions.{FloatVecDotExpr, TopKAgg}
 import graft.repo.Md5ModExpr
@@ -46,7 +46,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => FloatVecDotExpr(args.head, args(1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
-      (args: Seq[Expression]) => TopKAgg(args.head, args(1), litInt(args(2), "graft_topk"))))
+      // coerce like the Column-API helper does — raw INT/FLOAT args would
+      // otherwise pass analysis and ClassCastException mid-job
+      (args: Seq[Expression]) => TopKAgg(
+        Cast(args.head, org.apache.spark.sql.types.DoubleType),
+        Cast(args(1), org.apache.spark.sql.types.LongType),
+        litInt(args(2), "graft_topk"))))
 
   /** Register on an already-running session (the extensions config is only
     * read at session construction).

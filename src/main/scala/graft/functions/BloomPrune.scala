@@ -41,9 +41,12 @@ object BloomPrune {
   }
 }
 
-/** `bloom_contains(key)` — true iff the sketch might contain the long key.
-  * The deserialized filter is codegen-referenced once per task, not per
-  * row; the probe itself is two xxhash64 evaluations against a bitmap.
+/** `bloom_contains(key)` — true iff the sketch might contain the key.
+  * The probe must be an INTEGRAL column (the sketch stores longs;
+  * narrower ints widen identically on the codegen and interpreted
+  * paths). The deserialized filter is codegen-referenced once per task,
+  * not per row; the probe itself is two xxhash64 evaluations against a
+  * bitmap.
   */
 case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
     extends UnaryExpression {
@@ -53,7 +56,10 @@ case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
   @transient private lazy val bf: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
 
-  override def nullSafeEval(v: Any): Any = bf.mightContainLong(v.asInstanceOf[Long])
+  // Number.longValue keeps the interpreted path consistent with codegen,
+  // where Java implicitly widens narrower integral types to long
+  override def nullSafeEval(v: Any): Any =
+    bf.mightContainLong(v.asInstanceOf[Number].longValue())
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomFilter", bf, classOf[BloomFilter].getName)

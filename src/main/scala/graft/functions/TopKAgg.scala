@@ -37,15 +37,28 @@ case class TopKAgg(
 
   require(k > 0, s"topk: k must be positive, got $k")
 
+  // input contract: value DOUBLE, tie BIGINT. ExpectsInputTypes is
+  // private[sql] and children may be unresolved at construction, so the
+  // contract is enforced by BOTH entry points inserting casts —
+  // TopKAgg.topk (Column API) and the graft_topk SQL builder. Direct
+  // construction must cast likewise.
   override def children: Seq[Expression] = Seq(value, tie)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("value", DoubleType, nullable = false),
       StructField("tie", LongType, nullable = false))), containsNull = false)
 
-  /** a strictly precedes b in the top-k order. */
-  private def precedes(av: Double, at: Long, bv: Double, bt: Long): Boolean =
-    av > bv || (av == bv && at < bt)
+  /** a strictly precedes b in the top-k order. Double.compare gives
+    * Spark's SQL total order (NaN greatest, -0.0 < 0.0), so a NaN value
+    * ranks FIRST under DESC — exactly where `row_number() ORDER BY v
+    * DESC` puts it. Null values are excluded by update() (the window
+    * form ranks nulls last under DESC; coalesce the input if nulls must
+    * occupy slots).
+    */
+  private def precedes(av: Double, at: Long, bv: Double, bt: Long): Boolean = {
+    val c = java.lang.Double.compare(av, bv)
+    c > 0 || (c == 0 && at < bt)
+  }
 
   private def insert(buf: ArrayBuffer[(Double, Long)], v: Double, t: Long): Unit = {
     if (buf.length >= k && !precedes(v, t, buf.last._1, buf.last._2)) return

@@ -1523,11 +1523,14 @@ object Queries {
         .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
     },
 
+    // (keys chosen to stay non-empty at EVERY scale factor: customers
+    // with orders but no event activity exist at all sfs; nation-level
+    // keys converge to full coverage as sf grows)
     Q("q_except", Some(
-      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier"
+      "SELECT o_custkey AS custkey FROM orders EXCEPT SELECT user_id FROM events"
     )) { (s, d) =>
-      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
-        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .except(eventsUs(s, d).select(col("user_id").as("custkey")))
     },
 
     // ---- time-series gap filling (per-entity resampling) --------------
@@ -1558,24 +1561,27 @@ object Queries {
     // ---- inverted index (token -> postings) ---------------------------
     // The retrieval-side core structure: per token, collection frequency,
     // document frequency, and the sorted posting list. Build is one
-    // explode + one aggregation shuffle on token; collect_set is bounded
-    // by the df cap (stop-worthy tokens with huge df are exactly the ones
-    // a real index stores as bitmaps, not lists — they're filtered here,
-    // same skew reasoning as ShingleDfCap).
+    // explode + one aggregation shuffle on token; posting LISTS are only
+    // emitted below the df cap (stop-worthy tokens with huge df are
+    // exactly the ones a real index stores as bitmaps, not lists — here
+    // they keep their tf/df stats with a null postings column, same skew
+    // reasoning as ShingleDfCap). Every vocabulary token yields a row at
+    // any scale factor.
     Q("q_inverted_index", Some(
       s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
         | agg AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df,
         |   array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
         |   FROM tk GROUP BY tok)
-        | SELECT tok, tf, df, postings FROM agg WHERE df BETWEEN 2 AND 50""".stripMargin.replaceAll("\n", "")
+        | SELECT tok, tf, df, CASE WHEN df <= 50 THEN postings END AS postings FROM agg""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"),
           array_join(sort_array(collect_set(col("doc_id")))
-            .cast(ArrayType(StringType)), ",").as("postings"))
-        .filter(col("df").between(2, 50))
+            .cast(ArrayType(StringType)), ",").as("p0"))
+        .select(col("tok"), col("tf"), col("df"),
+          when(col("df") <= 50, col("p0")).as("postings"))
     },
 
     // ---- token co-occurrence (bigram lift) ----------------------------

@@ -38,7 +38,7 @@ object StreamJoin {
     a.join(b,
         col("user_id") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr(s"INTERVAL ${horizonUs / 1000000} SECOND"))
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"))
       .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts_us"), col("b_ts_us"))
   }
 
@@ -63,7 +63,7 @@ object StreamJoin {
     a.join(b,
         col("user_id") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr(s"INTERVAL ${horizonUs / 1000000} SECOND"),
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"),
         "left_outer")
       .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts_us"), col("b_ts_us"))
   }
