@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{BloomPrune, TextFns, VectorFns}
+import graft.functions.{BloomPrune, SetOps, TextFns, VectorFns}
 import graft.ingest.ObjIngestor
 import graft.repo.{HashBucket, HashBucketLayout, RecordWriter, TableRepo}
 import graft.streaming.StreamJoin
@@ -594,10 +594,10 @@ object Queries {
       // and the exchange materializes the hashed token sets (computed once)
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
+          SetOps.sortedSet(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
         .repartition(col("lang"), col("source"))
       val a = dd.as("a"); val b = dd.as("b")
-      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val inter = SetOps.intersectCount(col("a.toks"), col("b.toks"))
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard",
@@ -626,10 +626,10 @@ object Queries {
         .filter(size(col("toks")) >= 3)
         .repartition(col("lang"), col("source"))
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
+          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
         .repartition(col("lang"), col("source"))
       val a = dd.as("a"); val b = dd.as("b")
-      val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+      val inter = SetOps.intersectCount(col("a.sh"), col("b.sh"))
       a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard",
@@ -720,9 +720,9 @@ object Queries {
         .filter(size(col("toks")) >= 3)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
-          array_distinct(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
+          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
         .repartition(col("doc_id"))
-      val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+      val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
       cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
         .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
         .withColumn("jaccard",
@@ -1368,10 +1368,10 @@ object Queries {
     )) { (s, d) =>
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
+          SetOps.sortedSet(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
         .repartition(col("lang"), col("source"))
       val a = dd.as("a"); val b = dd.as("b")
-      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val inter = SetOps.intersectCount(col("a.toks"), col("b.toks"))
       val pairs = a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
         .withColumn("jaccard",
@@ -1892,9 +1892,9 @@ object Queries {
         .filter(size(col("toks")) >= 3)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
-          array_distinct(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
+          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
         .repartition(col("doc_id"))
-      val inter = size(array_intersect(col("u.sh"), col("v.sh")))
+      val inter = SetOps.intersectCount(col("u.sh"), col("v.sh"))
       est.join(sh.as("u"), col("u.doc_id") === col("doc_a"))
         .join(sh.as("v"), col("v.doc_id") === col("doc_b"))
         .withColumn("jaccard",
@@ -1921,9 +1921,9 @@ object Queries {
     )) { (s, d) =>
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
+          SetOps.sortedSet(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
         .repartition(col("lang"), col("source"))
-      val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+      val inter = SetOps.intersectCount(col("a.toks"), col("b.toks"))
       val purged = dd.as("a").join(dd.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
