@@ -664,6 +664,20 @@ class TableRepo(
     val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     TableRepo.parseFlatJson(raw)
   }
+
+  /** Push the sidecar metadata INTO every data file's parquet footer
+    * (reference parity: core.py:294-301 stores metadata in-file, so
+    * foreign readers see it without knowing about the sidecar). Row
+    * groups are byte-copied — see [[ParquetMeta.embed]]. Keys are
+    * prefixed like the reference's scheme to avoid colliding with
+    * engine-owned KV entries.
+    */
+  def embedMetadata(prefix: String = "graft."): Unit = {
+    val meta = fullMetadata.map { case (k, v) => (prefix + k, v) }
+    if (meta.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
+  }
 }
 
 object TableRepo {

@@ -1,0 +1,48 @@
+package graft.repo
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSuite
+
+/** Footer-embedded repo metadata: every data file carries the KV pairs
+  * in its parquet footer (foreign-reader visible), Spark's own schema
+  * key survives the rewrite, and the data round-trips bit-identically.
+  */
+class ParquetMetaSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("embedMetadata lands KV in every leaf file; data round-trips") {
+    val repo = new TableRepo(scratch("pmeta"), spark,
+      groupCols = Seq("g"), maxRecordsPerFile = 40)
+    val df = (1L to 200L).map(i => (s"g${i % 3}", i, s"v$i")).toDF("g", "id", "payload")
+    repo.extend(df)
+    val before = repo.getFullDf.collect().map(_.toString).sorted.toSeq
+
+    repo.setMetadata(Map("owner" -> "graft", "table_version" -> "7"))
+    repo.embedMetadata()
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(repo.paths.size > 3, "need several files for the test to mean anything")
+    repo.paths.foreach { p =>
+      val kv = ParquetMeta.keyValueMeta(conf, new Path(p))
+      assert(kv.get("graft.owner").contains("graft"), s"missing embedded KV in $p")
+      assert(kv.get("graft.table_version").contains("7"))
+      assert(kv.contains("org.apache.spark.sql.parquet.row.metadata"),
+        "Spark's schema KV must survive the footer rewrite")
+    }
+    val after = repo.getFullDf.collect().map(_.toString).sorted.toSeq
+    assert(after == before, "row-group byte copy must not change the data")
+  }
+
+  test("embed merges with existing KV, extra wins on collision") {
+    val repo = new TableRepo(scratch("pmeta2"), spark)
+    repo.extend(Seq((1L, "a")).toDF("id", "s"))
+    repo.setMetadata(Map("k" -> "v1"))
+    repo.embedMetadata()
+    repo.setMetadata(Map("k" -> "v2"))
+    repo.embedMetadata()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val kv = ParquetMeta.keyValueMeta(conf, new Path(repo.paths.head))
+    assert(kv.get("graft.k").contains("v2"))
+  }
+}
