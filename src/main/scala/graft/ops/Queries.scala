@@ -1959,6 +1959,44 @@ object Queries {
         .select(col("doc_id"), col("h"), col("pri"))
     },
 
+    // ---- exact-moment correlation -------------------------------------
+    // Pearson r per group without corr() — Spark's corr folds doubles in
+    // partition order (nondeterministic bits). The five moments are
+    // exact order-independent decimal sums; the correlation formula then
+    // runs as ONE fixed IEEE op sequence per group, so both engines
+    // agree bitwise (the q_outliers technique, two variables).
+    // Moments convert decimal -> string -> double: DuckDB's direct
+    // decimal->double cast computes double(unscaled)/double(10^s) — TWO
+    // roundings, off-by-one-ulp once the unscaled value passes 2^53 (the
+    // price-squared sum does) — while string->double is correctly
+    // rounded in both engines.
+    Q("q_correlation", Some(
+      """WITH st AS (SELECT l_returnflag, count(*) AS n,
+        |   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |   CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |   CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
+        |   FROM lineitem GROUP BY 1)
+        | SELECT l_returnflag, n,
+        |   (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        | FROM st""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val dec = DecimalType(18, 2)
+      val x = col("l_quantity").cast(dec)
+      val y = col("l_extendedprice").cast(dec)
+      def d2(c: org.apache.spark.sql.Column) = c.cast(StringType).cast(DoubleType)
+      val st = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          d2(sum(x)).as("sx"), d2(sum(y)).as("sy"),
+          d2(sum(x * y)).as("sxy"),
+          d2(sum(x * x)).as("sxx"), d2(sum(y * y)).as("syy"))
+      st.select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+    },
+
     // ---- ranking-function family (rank/dense_rank/percent_rank/cume) --
     // All four are functions of the VALUE order only (ties share ranks),
     // so they are deterministic without a tie-break; percent_rank and
