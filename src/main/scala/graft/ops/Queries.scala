@@ -104,6 +104,27 @@ object Queries {
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** SQL fragment: the minhash signature select list (`mh0..mhk`). */
+  private lazy val sqlMinhashSelects: String = TextFns.MinhashA.indices.map { i =>
+    s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
+  }.mkString(", ")
+
+  /** SQL fragment: UNION ALL of the per-band (doc_id, band, bh) selects
+    * over a `sig` CTE — generated from the same constants as the Spark
+    * [[lshBands]] so both engines see identical band keys.
+    */
+  private lazy val sqlBandSelects: String = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+    val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+    s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
+  }.mkString(" UNION ALL ")
+
+  /** LSH band rows (doc_id, band, bh) from a signature DataFrame. */
+  private def lshBands(sig: DataFrame): DataFrame =
+    TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
+    }.reduce(_.union(_))
+
   // ---------------------------------------------------------- inventory
 
   private lazy val registry: Seq[Q] = Seq(
@@ -640,9 +661,7 @@ object Queries {
 
     // ---- MinHash signatures over 3-gram shingles ---------------------
     Q("q_minhash", Some {
-      val hs = TextFns.MinhashA.indices.map { i =>
-        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
-      }.mkString(", ")
+      val hs = sqlMinhashSelects
       s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
          | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok)
          | SELECT doc_id, $hs FROM hh GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
@@ -651,13 +670,8 @@ object Queries {
     // ---- MinHash LSH candidate pairs (bands generated from the same
     // constants on both engines — widen by appending to TextFns.MinhashA/B)
     Q("q_lsh_near_dup", Some {
-      val hs = TextFns.MinhashA.indices.map { i =>
-        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
-      }.mkString(", ")
-      val bandSelects = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
-        s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
-      }.mkString(" UNION ALL ")
+      val hs = sqlMinhashSelects
+      val bandSelects = sqlBandSelects
       s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
          | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok),
          | sig AS (SELECT doc_id, $hs FROM hh GROUP BY doc_id),
@@ -666,10 +680,7 @@ object Queries {
          | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
       val sig = minhashSig(t(s, d, "documents"))
-      val bands = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        sig.select(col("doc_id"), lit(bnd).as("band"),
-          concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
-      }.reduce(_.union(_))
+      val bands = lshBands(sig)
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -683,13 +694,8 @@ object Queries {
     // n-gram Jaccard then verifies only those candidates. The blocked
     // exact queries above are this pipeline's small-sf ground truth.
     Q("q_lsh_verified", Some {
-      val hs = TextFns.MinhashA.indices.map { i =>
-        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
-      }.mkString(", ")
-      val bandSelects = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
-        s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
-      }.mkString(" UNION ALL ")
+      val hs = sqlMinhashSelects
+      val bandSelects = sqlBandSelects
       s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
          | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok),
          | sig AS (SELECT doc_id, $hs FROM hh GROUP BY doc_id),
@@ -704,10 +710,7 @@ object Queries {
     }) { (s, d) =>
       val docs = t(s, d, "documents")
       val sig = minhashSig(docs)
-      val bands = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        sig.select(col("doc_id"), lit(bnd).as("band"),
-          concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
-      }.reduce(_.union(_))
+      val bands = lshBands(sig)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -1844,13 +1847,8 @@ object Queries {
     // before a full sweep. Same candidate + shingle-set machinery as
     // q_lsh_verified.
     Q("q_minhash_est", Some {
-      val hs = TextFns.MinhashA.indices.map { i =>
-        s"CAST(min((h * ${TextFns.MinhashA(i)} + ${TextFns.MinhashB(i)}) % ${TextFns.MinhashP}) AS BIGINT) AS mh$i"
-      }.mkString(", ")
-      val bandSelects = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
-        s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
-      }.mkString(" UNION ALL ")
+      val hs = sqlMinhashSelects
+      val bandSelects = sqlBandSelects
       val eqSum = TextFns.MinhashA.indices
         .map(i => s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")
       val k = TextFns.MinhashA.length
@@ -1870,10 +1868,7 @@ object Queries {
     }) { (s, d) =>
       val docs = t(s, d, "documents")
       val sig = minhashSig(docs)
-      val bands = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        sig.select(col("doc_id"), lit(bnd).as("band"),
-          concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
-      }.reduce(_.union(_))
+      val bands = lshBands(sig)
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
