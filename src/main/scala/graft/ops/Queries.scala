@@ -611,20 +611,14 @@ object Queries {
          | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          | WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // pre-partition on the block key: the self-join reuses one exchange,
-      // and the exchange materializes the hashed token sets (computed once)
+      // exact prefix-filter join (SetSimJoin): identical output to the
+      // blocked all-pairs oracle, but candidates come from an equi-join
+      // on (rarest prefix token, block) — never block² pairs
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          SetOps.sortedSet(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
-        .repartition(col("lang"), col("source"))
-      val a = dd.as("a"); val b = dd.as("b")
-      val inter = SetOps.intersectCount(col("a.toks"), col("b.toks"))
-      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard",
-          inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+          transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
+      SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
     },
 
     // ---- n-gram Jaccard near-dup -------------------------------------
@@ -1369,18 +1363,16 @@ object Queries {
         | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
         | SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
+      // pair stage = the EXACT prefix-filter join (SetSimJoin) — same
+      // pairs as the oracle's blocked all-pairs CTE, generated via a
+      // prefix-token equi-join that scales linearly with near-dup
+      // density instead of quadratically with block size. The last
+      // all-pairs path in this pipeline is gone.
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          SetOps.sortedSet(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
-        .repartition(col("lang"), col("source"))
-      val a = dd.as("a"); val b = dd.as("b")
-      val inter = SetOps.intersectCount(col("a.toks"), col("b.toks"))
-      val pairs = a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard",
-          inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
+      val pairs = SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .localCheckpoint(true) // pairs feed every propagation round
       val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
         .union(pairs.select(col("doc_a"), col("doc_a")))
@@ -1904,8 +1896,8 @@ object Queries {
     // variant is q_dup_clusters' canonical labels, which costs the
     // iterative closure. Greedy can over-purge inside chains a<b<c —
     // for boilerplate removal that is the accepted trade.) Pair
-    // generation is the same lang+source blocking as q_dup_clusters:
-    // linear + per-block joins, never all-pairs.
+    // generation is the exact prefix-filter join (SetSimJoin), same as
+    // q_dup_clusters: linear + prefix-token equi-join, never all-pairs.
     Q("q_near_dup_purge", Some(
       s"""WITH dd AS (SELECT doc_id, lang, source, list_distinct(list_transform($sqlToks, t -> ('0x'||substr(md5(t),1,8))::BIGINT)) AS toks FROM documents),
         | p AS (SELECT b.doc_id AS doc_b
@@ -1916,16 +1908,9 @@ object Queries {
     )) { (s, d) =>
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"),
-          SetOps.sortedSet(transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk))).as("toks"))
-        .repartition(col("lang"), col("source"))
-      val inter = SetOps.intersectCount(col("a.toks"), col("b.toks"))
-      val purged = dd.as("a").join(dd.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard",
-          inter.cast(DoubleType) / (size(col("a.toks")) + size(col("b.toks")) - inter))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("b.doc_id").as("doc_b"))
+          transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
+      val purged = SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
+        .select(col("id_b").as("doc_b"))
       t(s, d, "documents")
         .join(purged, col("doc_id") === col("doc_b"), "left_anti")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
