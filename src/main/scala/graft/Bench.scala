@@ -30,20 +30,31 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
     val results = queries.map { case (name, fn) =>
+      // a crashing query must NOT masquerade as a fast one: any failed rep
+      // poisons the whole entry to the -1 sentinel (and stderr says why)
+      var failed: Option[Throwable] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable => failed = Some(e) }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      failed.foreach(e => System.err.println(s"BENCH FAIL $name: $e"))
+      name -> (if (failed.isEmpty) times(times.length / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val okTimes = results.values.filter(_ >= 0)
+    val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
+    val nFail = results.values.count(_ < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$nFail,"queries":$qs,"sf":"$sfDir"}"""
+    // target/ is gitignored and the driver's stdout capture truncates, so
+    // ALSO write to a committed path — docs/bench_last.json is the durable
+    // all-queries artifact each round
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"), (line + "\n").getBytes("UTF-8"))
+    Files.createDirectories(Paths.get("docs"))
+    Files.write(Paths.get("docs/bench_last.json"), (line + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
   }

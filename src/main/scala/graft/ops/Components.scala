@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components of an undirected pair graph, shared by the dedup
+  * cluster finders (token near-dup clusters, embedding near-dup clusters).
+  *
+  * Pairwise near-dup output is not actionable until pairs become CLUSTERS
+  * with one canonical survivor each. Components via iterative min-label
+  * propagation — labels(v) = min(label over neighbors ∪ v) — which
+  * converges to min(id in component): a unique fixpoint, so the result is
+  * deterministic regardless of iteration schedule. Each round is one join
+  * + one aggregate (the standard Spark CC); rounds = graph diameter (dup
+  * clusters are shallow — ≤3 at the test scales). The driver-side loop
+  * holds only a LONG per round (convergence witness), never rows.
+  */
+object Components {
+
+  /** Min-label connected components over `pairs` (two long id columns,
+    * undirected edges). Returns one row per node appearing in `pairs`,
+    * columns (`id`, `cluster_id`) with `cluster_id` = min id in the node's
+    * component.
+    */
+  def minLabel(pairs0: DataFrame, maxRounds: Int = 50): DataFrame = {
+    require(pairs0.columns.length == 2,
+      s"pairs must have exactly two id columns, got ${pairs0.columns.mkString(",")}")
+    val pairs = pairs0.toDF("__a", "__b")
+      .localCheckpoint(true) // pairs feed every propagation round
+    val edges = pairs.union(pairs.select(col("__b"), col("__a")))
+      .union(pairs.select(col("__a"), col("__a")))
+      .union(pairs.select(col("__b"), col("__b")))
+      .toDF("src", "dst").distinct()
+      .localCheckpoint(true)
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+      .localCheckpoint(true)
+    // min-propagation DECREASES labels monotonically, so the label sum is
+    // a strictly decreasing convergence witness: equal sums between
+    // rounds <=> elementwise fixpoint. One single-column aggregate per
+    // round instead of a join-based diff. (id sums fit a long with
+    // orders of magnitude to spare.)
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = edges
+        .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    // maxRounds covers any realistic dup-cluster diameter; emitting
+    // unconverged labels would be silently wrong, so fail loudly instead
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    labels.select(col("src").as("id"), col("lbl").as("cluster_id"))
+  }
+}

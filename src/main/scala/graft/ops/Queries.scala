@@ -89,6 +89,18 @@ object Queries {
   private def sqlHash32(c: String) = s"('0x'||substr(md5($c),1,8))::BIGINT"
   private def sqlCosine(a: String, b: String) =
     s"list_inner_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_inner_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_inner_product($b::DOUBLE[], $b::DOUBLE[])))"
+  /** SRP bucket in DuckDB SQL — same deterministic ±1 hyperplanes as
+    * [[VectorFns.srpBucket]], so bucket ids agree bit-for-bit.
+    */
+  private def sqlSrpBucket(emb: String, bits: Int = 4, dim: Int = 64): String = {
+    val planes = (0 until bits).map { i =>
+      (0 until dim).map(j => if ((i * 31 + j * 17) % 2 == 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+    }
+    "CAST(" + (0 until bits).map { i =>
+      s"(CASE WHEN list_inner_product($emb::DOUBLE[], ${planes(i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+  }
 
   /** MinHash signature (4 hash functions) over 3-gram shingles; docs with
     * fewer than 3 tokens have no shingles and are excluded.
@@ -563,15 +575,7 @@ object Queries {
 
     // ---- ANN via sign-random-projection LSH buckets ------------------
     Q("q_ann_srp", Some {
-      val dim = 64; val bits = 4
-      val planes = (0 until bits).map { i =>
-        (0 until dim).map(j => if ((i * 31 + j * 17) % 2 == 0) "1.0" else "-1.0")
-          .mkString("[", ", ", "]")
-      }
-      val bucketSql = (0 until bits).map { i =>
-        s"(CASE WHEN list_inner_product(embedding::DOUBLE[], ${planes(i)}) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings)
+      s"""WITH b AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding")} AS bucket FROM embeddings)
          | SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
          |   ${sqlCosine("q.embedding", "c.embedding")} AS sim
          | FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
@@ -629,28 +633,21 @@ object Queries {
          | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // TWO exchanges, both load-bearing: the first materializes the token
-      // arrays (shinglesOf references the array per element — an inline
-      // split would re-execute per shingle), the second materializes the
-      // hashed shingle SETS so the self-join's both sides read finished
-      // arrays from the shuffle instead of recomputing them above the
-      // exchange (recompute there is plan-dependent: 63 s at local[32] vs
-      // 3 s when materialized). Shuffled volume is tiny next to that.
+      // exact prefix-filter join (SetSimJoin) over the 3-gram shingle
+      // sets — output-identical to the blocked all-pairs oracle at t=0.4.
+      // The token ARRAYS are still materialized behind one exchange before
+      // the shingle transform (shinglesOf references the array per
+      // element — an inline split would re-execute per shingle); the
+      // shingle-set materialization itself is SetSimJoin's checkpointed
+      // base.
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
-        .repartition(col("lang"), col("source"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
-          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
-        .repartition(col("lang"), col("source"))
-      val a = dd.as("a"); val b = dd.as("b")
-      val inter = SetOps.intersectCount(col("a.sh"), col("b.sh"))
-      a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard",
-          inter.cast(DoubleType) / (size(col("a.sh")) + size(col("b.sh")) - inter))
-        .filter(col("jaccard") >= 0.4)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jaccard"))
+          transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g)).as("sh"))
+      SetSimJoin.jaccardPairs(dd, "doc_id", "sh", Seq("lang", "source"), 0.4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
     },
 
     // ---- MinHash signatures over 3-gram shingles ---------------------
@@ -808,6 +805,40 @@ object Queries {
           VectorFns.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
         .filter(col("sim") >= 0.35)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+    },
+
+    // ---- semantic dedup: embedding near-dup CLUSTERS -------------------
+    // The 100 TB semantic-dedup pipeline end-to-end: SRP-LSH buckets bound
+    // the candidate pairs (linear + bucket equi-join, never all-pairs),
+    // cosine verifies each candidate, min-label propagation turns verified
+    // pairs into components with one canonical survivor (min vec_id). The
+    // bucket step is deterministic (fixed ±1 hyperplanes), so the oracle
+    // replays the same buckets and the recall cut is identical on both
+    // engines. Output carries only ids — no doubles to hash-mismatch.
+    Q("q_emb_dup_clusters", Some(
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
+         | p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |   WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35),
+         | e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
+         |   UNION SELECT va, va FROM p UNION SELECT vb, vb FROM p),
+         | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         | SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      // bucket + norm are per-ROW, materialized once behind the exchange
+      // feeding both self-join sides (the q_emb_near_dup pattern)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64).as("bucket"),
+          VectorFns.norm2(col("embedding")).as("nrm"))
+        .repartition(col("bucket"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("sim",
+          VectorFns.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("sim") >= 0.35)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      Components.minLabel(pairs)
+        .select(col("id").as("vec_id"), col("cluster_id"))
     },
 
     // ---- SimHash -----------------------------------------------------
@@ -1343,15 +1374,9 @@ object Queries {
     },
 
     // ---- dup-graph connected components (canonical doc per cluster) ---
-    // Pairwise near-dup output is not actionable until pairs become
-    // CLUSTERS with one canonical survivor each. Components via iterative
-    // min-label propagation — labels(v) = min(label over neighbors ∪ v) —
-    // which converges to min(doc_id in component): a unique fixpoint, so
-    // the result is deterministic regardless of iteration schedule. Each
-    // round is one join + one aggregate (the standard Spark CC); rounds =
-    // graph diameter (dup clusters are shallow — here it converges in <=3).
-    // The driver-side loop holds only a row COUNT per round (convergence
-    // check), never rows. Oracle: transitive closure by recursive CTE,
+    // Min-label propagation over the exact near-dup pair graph (the
+    // shared [[Components.minLabel]] finder — deterministic fixpoint,
+    // see its scaladoc). Oracle: transitive closure by recursive CTE,
     // then min per node — same fixpoint, engine-independent.
     Q("q_dup_clusters", Some(
       s"""WITH RECURSIVE dd AS (SELECT doc_id, lang, source, list_distinct(list_transform($sqlToks, t -> ('0x'||substr(md5(t),1,8))::BIGINT)) AS toks FROM documents),
@@ -1372,40 +1397,9 @@ object Queries {
         .select(col("doc_id"), col("lang"), col("source"),
           transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
       val pairs = SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        .localCheckpoint(true) // pairs feed every propagation round
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-        .union(pairs.select(col("doc_a"), col("doc_a")))
-        .union(pairs.select(col("doc_b"), col("doc_b")))
-        .toDF("src", "dst").distinct()
-        .localCheckpoint(true)
-      var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
-        .localCheckpoint(true)
-      // min-propagation DECREASES labels monotonically, so the label sum is
-      // a strictly decreasing convergence witness: equal sums between
-      // rounds <=> elementwise fixpoint. One single-column aggregate per
-      // round instead of a join-based diff. (doc_id sums fit a long with
-      // orders of magnitude to spare.)
-      def lblSum(df: DataFrame): Long =
-        df.agg(sum(col("lbl"))).head().getLong(0)
-      var prevSum = lblSum(labels)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val next = edges
-          .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
-          .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        val s = lblSum(next)
-        converged = s == prevSum
-        prevSum = s
-        labels = next
-        rounds += 1
-      }
-      // 50 rounds covers any realistic dup-cluster diameter; emitting
-      // unconverged labels would be silently wrong, so fail loudly instead
-      require(converged, s"label propagation did not converge in $rounds rounds")
-      labels.select(col("src").as("doc_id"), col("lbl").as("cluster_id"))
+        .select(col("id_a"), col("id_b"))
+      Components.minLabel(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
     },
 
     // ---- native session windows ---------------------------------------

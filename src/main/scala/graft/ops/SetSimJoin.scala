@@ -37,10 +37,19 @@ import graft.functions.SetOps
   * ANY total order is correct, so a stale or sampled df table only costs
   * candidates, never recall.
   *
+  * The base sorted-set table and the prefix table are eagerly
+  * `localCheckpoint`ed: each is computed exactly once and its four/two
+  * consumers scan finished partitions. (On a multi-executor cluster where
+  * executor loss must not fail the job, swap for `persist(MEMORY_AND_DISK)`
+  * or a reliable `checkpoint` — same plan shape, recoverable blocks.)
+  *
   * Reference behavior spec: parquetranger has no similarity join; this is
   * the Tier-B near-dup surface (SURVEY.md §2.B2) in its exact form.
   */
 object SetSimJoin {
+
+  /** Internal working columns; caller columns must not collide. */
+  private val Reserved = Set("__set", "__n", "__h", "__df", "__rk", "id_a", "id_b", "jaccard")
 
   /** All pairs with `jaccard(setCol_a, setCol_b) >= threshold` within the
     * same `blockCols` group (empty = whole table), ids ordered `a < b`.
@@ -49,36 +58,51 @@ object SetSimJoin {
     *                  (array&lt;bigint&gt;; need not be sorted — sorted
     *                  once here, amortized across all pairs)
     * @return columns (`id_a`, `id_b`, `jaccard`)
+    * @note `idCol`/`blockCols` may not use the reserved internal names
+    *       `__set __n __h __df __rk id_a id_b jaccard`.
     */
   def jaccardPairs(dd: DataFrame, idCol: String, setCol: String,
                    blockCols: Seq[String], threshold: Double): DataFrame = {
+    (idCol +: blockCols).foreach { c =>
+      require(!Reserved(c), s"column name '$c' collides with a SetSimJoin internal name " +
+        s"(reserved: ${Reserved.mkString(" ")})")
+    }
     val blocks = blockCols.map(col)
-    // materialize the hashed sorted sets ONCE behind an id exchange —
-    // every downstream consumer (df aggregate, prefix window, both verify
-    // sides) reads the finished arrays from this shuffle instead of
-    // re-running tokenize/hash per subtree (the q_ngram_jaccard lesson)
+    // materialize the hashed sorted sets ONCE — eagerly, as checkpointed
+    // in-memory partitions. A plain repartition is NOT enough: Spark's
+    // exchange reuse needs canonically identical subtrees, and per-consumer
+    // column pruning makes each of the four consumers (df aggregate, prefix
+    // window, both verify sides) a *different* subtree, so the whole
+    // tokenize/hash/sort pipeline re-ran per consumer (round-6 plan dump:
+    // 12 parquet scans, 14 sort_arrays, zero ReusedExchange, a 5-12x
+    // corpus-scan tax). localCheckpoint truncates lineage, so every
+    // consumer scans the finished arrays instead.
     val base = dd
       .select((col(idCol) +: blocks :+ SetOps.sortedSet(col(setCol)).as("__set")): _*)
       .withColumn("__n", size(col("__set")))
       .repartition(col(idCol))
+      .localCheckpoint(true)
 
     val tokens = base.select(
       (col(idCol) +: blocks :+ col("__n") :+ explode(col("__set")).as("__h")): _*)
-    // document frequency per element — the candidate-minimizing order
+    // document frequency per element — the candidate-minimizing order.
+    // The dfreq join shuffles both sides on __h (dfreq is an aggregate, so
+    // the planner won't risk a broadcast estimate; at 100 TB the distinct-
+    // token table wouldn't fit one anyway) — one extra exchange over the
+    // checkpointed base, by design, never a recompute.
     val dfreq = tokens.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     // prefix length n - ceil(t*n) + 1; the 1e-9 guards double noise in
     // t*n landing an ulp ABOVE an exact integer (a longer prefix only
-    // adds candidates, a shorter one would lose recall). tokens inherit
-    // base's id partitioning, so the per-id window sorts WITHOUT a new
-    // exchange once dfreq is broadcast-joined in.
+    // adds candidates, a shorter one would lose recall)
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("__h"))
     val prefix = tokens.join(dfreq, "__h")
       .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <= col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
       .select((col(idCol) +: blocks :+ col("__n") :+ col("__h")): _*)
-      // partition on the join keys: the self-join below then sees two
-      // identical exchanges — one computed, one ReusedExchange
-      .repartition((col("__h") +: blocks): _*)
+      // checkpoint the (small) prefix table too: the a/b sides of the
+      // candidate self-join each read the finished prefix rows rather than
+      // re-running the dfreq join + window twice
+      .localCheckpoint(true)
 
     def both(c: String): Column = col(s"a.$c") === col(s"b.$c")
     val joinCond = (("__h" +: blockCols).map(both) :+
@@ -89,7 +113,7 @@ object SetSimJoin {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
 
-    // verify sides read the base exchange directly (ReusedExchange)
+    // verify sides scan the checkpointed base partitions directly
     val sets = base.select(col(idCol), col("__set"))
     val inter = SetOps.intersectCount(col("x.__set"), col("y.__set"))
     cand.join(sets.as("x"), col(s"x.$idCol") === col("id_a"))
