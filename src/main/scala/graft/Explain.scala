@@ -23,7 +23,9 @@ object Explain {
         "q_inverted_index", "q_cooccur", "q_keywords", "q_heavy_hitters",
         "q_bloom_join", "q_topk_agg", "q_skew_agg", "q_median", "q_outliers", "q_event_join",
         "q_grouping_sets", "q_minhash_est", "q_near_dup_purge", "q_union_dedup",
-        "q_rank_stats", "q_string_fns", "q_date_rollup", "q_correlation")
+        "q_rank_stats", "q_string_fns", "q_date_rollup", "q_correlation",
+        // round 7
+        "q_emb_dup_clusters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

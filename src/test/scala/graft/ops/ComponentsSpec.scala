@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ComponentsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.minLabel(pairs.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a path graph collapses to one component labeled by its min id") {
+    // diameter 4 — forces several propagation rounds before the fixpoint
+    val got = cc(Seq((2L, 7L), (7L, 3L), (3L, 9L), (9L, 5L)))
+    assert(got == Map(2L -> 2L, 7L -> 2L, 3L -> 2L, 9L -> 2L, 5L -> 2L))
+  }
+
+  test("disjoint components keep separate min labels") {
+    val got = cc(Seq((1L, 4L), (10L, 12L), (12L, 11L)))
+    assert(got == Map(1L -> 1L, 4L -> 1L, 10L -> 10L, 12L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicate and reversed edges do not change the fixpoint") {
+    val got = cc(Seq((4L, 1L), (1L, 4L), (4L, 1L), (5L, 4L)))
+    assert(got == Map(1L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("matches a transitive-closure oracle on a random sparse graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.map(x => x -> find(x)).toMap
+    assert(cc(pairs) == want)
+  }
+
+  test("rejects inputs without exactly two columns") {
+    intercept[IllegalArgumentException] {
+      Components.minLabel(Seq((1L, 2L, 3L)).toDF("a", "b", "c"))
+    }
+  }
+}
