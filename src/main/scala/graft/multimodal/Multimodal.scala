@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,13 +15,21 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas` batches — one iterator pass per partition, no
   * driver materialization, constant memory).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`fakeDecode`): it derives features
-  * purely from the payload bytes. The Spark-side plumbing — schema,
-  * partitioning, batch iteration, feature shape — is real and tested; swap
-  * `fakeDecode` for a JNI/codec call in production.
+  * IMAGE decode is real: pure-JVM `javax.imageio` (PNG/JPEG/GIF/BMP), no
+  * native deps — [[decodeImageFeatures]] yields dimensions + pixel stats,
+  * [[resizeImages]] re-encodes a bilinear-scaled PNG. Undecodable payloads
+  * are dropped, counted per partition by the caller if needed (a corrupt
+  * media file must never fail a 100 TB sweep). AUDIO/VIDEO codecs don't
+  * exist in the JVM: [[sampleFrames]] keeps the byte-window iterator shape
+  * as the documented production slot for a codec call, and
+  * [[extractFeatures]] computes codec-independent content signatures
+  * (byte histogram + folded signature) useful for binary near-dup on any
+  * modality.
   */
 object Multimodal {
+
+  // decode must never touch a display; Spark executors have no X server
+  System.setProperty("java.awt.headless", "true")
 
   /** Typed media record: id + opaque payload. */
   case class Media(media_id: Long, payload: Array[Byte])
@@ -30,11 +43,12 @@ object Multimodal {
       histogram: Array[Float],
       signature: Array[Float])
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * decode (no codec libraries in this environment). Features are pure
-    * functions of the bytes so tests are reproducible.
+  /** Codec-independent content signature: 8-bin byte histogram + 16-lane
+    * folded signature, pure functions of the payload bytes. Not a decode —
+    * the modality-agnostic cheap feature (binary near-dup, corruption
+    * screening) that runs before any codec is invoked.
     */
-  def fakeDecode(payload: Array[Byte]): (Array[Float], Array[Float]) = {
+  def byteSignature(payload: Array[Byte]): (Array[Float], Array[Float]) = {
     val hist = new Array[Float](8)
     var i = 0
     while (i < payload.length) {
@@ -72,16 +86,108 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
       it.map { m =>
-        val (hist, sig) = fakeDecode(m.payload)
+        val (hist, sig) = byteSignature(m.payload)
         MediaFeatures(m.media_id, m.payload.length, hist, sig)
       }
     }
   }
 
-  /** Resize: stride-downsample the payload bytes (stub for an image
-    * resize — a real implementation swaps the byte loop for a codec call;
-    * the per-partition streaming shape and the Dataset[Media] -> Dataset
-    * [Media] contract are the production plumbing).
+  /** Decoded image facts + pixel statistics: dimensions, channel count,
+    * mean/stddev of 8-bit luma (ITU-R BT.601 weights), and an 8-bin luma
+    * histogram (normalized). Everything derives from REAL decoded pixels.
+    */
+  case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      n_bytes: Int,
+      mean_luma: Double,
+      std_luma: Double,
+      luma_hist: Array[Float])
+
+  /** Decode one payload with `javax.imageio`. None for anything ImageIO
+    * can't parse — corrupt bytes, truncated files, unknown formats.
+    */
+  def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Real distributed image decode: one `javax.imageio` decode per row in
+    * a streaming partition pass. Undecodable payloads are dropped (never
+    * fail the sweep); the survivor set is exactly the decodable corpus.
+    */
+  def decodeImageFeatures(media: Dataset[Media]): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeImage(m.payload).map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Float](8)
+          var sum = 0.0; var sumSq = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              sum += luma; sumSq += luma * luma
+              // round-to-nearest before binning: the weighted sum for a pure
+              // gray v lands an ulp below v, and truncation would misbin
+              // every bin-boundary level
+              hist(math.min((luma + 0.5).toInt, 255) >>> 5) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          var b = 0
+          while (b < 8) { hist(b) /= n.toFloat; b += 1 }
+          val mean = sum / n
+          val variance = math.max(sumSq / n - mean * mean, 0.0)
+          ImageFeatures(m.media_id, w, h, img.getColorModel.getNumComponents,
+            m.payload.length, mean, math.sqrt(variance), hist)
+        }
+      }
+    }
+  }
+
+  /** Real distributed image resize: decode, bilinear-scale the long side
+    * to `maxDim` (never upscale), re-encode as PNG. Undecodable payloads
+    * are dropped. Same Dataset[Media] -> Dataset[Media] streaming contract
+    * as every other media transform.
+    */
+  def resizeImages(media: Dataset[Media], maxDim: Int): Dataset[Media] = {
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    implicit val enc = Encoders.product[Media]
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeImage(m.payload).map { img =>
+          val longSide = math.max(img.getWidth, img.getHeight)
+          if (longSide <= maxDim) m
+          else {
+            val scale = maxDim.toDouble / longSide
+            val (w, h) = (math.max((img.getWidth * scale).round.toInt, 1),
+              math.max((img.getHeight * scale).round.toInt, 1))
+            val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            Media(m.media_id, bos.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
+  /** Resize (byte-stride variant): stride-downsample the payload bytes —
+    * the codec-independent sibling of [[resizeImages]] for payloads with
+    * no JVM codec (audio PCM thinning, raw tensors).
     */
   def resize(media: Dataset[Media], factor: Int): Dataset[Media] = {
     require(factor >= 1, s"resize factor must be >= 1, got $factor")

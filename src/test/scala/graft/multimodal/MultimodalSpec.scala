@@ -1,10 +1,16 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import graft.SparkSuite
 
-/** The multimodal plumbing contract: schema, partition-streaming transform
-  * shape, deterministic stub features (see Multimodal scaladoc — decode is
-  * a deterministic STUB; the Spark plumbing is real).
+/** The multimodal contract: schema, partition-streaming transform shape,
+  * codec-independent byte signatures, and REAL `javax.imageio` decode —
+  * the image tests synthesize PNGs in-memory and assert decoded
+  * dimensions and pixel statistics.
   */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
@@ -13,13 +19,25 @@ class MultimodalSpec extends SparkSuite {
     (1L, "hello world"), (2L, "abc"), (3L, "")
   ).toDF("doc_id", "text")
 
+  /** In-memory PNG with pixel (x, y) = gray level `f(x, y)`. */
+  private def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   test("payload column carries bytes with typed metadata") {
     val media = Multimodal.withPayload(docs, "text", "doc_id")
     val m = media.collect().map(x => x.media_id -> x.payload.length).toMap
     assert(m == Map(1L -> 11, 2L -> 3, 3L -> 0))
   }
 
-  test("feature extraction is deterministic and partition-streaming") {
+  test("byte signatures are deterministic and partition-streaming") {
     val media = Multimodal.withPayload(docs, "text", "doc_id").repartition(2)
     val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
     assert(f(1L).n_bytes == 11)
@@ -28,6 +46,44 @@ class MultimodalSpec extends SparkSuite {
     // deterministic: extracting twice gives identical features
     val f2 = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
     assert(f(2L).signature.toSeq == f2(2L).signature.toSeq)
+  }
+
+  test("real PNG decode yields exact dimensions and pixel statistics") {
+    val white = png(50, 40)((_, _) => 255) // solid white
+    val ramp = png(256, 2)((x, _) => x)    // every gray level twice
+    val corrupt = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val media = Seq(
+      Multimodal.Media(1L, white),
+      Multimodal.Media(2L, ramp),
+      Multimodal.Media(3L, corrupt)
+    ).toDS().repartition(2)
+    val got = Multimodal.decodeImageFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    // corrupt payload dropped, never fails the job
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L).width == 50 && got(1L).height == 40 && got(1L).channels == 3)
+    assert(math.abs(got(1L).mean_luma - 255.0) < 1e-6 && got(1L).std_luma < 1e-6)
+    // white = luma 255 -> all mass in the top histogram bin
+    assert(math.abs(got(1L).luma_hist(7) - 1.0f) < 1e-6)
+    // uniform 0..255 ramp: mean 127.5, each of the 8 bins holds exactly 1/8
+    assert(got(2L).width == 256 && got(2L).height == 2)
+    assert(math.abs(got(2L).mean_luma - 127.5) < 1e-6)
+    got(2L).luma_hist.foreach(b => assert(math.abs(b - 0.125f) < 1e-6))
+  }
+
+  test("real image resize scales the long side and re-encodes decodably") {
+    val media = Seq(
+      Multimodal.Media(1L, png(64, 32)((x, y) => x + y)),
+      Multimodal.Media(2L, png(8, 4)((_, _) => 9)), // already small: untouched
+      Multimodal.Media(3L, "not an image".getBytes)
+    ).toDS()
+    val out = Multimodal.resizeImages(media, maxDim = 16)
+      .collect().map(m => m.media_id -> m.payload).toMap
+    assert(out.keySet == Set(1L, 2L))
+    val r1 = ImageIO.read(new java.io.ByteArrayInputStream(out(1L)))
+    assert(r1.getWidth == 16 && r1.getHeight == 8)
+    // under maxDim: bytes pass through bit-identical (no decode/re-encode loss)
+    assert(out(2L).toSeq == png(8, 4)((_, _) => 9).toSeq)
   }
 
   test("resize stride-downsamples payloads") {
