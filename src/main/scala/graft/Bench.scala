@@ -25,7 +25,10 @@ object Bench {
     // warm the session (codegen, file index, committer init) so the first
     // timed query doesn't absorb one-time startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm on whichever table the dir actually has (stress dirs built by
+    // graft.ScaleUp carry only documents)
+    val warm = Seq("region", "documents").find(t => Files.exists(Paths.get(s"$sfDir/$t.parquet")))
+    warm.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     // optional comma-separated subset, for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
@@ -53,8 +56,12 @@ object Bench {
     // all-queries artifact each round
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"), (line + "\n").getBytes("UTF-8"))
-    Files.createDirectories(Paths.get("docs"))
-    Files.write(Paths.get("docs/bench_last.json"), (line + "\n").getBytes("UTF-8"))
+    // only a FULL run may replace the committed artifact — a targeted
+    // subset run must not clobber the round's all-queries record
+    if (only.isEmpty) {
+      Files.createDirectories(Paths.get("docs"))
+      Files.write(Paths.get("docs/bench_last.json"), (line + "\n").getBytes("UTF-8"))
+    }
     println(line)
     spark.stop()
   }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stress-corpus generator: replicate the sf0.1 documents table `k`
+  * times (≈ sf1) with shifted ids and replica-salted tokens.
+  *
+  * The salt (`x<k>` prefixed to every whitespace token) makes token sets
+  * DISJOINT across replicas, so the replicated corpus keeps the
+  * generator's natural near-dup density — pairs live within a replica,
+  * exactly `k`× the sf0.1 pair count — instead of the 100× blow-up that
+  * verbatim copies would add (every doc would gain `k−1` exact twins).
+  * That makes it the right input for measuring how the pair family's
+  * runtime scales with corpus size at fixed density: the honest sf1
+  * question. Blocking keys (lang, source) are left unchanged, so block
+  * sizes DO grow `k`× — the prefix-filter candidate stage sees the full
+  * scale-up, not `k` easy mini-problems.
+  *
+  * Usage: runMain graft.ScaleUp [srcDir] [outDir] [replicas]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "target/sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val reps = (0 until k).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"x$r" + "$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    reps.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"wrote ${spark.read.parquet(s"$out/documents.parquet").count()} docs to $out")
+    spark.stop()
+  }
+}
