@@ -474,6 +474,71 @@ class TableRepo(
     }
   }
 
+  /** File-granularity keyed upsert for FLAT key-clustered repos — the
+    * reference's per-file rewrite (core.py:121-130) re-expressed at Spark
+    * scale. `replaceRecords` prunes the merge to affected partition DIRS;
+    * on a flat repo clustered by the key (`clusterCols == keyCols`) the
+    * same idea applies one level down: the write path gives every file a
+    * narrow key range (`repartitionByRange` + `sortWithinPartitions`), so
+    * the merge only needs the files whose footer [min,max] intersects an
+    * update key ([[FileStats.columnRanges]] — one distributed metadata
+    * job). Untouched files are never read and never rewritten — they stay
+    * byte-identical on disk (asserted in `FilePrunedUpsertSpec`). At
+    * 100 TB this is the difference between rewriting a table and
+    * rewriting the handful of files a trickle of updates lands in.
+    *
+    * Files without usable key statistics are conservatively treated as
+    * affected — pruning never depends on stats presence.
+    *
+    * Sequencing: the merged replacement files are APPENDED first, then the
+    * affected originals are deleted — a concurrent reader in the gap sees
+    * duplicated keys rather than missing ones (the same non-atomicity
+    * scope line as `compact()`; snapshot isolation needs a table format
+    * with a commit log on top).
+    */
+  def replaceRecordsPruned(updates: DataFrame): Unit = {
+    require(keyCols.length == 1, "file-pruned upsert requires a single key column")
+    require(layoutCols.isEmpty,
+      "file-pruned upsert targets flat repos; grouped/bucketed repos prune via replaceRecords")
+    val k = keyCols.head
+    val schema = resolveSchema(updates)
+    val keyType = schema(k).dataType
+    require(Seq(IntegerType, LongType, FloatType, DoubleType, StringType).contains(keyType),
+      s"file-pruned upsert supports int/long/float/double/string keys, got $keyType")
+    val u = stage(dedupKeepFirst(harmonize(updates, schema)))
+    if (!exists) { writeData(u, overwrite = false); return }
+    val ranges = FileStats.columnRanges(spark, paths, k)
+    val statless = ranges.collect { case (p, None) => p }
+    val rangeRows = new java.util.ArrayList[Row]()
+    ranges.foreach { case (p, Some((lo, hi))) => rangeRows.add(Row(p, lo, hi)); case _ => () }
+    val rangesDf = spark.createDataFrame(rangeRows,
+      StructType(Seq(StructField("__graft_file__", StringType),
+        StructField("__graft_min__", keyType), StructField("__graft_max__", keyType))))
+    // per-file intersection: broadcast the (one-row-per-file) ranges table
+    // and join the distinct update keys into it — no driver pass over
+    // update rows; the collected result is bounded by file count
+    val affected = u.select(col(k)).distinct()
+      .join(broadcast(rangesDf),
+        col(k) >= col("__graft_min__") && col(k) <= col("__graft_max__"))
+      .select(col("__graft_file__")).distinct()
+      .collect().map(_.getString(0)) ++ statless
+    if (affected.isEmpty) {
+      // no existing file can hold any updated key: the batch is all-new
+      // keys, and an upsert of new keys is a plain append
+      writeData(u, overwrite = false)
+    } else {
+      val scoped = pinnedSchema match {
+        case Some(p) => harmonize(spark.read.schema(p).parquet(affected.toIndexedSeq: _*), p)
+        case None    => spark.read.parquet(affected.toIndexedSeq: _*)
+      }
+      val merged = stage(scoped
+        .join(u.select(col(k)).distinct(), keyCols, "left_anti")
+        .unionByName(u))
+      writeData(merged, overwrite = false)
+      affected.foreach(p => fs.delete(new Path(p), false))
+    }
+  }
+
   /** Unlink all data and the schema sentinel (core.py:162-167). */
   def purge(): Unit = {
     fs.delete(new Path(dataPath), true)
