@@ -26,12 +26,17 @@ object Components {
     require(pairs0.columns.length == 2,
       s"pairs must have exactly two id columns, got ${pairs0.columns.mkString(",")}")
     val pairs = pairs0.toDF("__a", "__b")
-      .localCheckpoint(true) // pairs feed every propagation round
-    val edges = pairs.union(pairs.select(col("__b"), col("__a")))
-      .union(pairs.select(col("__a"), col("__a")))
-      .union(pairs.select(col("__b"), col("__b")))
-      .toDF("src", "dst").distinct()
-      .localCheckpoint(true)
+    // undirected closure (both directions + self-loops) in ONE pass over
+    // the pair pipeline — an explode of a 4-struct array instead of four
+    // unions, so the (possibly expensive) pair plan executes exactly once
+    // inside the edges materialization and needs no checkpoint of its own
+    val edges = pairs.select(explode(array(
+        struct(col("__a").as("src"), col("__b").as("dst")),
+        struct(col("__b").as("src"), col("__a").as("dst")),
+        struct(col("__a").as("src"), col("__a").as("dst")),
+        struct(col("__b").as("src"), col("__b").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
+      .localCheckpoint(true) // edges feed every propagation round
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
       .localCheckpoint(true)
     // min-propagation DECREASES labels monotonically, so the label sum is

@@ -582,8 +582,13 @@ object Queries {
          | WHERE q.vec_id < 5
          | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
+      // buckets are materialized ONCE (eager checkpoint): the query side
+      // and candidate side prune different columns, which breaks exchange
+      // canonical-equality — without the checkpoint the scan + SRP
+      // pipeline runs per side (the SetSimJoin round-6 lesson)
       val e = t(s, d, "embeddings")
         .withColumn("bucket", VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64))
+        .localCheckpoint(true)
       val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), VectorFns.norm2(col("embedding")).as("q_nrm"),
         col("bucket").as("q_bucket"))
@@ -794,11 +799,15 @@ object Queries {
          | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          | WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // norms are per-ROW, computed once behind the exchange; each pair
-      // then costs a single dot fold (identical doubles to the oracle's
-      // dot/(sqrt(na)*sqrt(nb)) form)
-      val e = t(s, d, "embeddings").repartition(col("label"))
+      // norms are per-ROW, computed ONCE into an eager checkpoint — the
+      // planner broadcasts one self-join side, and a broadcast subtree
+      // does not reuse the other side's exchange (verified in the r7 plan:
+      // two parquet scans without this), so both sides read finished rows.
+      // Each pair then costs a single dot fold (identical doubles to the
+      // oracle's dot/(sqrt(na)*sqrt(nb)) form)
+      val e = t(s, d, "embeddings")
         .withColumn("nrm", VectorFns.norm2(col("embedding")))
+        .localCheckpoint(true)
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("sim",
@@ -824,13 +833,14 @@ object Queries {
          | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
          | SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // bucket + norm are per-ROW, materialized once behind the exchange
-      // feeding both self-join sides (the q_emb_near_dup pattern)
+      // bucket + norm are per-ROW, materialized ONCE into an eager
+      // checkpoint so both self-join sides (one of which the planner
+      // broadcasts) read finished rows — the q_emb_near_dup pattern
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
           VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64).as("bucket"),
           VectorFns.norm2(col("embedding")).as("nrm"))
-        .repartition(col("bucket"))
+        .localCheckpoint(true)
       val pairs = e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("sim",
