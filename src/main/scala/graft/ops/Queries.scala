@@ -102,6 +102,34 @@ object Queries {
     }.mkString(" + ") + " AS BIGINT)"
   }
 
+  /** The semantic-dedup cluster pipeline shared by `q_emb_dup_clusters`
+    * and `q_emb_dup_purge`: SRP-LSH buckets bound the candidate pairs
+    * (linear + bucket equi-join, never all-pairs), cosine verifies each
+    * candidate, min-label propagation turns verified pairs into
+    * components. Returns one row per CLUSTERED vector: (vec_id,
+    * cluster_id = min vec_id in its component). Deterministic ±1
+    * hyperplanes, so the SQL oracles replay the identical recall cut.
+    *
+    * bucket + norm are per-ROW, materialized ONCE into an eager
+    * checkpoint so both self-join sides (one of which the planner
+    * broadcasts) read finished rows — the q_emb_near_dup pattern.
+    */
+  private def embDupClusters(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64).as("bucket"),
+        VectorFns.norm2(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        VectorFns.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.35)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    Components.minLabel(pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+  }
+
   /** MinHash signature (4 hash functions) over 3-gram shingles; docs with
     * fewer than 3 tokens have no shingles and are excluded.
     */
@@ -832,23 +860,31 @@ object Queries {
          |   UNION SELECT va, va FROM p UNION SELECT vb, vb FROM p),
          | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
          | SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) => embDupClusters(s, d) },
+
+    // ---- semantic dedup PURGE (one survivor per cluster) ---------------
+    // The embedding sibling of q_near_dup_purge, but cluster-exact rather
+    // than greedy: every vector whose cluster label is not itself (i.e.
+    // not the min-id canonical member) is dropped; unclustered vectors
+    // survive untouched. One anti-join over the shared cluster pipeline —
+    // the purge adds nothing super-linear on top of the cluster cost.
+    Q("q_emb_dup_purge", Some(
+      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
+         | p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |   WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35),
+         | e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
+         |   UNION SELECT va, va FROM p UNION SELECT vb, vb FROM p),
+         | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         | c AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         | SELECT v.vec_id, v.label FROM embeddings v
+         | WHERE v.vec_id NOT IN (SELECT vec_id FROM c WHERE vec_id <> cluster_id)""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // bucket + norm are per-ROW, materialized ONCE into an eager
-      // checkpoint so both self-join sides (one of which the planner
-      // broadcasts) read finished rows — the q_emb_near_dup pattern
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64).as("bucket"),
-          VectorFns.norm2(col("embedding")).as("nrm"))
-        .localCheckpoint(true)
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim",
-          VectorFns.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-        .filter(col("sim") >= 0.35)
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
-      Components.minLabel(pairs)
-        .select(col("id").as("vec_id"), col("cluster_id"))
+      val dropped = embDupClusters(s, d)
+        .filter(col("vec_id") =!= col("cluster_id"))
+        .select(col("vec_id").as("__drop_id"))
+      t(s, d, "embeddings")
+        .join(dropped, col("vec_id") === col("__drop_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
     },
 
     // ---- SimHash -----------------------------------------------------
