@@ -77,10 +77,13 @@ object SetSimJoin {
     // 12 parquet scans, 14 sort_arrays, zero ReusedExchange, a 5-12x
     // corpus-scan tax). localCheckpoint truncates lineage, so every
     // consumer scans the finished arrays instead.
+    // no repartition before the checkpoint: a checkpointed RDD reports
+    // UnknownPartitioning (the plan dumps show it), so a pre-checkpoint
+    // shuffle is pure cost — every consumer re-shuffles for its own keys
+    // regardless
     val base = dd
       .select((col(idCol) +: blocks :+ SetOps.sortedSet(col(setCol)).as("__set")): _*)
       .withColumn("__n", size(col("__set")))
-      .repartition(col(idCol))
       .localCheckpoint(true)
 
     val tokens = base.select(
