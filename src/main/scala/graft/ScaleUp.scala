@@ -39,7 +39,23 @@ object ScaleUp {
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
     reps.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"wrote ${spark.read.parquet(s"$out/documents.parquet").count()} docs to $out")
+    // Embeddings: per-replica deterministic sign flips — a diagonal ±1
+    // matrix is orthogonal, so within-replica norms/cosines are EXACTLY
+    // preserved (natural near-dup density per replica) while cross-replica
+    // similarity is scrambled instead of the cosine-1.0 twin blow-up that
+    // verbatim copies would create. Replica 0 keeps the originals.
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    val embReps = (0 until k).map { r =>
+      embs.select(
+        (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(pmod(lit(r) * 13 + j * 7, lit(3)) === 0 && lit(r) =!= 0, -x).otherwise(x)
+        ).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embReps.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"wrote ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} embeddings to $out")
     spark.stop()
   }
 }
