@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSuite
+
+/** Streaming near-dup contract: same-bucket arrivals within the horizon
+  * emit candidate hits with the signature-agreement estimate; novel docs
+  * emit nothing; bucket state evicts at the horizon (at-least-once
+  * beyond it); band keys agree with the batch minhash pipeline.
+  */
+class StreamNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sec = 1000000L
+  private val textA = "the quick brown fox jumps over the lazy dog again and again"
+  // one trailing token differs from textA -> most shingles shared
+  private val textANear = "the quick brown fox jumps over the lazy dog again and once"
+  private val textB = "completely different content about distributed query engines at scale"
+
+  private def run(batches: Seq[Seq[(Long, String, Long)]], horizonUs: Long,
+      name: String): Map[Long, Seq[(Long, Double)]] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val stream = ms.toDF().toDF("doc_id", "text", "ts_us")
+    val q = StreamNearDup.candidates(stream, horizonUs)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(h => (h._2, h._3)).toSeq).toMap
+  }
+
+  test("near-dup within the horizon hits; novel docs emit nothing") {
+    val got = run(Seq(
+      Seq((1L, textA, 10 * sec), (2L, textB, 11 * sec)),
+      Seq((3L, textANear, 20 * sec))
+    ), horizonUs = 600 * sec, name = "snd1")
+    // doc 3 collides with doc 1's buckets on at least one band, high est
+    assert(got.contains(3L), s"expected hits for doc 3, got $got")
+    assert(got(3L).forall(_._1 == 1L))
+    assert(got(3L).exists(_._2 >= 0.5))
+    // docs 1 and 2 are first occupants everywhere: no hits
+    assert(!got.contains(1L) && !got.contains(2L))
+  }
+
+  test("an exact duplicate hits on every band with est_sim 1.0") {
+    val got = run(Seq(
+      Seq((1L, textA, 10 * sec)),
+      Seq((2L, textA, 20 * sec))
+    ), horizonUs = 600 * sec, name = "snd2")
+    assert(got(2L).size == graft.functions.TextFns.MinhashBands.size)
+    assert(got(2L).forall { case (fd, est) => fd == 1L && est == 1.0 })
+  }
+
+  test("beyond the horizon, bucket state evicts and a duplicate re-occupies silently") {
+    val got = run(Seq(
+      Seq((1L, textA, 10 * sec)),
+      // advance the watermark far past doc 1's buckets' timeout
+      Seq((9L, textB, 100000 * sec)),
+      Seq((2L, textA, 100001 * sec))
+    ), horizonUs = 60 * sec, name = "snd3")
+    // doc 1's buckets evicted -> doc 2 is a fresh occupant, no hits
+    assert(!got.contains(2L), s"expected no hits after eviction, got $got")
+  }
+}
