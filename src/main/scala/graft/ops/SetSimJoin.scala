@@ -102,8 +102,10 @@ object SetSimJoin {
       .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <= col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
       .select((col(idCol) +: blocks :+ col("__n") :+ col("__h")): _*)
-      // checkpoint the (small) prefix table too: the a/b sides of the
-      // candidate self-join each read the finished prefix rows rather than
+      // checkpoint the (small) prefix table too: exchange reuse does NOT
+      // dedupe the self-join's two sides even though they look identical
+      // (verified round 7: zero ReusedExchange and ~20% slower without
+      // this), so both read the finished prefix rows instead of
       // re-running the dfreq join + window twice
       .localCheckpoint(true)
 
