@@ -153,7 +153,54 @@ class TableRepo(
 
   /** Active root, honoring the selected environment (core.py:196-201). */
   def root: String = currentParent.map(p => s"$p/$name").getOrElse(rootPath)
-  private def dataPath: String = s"$root/data"
+  // ------------------------------------------------- snapshot versions
+  //
+  // Full-rewrite operations (replaceAll, compact, schema backfill) are
+  // SNAPSHOT-ISOLATED: each writes a fresh committed version directory
+  // (`data-v<N>` + `_GRAFT_COMMIT` marker — our own marker, so a cluster
+  // that disables the committer's _SUCCESS files changes nothing) and
+  // readers resolve the highest committed version at PLAN time. The
+  // superseded version stays on disk as a GRACE version until the next
+  // full rewrite, so a reader planned before a swap keeps scanning intact
+  // files — the delete-then-rename race this replaces would yank them mid
+  // scan. Contract: a scan must finish within one full-rewrite cycle
+  // (versions older than the grace one are GC'd at the next commit).
+  // Appends add files to the CURRENT version in place (benign: parquet
+  // sources list files at plan time), and dynamic partition overwrite
+  // remains partition-in-place by nature — both documented, both the same
+  // exposure as the reference. A plain `data` dir (pre-versioning layout,
+  // or a repo that has only ever been appended to) acts as version -1.
+  private val VersionRe = "data-v(\\d+)".r
+
+  private def committedVersions: Seq[Int] = {
+    val rp = new Path(root)
+    if (!fs.exists(rp)) return Nil
+    fs.listStatus(rp).toSeq.filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionRe(n) => Some(n.toInt)
+        case _            => None
+      })
+      .filter(v => fs.exists(new Path(s"$root/data-v$v/_GRAFT_COMMIT")))
+      .sorted
+  }
+
+  /** Write a full replacement into the next version dir via `write`, mark
+    * it committed, then GC everything older than the version it
+    * supersedes (one grace version for in-flight readers).
+    */
+  private def commitNewVersion(write: String => Unit): Unit = {
+    val prior = committedVersions
+    val next = prior.lastOption.getOrElse(-1) + 1
+    val target = s"$root/data-v$next"
+    fs.delete(new Path(target), true) // uncommitted leftover of a failed job
+    write(target)
+    fs.create(new Path(s"$target/_GRAFT_COMMIT"), true).close()
+    prior.dropRight(1).foreach(v => fs.delete(new Path(s"$root/data-v$v"), true))
+    if (prior.nonEmpty) fs.delete(new Path(s"$root/data"), true): Unit
+  }
+
+  private def dataPath: String =
+    committedVersions.lastOption.map(v => s"$root/data-v$v").getOrElse(s"$root/data")
   private def schemaPath: String = s"$root/_graft_schema.json"
   private def metaPath: String = s"$root/_repo_meta.json"
 
@@ -257,15 +304,15 @@ class TableRepo(
         .parquet(dataPath)
       finally dropStaging()
     } else {
-      val tmp = s"$root/tmp-staging-data"
-      fs.delete(new Path(tmp), true)
-      var w = df.write.mode("overwrite")
-      if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
-      if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
-      w.parquet(tmp)
-      fs.delete(new Path(dataPath), true)
-      if (!fs.rename(new Path(tmp), new Path(dataPath)))
-        throw new RuntimeException(s"staging swap failed for $dataPath")
+      // snapshot swap: the replacement lands in a fresh version dir, so
+      // the input plan may freely read the current one (different paths —
+      // no "cannot overwrite a path being read from", no staging copy)
+      commitNewVersion { target =>
+        var w = df.write.mode("overwrite")
+        if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
+        if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+        w.parquet(target)
+      }
     }
   }
 
@@ -309,22 +356,17 @@ class TableRepo(
     * tops up small files in place, core.py:307-321; at scale, periodic
     * compaction is the idiomatic equivalent).
     *
-    * NOT atomic for concurrent readers: the swap is delete-then-rename, so
-    * a reader listing `data/` in the gap sees an empty (or half-renamed)
-    * directory. This is a deliberate scope line, not an oversight — the
-    * reference has the same exposure (its in-place top-up rewrites files a
-    * concurrent pandas read may be streaming), and object stores offer no
-    * atomic directory rename to build on anyway. Run compaction in the
-    * same maintenance windows the reference's lock-per-table writes imply;
-    * true snapshot isolation needs a table format with a pointer/log
-    * (Delta/Iceberg) on top, which is outside this engine's contract.
+    * SNAPSHOT-ISOLATED for concurrent readers: the rewrite lands in a
+    * fresh committed version dir and the superseded version survives as
+    * the grace version (see the snapshot-versions block above) — a reader
+    * planned before the swap keeps scanning intact files. The reference
+    * rewrites files in place under a per-table lock (core.py:488-497);
+    * lockless version-swap is the distributed equivalent.
     */
   def compact(targetRecordsPerFile: Long): Unit = {
     val n = count()
     if (n == 0) return
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    val tmp = s"$root/tmp-staging-data"
-    fs.delete(new Path(tmp), true)
     // readLayout surfaces the bucket column from the partition DIRECTORIES
     // (free) instead of re-running md5 over every row
     val base = readLayout()
@@ -341,13 +383,12 @@ class TableRepo(
     val rebalanced =
       if (sortCols.isEmpty) rebalanced0
       else rebalanced0.sortWithinPartitions((layoutCols ++ sortCols).map(col): _*).drop(zColName)
-    var w = rebalanced.write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
-    if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
-    w.parquet(tmp)
-    fs.delete(new Path(dataPath), true)
-    if (!fs.rename(new Path(tmp), new Path(dataPath)))
-      throw new RuntimeException(s"compaction swap failed for $dataPath")
+    commitNewVersion { target =>
+      var w = rebalanced.write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
+      if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
+      w.parquet(target)
+    }
   }
 
   /** Overwrite everything (core.py:157-160). */
@@ -539,9 +580,16 @@ class TableRepo(
     }
   }
 
-  /** Unlink all data and the schema sentinel (core.py:162-167). */
+  /** Unlink all data and the schema sentinel (core.py:162-167). Removes
+    * every snapshot version (committed or not), not just the current one.
+    */
   def purge(): Unit = {
-    fs.delete(new Path(dataPath), true)
+    val rp = new Path(root)
+    if (fs.exists(rp)) fs.listStatus(rp).foreach { s =>
+      if (s.isDirectory && VersionRe.pattern.matcher(s.getPath.getName).matches())
+        fs.delete(s.getPath, true)
+    }
+    fs.delete(new Path(s"$root/data"), true)
     fs.delete(new Path(schemaPath), false)
     fs.delete(new Path(metaPath), false)
   }

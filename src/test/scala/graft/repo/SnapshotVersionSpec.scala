@@ -1,0 +1,76 @@
+package graft.repo
+
+import graft.SparkSuite
+
+/** Snapshot-isolated full rewrites: every replaceAll/compact lands in a
+  * fresh committed version dir, the superseded version survives as the
+  * grace version for in-flight readers, and older versions are GC'd.
+  */
+class SnapshotVersionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def dirs(root: String): Set[String] = {
+    val f = new java.io.File(root)
+    if (!f.exists()) Set.empty
+    else f.listFiles().filter(_.isDirectory).map(_.getName).toSet
+  }
+
+  test("full rewrites cycle version dirs with one grace version") {
+    val root = scratch("snap-cycle")
+    val repo = new TableRepo(root, spark, keyCols = Seq("id"))
+    repo.extend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(dirs(root).contains("data")) // append-only layout: legacy dir
+
+    repo.replaceAll(Seq((1L, "x")).toDF("id", "v"))
+    // first rewrite: v0 committed, legacy kept as the grace version
+    assert(dirs(root).contains("data-v0") && dirs(root).contains("data"))
+    assert(repo.count() == 1 && repo.getFullDf.head().getString(1) == "x")
+
+    repo.replaceAll(Seq((1L, "y"), (2L, "z")).toDF("id", "v"))
+    // second rewrite: v1 committed, legacy GC'd, v0 is the grace version
+    assert(dirs(root).contains("data-v1") && dirs(root).contains("data-v0"))
+    assert(!dirs(root).contains("data"))
+    assert(repo.count() == 2)
+
+    repo.compact(1000)
+    // third rewrite: v2 committed, v0 GC'd, v1 grace
+    assert(dirs(root).contains("data-v2") && dirs(root).contains("data-v1"))
+    assert(!dirs(root).contains("data-v0"))
+    assert(repo.count() == 2)
+  }
+
+  test("a reader planned before a compaction still scans intact files") {
+    val repo = new TableRepo(scratch("snap-reader"), spark, keyCols = Seq("id"))
+    repo.extend((0L until 500L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val planned = repo.getFullDf // file index resolved against the current version
+    repo.compact(100)           // swaps to a new version dir
+    // the grace version keeps the old files on disk: the pre-swap plan
+    // completes instead of failing on yanked paths
+    assert(planned.count() == 500)
+    assert(repo.count() == 500)
+  }
+
+  test("an uncommitted version dir (failed job leftover) is invisible") {
+    val root = scratch("snap-uncommitted")
+    val repo = new TableRepo(root, spark, keyCols = Seq("id"))
+    repo.extend(Seq((1L, "a")).toDF("id", "v"))
+    repo.replaceAll(Seq((1L, "b")).toDF("id", "v")) // -> data-v0
+    // simulate a failed rewrite: dir exists, no _GRAFT_COMMIT marker
+    new java.io.File(s"$root/data-v1/ignored").mkdirs()
+    assert(repo.count() == 1 && repo.getFullDf.head().getString(1) == "b")
+    // and the next successful rewrite claims v1 for itself
+    repo.replaceAll(Seq((1L, "c")).toDF("id", "v"))
+    assert(repo.getFullDf.head().getString(1) == "c")
+  }
+
+  test("purge removes every version dir") {
+    val root = scratch("snap-purge")
+    val repo = new TableRepo(root, spark, keyCols = Seq("id"))
+    repo.extend(Seq((1L, "a")).toDF("id", "v"))
+    repo.replaceAll(Seq((1L, "b")).toDF("id", "v"))
+    repo.replaceAll(Seq((1L, "c")).toDF("id", "v"))
+    repo.purge()
+    assert(dirs(root).forall(d => !d.startsWith("data")))
+    assert(!repo.exists)
+  }
+}
