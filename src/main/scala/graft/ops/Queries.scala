@@ -409,6 +409,31 @@ object Queries {
       repo.getFullDf
     },
 
+    // ---- A9 file-granularity variant: footer-stat-pruned upsert -------
+    // The repo clusters files by the key (narrow per-file key ranges) and
+    // the update batch lands in a narrow range, so the merge rewrites only
+    // the files whose footer [min,max] intersects an update key — the
+    // reference's per-file rewrite at Spark scale (byte-identity of
+    // untouched files is asserted in FilePrunedUpsertSpec; this row puts
+    // the merge SEMANTICS under the DuckDB oracle).
+    Q("q_upsert_pruned", Some(
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 4 IN (0, 1) AND NOT (o_orderkey % 8 IN (0, 2) AND o_orderkey <= 2000)
+         | UNION ALL
+         | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 8 IN (0, 2) AND o_orderkey <= 2000""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_upsert_pruned"), s, keyCols = Seq("o_orderkey"),
+        clusterCols = Seq("o_orderkey"), maxRecordsPerFile = 2000L)
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1))
+      val updates = o.filter((col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2) &&
+          col("o_orderkey") <= 2000)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      repo.replaceRecordsPruned(updates)
+      repo.getFullDf
+    },
+
     // ---- A9 + A7: keyed upsert on a hash-bucketed layout --------------
     // The reference's HashPartitioner-as-group_cols default (core.py:25-44,
     // 62): the md5 bucket of the key is an implicit partition column, so
