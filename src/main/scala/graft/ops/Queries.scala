@@ -374,6 +374,23 @@ object Queries {
       repo.getFullDf
     },
 
+    // ---- A6 companion: snapshot-versioned compaction round-trip -------
+    // Three small appends -> one compact() into ~2000-row files. The
+    // rewrite lands in a committed version dir (snapshot swap, see
+    // TableRepo's snapshot-versions block) and the oracle checks the
+    // round-trip is row-identical — the compaction counterpart of the
+    // reference's in-place file top-up, under the driver gate.
+    Q("q_compact", Some(
+      s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 6"
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_compact"), s, maxRecordsPerFile = 500)
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 6)
+        .select(lineCols.map(col): _*)
+      (0 until 3).foreach(i => repo.extend(li.filter(col("l_orderkey") % 3 === i)))
+      repo.compact(2000)
+      repo.getFullDf
+    },
+
     // ---- A8/A2: grouped write + multi-file union scan ----------------
     Q("q_scan_union", Some(
       s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 7"
