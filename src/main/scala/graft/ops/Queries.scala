@@ -89,43 +89,84 @@ object Queries {
   private def sqlHash32(c: String) = s"('0x'||substr(md5($c),1,8))::BIGINT"
   private def sqlCosine(a: String, b: String) =
     s"list_inner_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_inner_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_inner_product($b::DOUBLE[], $b::DOUBLE[])))"
-  /** SRP bucket in DuckDB SQL — same deterministic ±1 hyperplanes as
-    * [[VectorFns.srpBucket]], so bucket ids agree bit-for-bit.
+  /** SRP bucket in DuckDB SQL — plane literals generated from the same
+    * [[VectorFns.srpSign]] mix as the Spark expression, so bucket ids
+    * agree bit-for-bit for any (bits, table).
     */
-  private def sqlSrpBucket(emb: String, bits: Int = 4, dim: Int = 64): String = {
-    val planes = (0 until bits).map { i =>
-      (0 until dim).map(j => if ((i * 31 + j * 17) % 2 == 0) "1.0" else "-1.0")
-        .mkString("[", ", ", "]")
-    }
+  private def sqlSrpBucket(emb: String, bits: Int, dim: Int, table: Int): String = {
     "CAST(" + (0 until bits).map { i =>
-      s"(CASE WHEN list_inner_product($emb::DOUBLE[], ${planes(i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      val plane = (0 until dim)
+        .map(j => if (VectorFns.srpSign(table, i, j) > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product($emb::DOUBLE[], $plane) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ") + " AS BIGINT)"
   }
 
-  /** The semantic-dedup cluster pipeline shared by `q_emb_dup_clusters`
-    * and `q_emb_dup_purge`: SRP-LSH buckets bound the candidate pairs
-    * (linear + bucket equi-join, never all-pairs), cosine verifies each
-    * candidate, min-label propagation turns verified pairs into
-    * components. Returns one row per CLUSTERED vector: (vec_id,
-    * cluster_id = min vec_id in its component). Deterministic ±1
-    * hyperplanes, so the SQL oracles replay the identical recall cut.
-    *
-    * bucket + norm are per-ROW, materialized ONCE into an eager
-    * checkpoint so both self-join sides (one of which the planner
-    * broadcasts) read finished rows — the q_emb_near_dup pattern.
+  /** Oracled SRP layout for the semantic-dedup family: `EmbDupTables`
+    * independent 8-bit tables (256 buckets each). bits ≥ 8 keeps mean
+    * bucket occupancy ≈ n/256 per table — candidate pairs are
+    * ~tables * n * occupancy / 2, linear in n at fixed occupancy — and the
+    * multi-table OR recovers the recall a single wide table gives up.
+    * Production corpora should widen bits with [[VectorFns.srpBitsFor]];
+    * the oracled queries pin these so the SQL twin replays the same cut.
     */
-  private def embDupClusters(s: SparkSession, d: String): DataFrame = {
+  private val EmbDupBits = 8
+  private val EmbDupTables = 4
+  private val EmbDupDim = 64
+  private val EmbDupThreshold = 0.35
+
+  /** SQL CTEs shared by the semantic-dedup oracles: `b` = per-vector
+    * buckets for each SRP table, `cand` = distinct same-bucket id pairs
+    * OR-ed across tables (UNION dedups), `p` = cosine-verified pairs.
+    */
+  private def sqlEmbCandCtes(bits: Int, tables: Int): String = {
+    val buckets = (0 until tables)
+      .map(tb => s"${sqlSrpBucket("embedding", bits, EmbDupDim, tb)} AS b$tb").mkString(", ")
+    val cand = (0 until tables).map { tb =>
+      s"SELECT a.vec_id AS va, b.vec_id AS vb FROM b a JOIN b b ON a.b$tb = b.b$tb AND a.vec_id < b.vec_id"
+    }.mkString(" UNION ")
+    s"""b AS (SELECT vec_id, embedding, $buckets FROM embeddings),
+       | cand AS ($cand),
+       | p AS (SELECT va, vb FROM cand JOIN embeddings x ON x.vec_id = cand.va JOIN embeddings y ON y.vec_id = cand.vb
+       |   WHERE ${sqlCosine("x.embedding", "y.embedding")} >= $EmbDupThreshold)""".stripMargin
+  }
+
+  /** The semantic-dedup cluster pipeline shared by `q_emb_dup_clusters`
+    * and `q_emb_dup_purge`: multi-table SRP-LSH buckets bound the
+    * candidate pairs (linear at fixed bucket occupancy, never all-pairs),
+    * cosine verifies each distinct candidate ONCE, min-label propagation
+    * turns verified pairs into components. Returns one row per CLUSTERED
+    * vector: (vec_id, cluster_id = min vec_id in its component).
+    * Deterministic hyperplanes, so the SQL oracles replay the identical
+    * recall cut.
+    *
+    * buckets + norm are per-ROW, materialized ONCE into an eager
+    * checkpoint so every self-join side (some of which the planner
+    * broadcasts) reads finished rows — the q_emb_near_dup pattern. The
+    * id-only candidate union + dropDuplicates BEFORE fetching vectors is
+    * the scale shape: duplicate candidates from overlapping tables cost a
+    * 16-byte row in the distinct, not a 512-byte embedding pair in the
+    * shuffle or a recomputed cosine.
+    */
+  private[graft] def embDupClusters(s: SparkSession, d: String,
+      bits: Int = EmbDupBits, tables: Int = EmbDupTables): DataFrame = {
+    val bucketCols = (0 until tables).map(tb =>
+      VectorFns.srpBucket(col("embedding"), bits, EmbDupDim, tb).as(s"b$tb"))
     val e = t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64).as("bucket"),
-        VectorFns.norm2(col("embedding")).as("nrm"))
+      .select(Seq(col("vec_id"), col("embedding"),
+        VectorFns.norm2(col("embedding")).as("nrm")) ++ bucketCols: _*)
       .localCheckpoint(true)
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim",
-        VectorFns.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("sim") >= 0.35)
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    val cand = (0 until tables).map { tb =>
+      e.as("a").join(e.as("b"),
+          col(s"a.b$tb") === col(s"b.b$tb") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    }.reduce(_.union(_)).dropDuplicates("va", "vb")
+    val pairs = cand
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), "vb")
+      .withColumn("sim", VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= EmbDupThreshold)
+      .select(col("va"), col("vb"))
     Components.minLabel(pairs)
       .select(col("id").as("vec_id"), col("cluster_id"))
   }
@@ -643,32 +684,47 @@ object Queries {
         .select(col("n_rows"))
     },
 
-    // ---- ANN via sign-random-projection LSH buckets ------------------
+    // ---- ANN via multi-table sign-random-projection LSH --------------
+    // Candidates = union over EmbDupTables independent SRP tables of
+    // same-bucket neighbors (id pairs only, deduplicated BEFORE the
+    // cosine fetch) — the multi-probe shape that keeps per-table bucket
+    // occupancy ~n/2^bits while the table OR recovers recall.
     Q("q_ann_srp", Some {
-      s"""WITH b AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding")} AS bucket FROM embeddings)
-         | SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.bucket AS bucket,
-         |   ${sqlCosine("q.embedding", "c.embedding")} AS sim
-         | FROM b q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-         | WHERE q.vec_id < 5
+      val buckets = (0 until EmbDupTables)
+        .map(tb => s"${sqlSrpBucket("embedding", EmbDupBits, EmbDupDim, tb)} AS b$tb").mkString(", ")
+      val cand = (0 until EmbDupTables).map { tb =>
+        s"SELECT q.vec_id AS q_id, c.vec_id AS n_id FROM b q JOIN b c ON c.b$tb = q.b$tb AND c.vec_id <> q.vec_id WHERE q.vec_id < 5"
+      }.mkString(" UNION ")
+      s"""WITH b AS (SELECT vec_id, embedding, $buckets FROM embeddings),
+         | cand AS ($cand)
+         | SELECT q_id, n_id, ${sqlCosine("x.embedding", "y.embedding")} AS sim
+         | FROM cand JOIN embeddings x ON x.vec_id = cand.q_id JOIN embeddings y ON y.vec_id = cand.n_id
          | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
       // buckets are materialized ONCE (eager checkpoint): the query side
       // and candidate side prune different columns, which breaks exchange
       // canonical-equality — without the checkpoint the scan + SRP
       // pipeline runs per side (the SetSimJoin round-6 lesson)
+      val bucketCols = (0 until EmbDupTables).map(tb =>
+        VectorFns.srpBucket(col("embedding"), EmbDupBits, EmbDupDim, tb).as(s"b$tb"))
       val e = t(s, d, "embeddings")
-        .withColumn("bucket", VectorFns.srpBucket(col("embedding"), bits = 4, dim = 64))
+        .select(Seq(col("vec_id"), col("embedding"),
+          VectorFns.norm2(col("embedding")).as("nrm")) ++ bucketCols: _*)
         .localCheckpoint(true)
-      val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), VectorFns.norm2(col("embedding")).as("q_nrm"),
-        col("bucket").as("q_bucket"))
-      val c = e.select(col("vec_id").as("n_id"), col("embedding").as("c_emb"),
-        VectorFns.norm2(col("embedding")).as("c_nrm"), col("bucket"))
+      val q = e.filter(col("vec_id") < 5)
+      val cand = (0 until EmbDupTables).map { tb =>
+        broadcast(q.select(col("vec_id").as("q_id"), col(s"b$tb").as("qb")))
+          .join(e.select(col("vec_id").as("n_id"), col(s"b$tb").as("cb")),
+            col("qb") === col("cb") && col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"))
+      }.reduce(_.union(_)).dropDuplicates("q_id", "n_id")
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-      broadcast(q).join(c, col("bucket") === col("q_bucket") && col("n_id") =!= col("q_id"))
-        .withColumn("sim", VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      cand
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn")), "n_id")
+        .withColumn("sim", VectorFns.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
-        .select(col("q_id"), col("n_id"), col("bucket").cast(LongType).as("bucket"), col("sim"))
+        .select(col("q_id"), col("n_id"), col("sim"))
     },
 
     // ---- B1: exact dedup ---------------------------------------------
@@ -895,9 +951,7 @@ object Queries {
     // replays the same buckets and the recall cut is identical on both
     // engines. Output carries only ids — no doubles to hash-mismatch.
     Q("q_emb_dup_clusters", Some(
-      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
-         | p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |   WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35),
+      s"""WITH RECURSIVE ${sqlEmbCandCtes(EmbDupBits, EmbDupTables)},
          | e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
          |   UNION SELECT va, va FROM p UNION SELECT vb, vb FROM p),
          | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
@@ -911,9 +965,7 @@ object Queries {
     // survive untouched. One anti-join over the shared cluster pipeline —
     // the purge adds nothing super-linear on top of the cluster cost.
     Q("q_emb_dup_purge", Some(
-      s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlSrpBucket("embedding")} AS bucket FROM embeddings),
-         | p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |   WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.35),
+      s"""WITH RECURSIVE ${sqlEmbCandCtes(EmbDupBits, EmbDupTables)},
          | e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p
          |   UNION SELECT va, va FROM p UNION SELECT vb, vb FROM p),
          | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),

@@ -40,4 +40,34 @@ class VectorFnsSpec extends SparkSuite {
     assert(b1.toSeq == b2.toSeq)
     assert(b1.forall(b => b >= 0 && b < 16))
   }
+
+  test("srp hyperplanes are pairwise independent (no linear-parity collapse)") {
+    // A linear sign rule like (i*31 + j*17) mod 2 reduces to (i+j) mod 2:
+    // plane i+2 == plane i and plane i+1 == -plane i, collapsing a b-bit
+    // bucket to ONE effective bit. Assert the mixed planes have no such
+    // equal/negated pair, within a table and across tables.
+    val planes = for (t <- 0 until 4; i <- 0 until 8) yield ((t, i), VectorFns.srpPlane(t, i, 64).toSeq)
+    for (((k1, p1), x) <- planes.zipWithIndex; (k2, p2) <- planes.drop(x + 1)) {
+      assert(p1 != p2, s"planes $k1 and $k2 are identical")
+      assert(p1 != p2.map(-_), s"planes $k1 and $k2 are negations")
+    }
+  }
+
+  test("srpBucket spreads random vectors across many buckets") {
+    val rng = new Random(11)
+    val df = (0 until 500).map(i => (i.toLong, Array.fill(64)(rng.nextFloat() - 0.5f)))
+      .toDF("id", "v")
+    val distinctBuckets = df.select(VectorFns.srpBucket($"v", bits = 8, dim = 64).as("b"))
+      .distinct().count()
+    // 500 random vectors over 256 well-mixed buckets: expect most buckets
+    // hit; the degenerate parity planes produced exactly 2
+    assert(distinctBuckets > 100, s"only $distinctBuckets distinct buckets — planes are degenerate")
+  }
+
+  test("srpBitsFor targets bounded mean bucket occupancy") {
+    assert(VectorFns.srpBitsFor(100) == 8)           // floor
+    assert(VectorFns.srpBitsFor(2048, 8) == 8)       // 2048/256 = 8
+    assert(VectorFns.srpBitsFor(20480, 8) == 12)     // 10x corpus -> +log2(10)
+    assert(VectorFns.srpBitsFor(1L << 40, 8) == 37)  // 100 TB-ish corpus still fine
+  }
 }
