@@ -1720,6 +1720,14 @@ object Queries {
     // both engines agree bitwise. Two aggregation shuffles (unigrams,
     // bigrams) + a join on the unigram key; the c_ab floor prunes the
     // long tail before the join.
+    //
+    // ONE corpus scan: the tokenized frame is eagerly checkpointed (both
+    // unigram and bigram aggregates consume it, and exchange reuse can't
+    // connect them), `uc` is checkpointed again because BOTH broadcast
+    // join sides read it (broadcast subtrees never reuse exchanges — the
+    // round-6/7 lesson; the pre-fix plan scanned documents four times),
+    // and the token total is derived as sum(cnt) over `uc` instead of a
+    // third pass over the corpus.
     Q("q_cooccur", Some(
       s"""WITH tkk AS (SELECT $sqlToks AS toks FROM documents),
         | uni AS (SELECT unnest(toks) AS tok FROM tkk),
@@ -1734,9 +1742,11 @@ object Queries {
         | ORDER BY lift DESC, b.bigram LIMIT 100""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val toks = t(s, d, "documents").select(TextFns.tokens(col("text")).as("toks"))
-      val uni = toks.select(explode(col("toks")).as("tok"))
-      val uc = uni.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      val tot = uni.agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val uc = toks.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val tot = uc.agg(sum(col("cnt")).as("n"))
       val bc = toks.filter(size(col("toks")) >= 2)
         .select(explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
