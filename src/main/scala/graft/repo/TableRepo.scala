@@ -165,12 +165,35 @@ class TableRepo(
   // files — the delete-then-rename race this replaces would yank them mid
   // scan. Contract: a scan must finish within one full-rewrite cycle
   // (versions older than the grace one are GC'd at the next commit).
-  // Appends add files to the CURRENT version in place (benign: parquet
-  // sources list files at plan time), and dynamic partition overwrite
-  // remains partition-in-place by nature — both documented, both the same
-  // exposure as the reference. A plain `data` dir (pre-versioning layout,
-  // or a repo that has only ever been appended to) acts as version -1.
+  //
+  // WRITER coordination (the reference serializes every write under named
+  // per-table locks, core.py:18,97,111):
+  //   - Intra-process: every mutating op holds the per-root JVM monitor
+  //     ([[TableRepo.monitorFor]]) — an `extend` can never interleave with
+  //     a `compact`/`replaceAll` version swap in the same process, so an
+  //     append cannot land its files in a superseded version dir (which
+  //     the next commit would silently GC — lost rows).
+  //   - Cross-process: version numbers are claimed atomically (exclusive
+  //     create of a `_graft_claim-v<N>` sibling marker), so two racing
+  //     full rewrites land in DIFFERENT dirs and the later commit wins —
+  //     no writer ever clobbers another's in-flight directory. In-place
+  //     writes (append, dynamic partition overwrite) re-resolve the
+  //     current version after the job and FAIL LOUDLY if a concurrent
+  //     external rewrite superseded their target mid-write, instead of
+  //     silently losing the rows at the next GC. Multi-process writers
+  //     that need lost-update-free upserts still want a single writer per
+  //     table (the reference's lock scope is one process too).
+  //
+  // A plain `data` dir (pre-versioning layout, or a repo that has only
+  // ever been appended to) acts as version -1.
   private val VersionRe = "data-v(\\d+)".r
+
+  /** Run `body` holding this repo's intra-process write monitor. Public
+    * mutating ops wrap themselves in this; JVM monitors are reentrant, so
+    * ops composing other ops (schema backfill inside extend) are safe.
+    */
+  private def withWriteLock[T](body: => T): T =
+    TableRepo.monitorFor(root).synchronized(body)
 
   private def committedVersions: Seq[Int] = {
     val rp = new Path(root)
@@ -187,15 +210,37 @@ class TableRepo(
   /** Write a full replacement into the next version dir via `write`, mark
     * it committed, then GC everything older than the version it
     * supersedes (one grace version for in-flight readers).
+    *
+    * The version number is CLAIMED atomically first — an exclusive create
+    * of a `_graft_claim-v<N>` sibling marker (inside the dir itself would
+    * not survive the writer's own mode("overwrite") delete). A concurrent
+    * rewrite that claimed the same number forces this one to the next free
+    * slot, so neither deletes the other's in-flight directory and a commit
+    * marker can never bless a half-clobbered dir. A crashed claimant
+    * leaves a claim without a commit — readers never see it (no marker)
+    * and later writers just skip the number; `purge()` sweeps both.
     */
   private def commitNewVersion(write: String => Unit): Unit = {
     val prior = committedVersions
-    val next = prior.lastOption.getOrElse(-1) + 1
+    fs.mkdirs(new Path(root))
+    var next = prior.lastOption.getOrElse(-1) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        fs.create(new Path(s"$root/_graft_claim-v$next"), false).close()
+        claimed = true
+      } catch {
+        case _: java.io.IOException => next += 1 // claimed by a concurrent rewrite
+      }
+    }
     val target = s"$root/data-v$next"
-    fs.delete(new Path(target), true) // uncommitted leftover of a failed job
+    fs.delete(new Path(target), true) // leftover of our own failed predecessor job
     write(target)
     fs.create(new Path(s"$target/_GRAFT_COMMIT"), true).close()
-    prior.dropRight(1).foreach(v => fs.delete(new Path(s"$root/data-v$v"), true))
+    prior.dropRight(1).foreach { v =>
+      fs.delete(new Path(s"$root/data-v$v"), true)
+      fs.delete(new Path(s"$root/_graft_claim-v$v"), false)
+    }
     if (prior.nonEmpty) fs.delete(new Path(s"$root/data"), true): Unit
   }
 
@@ -296,13 +341,18 @@ class TableRepo(
       alreadyStaged: Boolean = false): Unit = {
     val df = clustered(routeToBuckets(withLayout(dfIn)))
     if (!overwrite) {
-      configuredWriter(df, "append").parquet(dataPath)
+      val target = dataPath
+      configuredWriter(df, "append").parquet(target)
+      checkVersionStable(target, "append")
     } else if (dynamic && layoutCols.nonEmpty) {
       val staged = if (alreadyStaged) df else stage(df)
-      try configuredWriter(staged, "overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(dataPath)
-      finally dropStaging()
+      val target = dataPath
+      try {
+        configuredWriter(staged, "overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(target)
+        checkVersionStable(target, "dynamic partition overwrite")
+      } finally dropStaging()
     } else {
       // snapshot swap: the replacement lands in a fresh version dir, so
       // the input plan may freely read the current one (different paths —
@@ -328,11 +378,28 @@ class TableRepo(
 
   private def dropStaging(): Unit = ()
 
+  /** Post-write guard for IN-PLACE writes (append, dynamic partition
+    * overwrite): re-resolve the current version dir after the job and fail
+    * loudly if a full rewrite superseded `target` mid-write — the written
+    * files are invisible to readers and the next commit's GC would
+    * silently drop them. Intra-process the write lock makes this
+    * unreachable; it fires only against an EXTERNAL writer, turning silent
+    * data loss into a retryable error.
+    */
+  private def checkVersionStable(target: String, op: String): Unit = {
+    val now = dataPath
+    if (now != target)
+      throw new java.util.ConcurrentModificationException(
+        s"$op to $target raced a concurrent full rewrite (current version is now $now); " +
+          "the written rows are not visible and will be GC'd — retry against the new version " +
+          "(cross-process writers need a single writer per table)")
+  }
+
   /** Append a batch (the reference's `extend`, core.py:91-112). Pure file
     * addition — no read-modify-write, no lock; safe under concurrent callers
     * via the Parquet output committer.
     */
-  def extend(df: DataFrame): Unit = {
+  def extend(df: DataFrame): Unit = withWriteLock {
     val schema = resolveSchema(df)
     writeData(harmonize(df, schema), overwrite = false)
   }
@@ -344,7 +411,7 @@ class TableRepo(
     * jobs appending to one directory would race on the committer's shared
     * `_temporary` dir.
     */
-  def batchExtend(dfs: Seq[DataFrame]): Unit = {
+  def batchExtend(dfs: Seq[DataFrame]): Unit = withWriteLock {
     require(dfs.nonEmpty, "batchExtend needs at least one batch")
     val schema = resolveSchema(dfs.head)
     val union = dfs.map(harmonize(_, schema)).reduce(_.unionByName(_))
@@ -363,7 +430,7 @@ class TableRepo(
     * rewrites files in place under a per-table lock (core.py:488-497);
     * lockless version-swap is the distributed equivalent.
     */
-  def compact(targetRecordsPerFile: Long): Unit = {
+  def compact(targetRecordsPerFile: Long): Unit = withWriteLock {
     val n = count()
     if (n == 0) return
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -392,7 +459,7 @@ class TableRepo(
   }
 
   /** Overwrite everything (core.py:157-160). */
-  def replaceAll(df: DataFrame): Unit = {
+  def replaceAll(df: DataFrame): Unit = withWriteLock {
     val schema = resolveSchema(df)
     writeData(harmonize(df, schema), overwrite = true)
   }
@@ -400,7 +467,7 @@ class TableRepo(
   /** Dynamic partition overwrite: groups present in `df` are replaced,
     * untouched groups survive (core.py:153-155; tests/test_core.py:178-179).
     */
-  def replaceGroups(df: DataFrame): Unit = {
+  def replaceGroups(df: DataFrame): Unit = withWriteLock {
     require(groupCols.nonEmpty, "replaceGroups requires group columns")
     val schema = resolveSchema(df)
     writeData(harmonize(df, schema), overwrite = true, dynamic = true)
@@ -432,7 +499,7 @@ class TableRepo(
     * updates) are rewritten, via dynamic partition overwrite — at 100 TB this
     * touches a handful of partitions, not the table.
     */
-  def replaceRecords(updates: DataFrame, byGroups: Boolean = false): Unit = {
+  def replaceRecords(updates: DataFrame, byGroups: Boolean = false): Unit = withWriteLock {
     require(keyCols.nonEmpty, "replaceRecords requires keyCols (the reference's meaningful index)")
     val schema = resolveSchema(updates)
     val u = dedupKeepFirst(harmonize(updates, schema))
@@ -537,7 +604,7 @@ class TableRepo(
     * scope line as `compact()`; snapshot isolation needs a table format
     * with a commit log on top).
     */
-  def replaceRecordsPruned(updates: DataFrame): Unit = {
+  def replaceRecordsPruned(updates: DataFrame): Unit = withWriteLock {
     require(keyCols.length == 1, "file-pruned upsert requires a single key column")
     require(layoutCols.isEmpty,
       "file-pruned upsert targets flat repos; grouped/bucketed repos prune via replaceRecords")
@@ -583,11 +650,13 @@ class TableRepo(
   /** Unlink all data and the schema sentinel (core.py:162-167). Removes
     * every snapshot version (committed or not), not just the current one.
     */
-  def purge(): Unit = {
+  def purge(): Unit = withWriteLock {
     val rp = new Path(root)
     if (fs.exists(rp)) fs.listStatus(rp).foreach { s =>
       if (s.isDirectory && VersionRe.pattern.matcher(s.getPath.getName).matches())
         fs.delete(s.getPath, true)
+      else if (!s.isDirectory && s.getPath.getName.startsWith("_graft_claim-v"))
+        fs.delete(s.getPath, false)
     }
     fs.delete(new Path(s"$root/data"), true)
     fs.delete(new Path(schemaPath), false)
@@ -798,6 +867,17 @@ object TableRepo {
     * above this the merge uses a distributed semi-join instead.
     */
   val MaxPartitionPredicateLiterals: Int = 512
+
+  /** Per-root intra-process write monitors — the JVM analog of the
+    * reference's named per-table locks (core.py:18,97,111). Keyed by the
+    * RESOLVED root (env switches included), shared across every TableRepo
+    * instance in the process, so two handles on the same table serialize
+    * their writes. Monitors are never removed: one Object per table root
+    * touched by the process is noise next to a SparkSession.
+    */
+  private val writeMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[repo] def monitorFor(root: String): Object =
+    writeMonitors.computeIfAbsent(root, _ => new Object)
 
   private[graft] def jq(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
