@@ -28,7 +28,12 @@ import graft.functions.TextFns
   *
   * State is evicted by event-time timeout at occupant-ts + horizon, so
   * memory is O(occupied buckets per horizon), never the stream so far —
-  * the same bounded-state contract as [[StreamDedup]]. Like StreamDedup,
+  * the same bounded-state contract as [[StreamDedup]]. Because Spark only
+  * runs the timed-out path for groups that received NO data in a batch, a
+  * bucket under continuous traffic also enforces the horizon inline: an
+  * arrival more than `horizonUs` after the occupant re-occupies the
+  * bucket (no hit) rather than matching against a stale first_doc. Like
+  * StreamDedup,
   * beyond-horizon recall is at-least-once: a duplicate arriving after its
   * bucket evicted re-occupies silently, and the batch pair family
   * (SetSimJoin / q_lsh_verified) is the exactly-once backstop.
@@ -100,6 +105,14 @@ object StreamNearDup {
             sorted.foreach { r =>
               occ match {
                 case None => occ = Some(Occupant(r.doc_id, r.sig, r.ts_us))
+                case Some(o) if r.ts_us - o.ts_us > horizonUs =>
+                  // The occupant is older than the horizon RELATIVE TO THIS
+                  // ARRIVAL. Under continuous same-bucket traffic the
+                  // timed-out path never runs (groups receiving data skip
+                  // it), so the occupant+horizon contract is enforced
+                  // inline: the row RE-OCCUPIES instead of hitting against
+                  // a stale first_doc.
+                  occ = Some(Occupant(r.doc_id, r.sig, r.ts_us))
                 case Some(o) if o.first_doc != r.doc_id =>
                   val agree = o.sig.zip(r.sig).count { case (a, b) => a == b }
                   out += Hit(r.doc_id, o.first_doc, r.band,

@@ -63,4 +63,21 @@ class StreamNearDupSpec extends SparkSuite {
     // doc 1's buckets evicted -> doc 2 is a fresh occupant, no hits
     assert(!got.contains(2L), s"expected no hits after eviction, got $got")
   }
+
+  test("continuous same-bucket traffic still honors the horizon (inline re-occupancy)") {
+    // The bucket receives data every batch, so the timed-out path never
+    // runs; the handler must expire the occupant inline. doc 2 hits
+    // doc 1 (within horizon); doc 3 arrives past doc 1's horizon in a
+    // bucket that never drained -> it RE-OCCUPIES (no hit against the
+    // stale occupant); doc 4 then hits doc 3, the fresh occupant.
+    val got = run(Seq(
+      Seq((1L, textA, 10 * sec)),
+      Seq((2L, textA, 30 * sec)),
+      Seq((3L, textA, 100 * sec)),
+      Seq((4L, textA, 110 * sec))
+    ), horizonUs = 60 * sec, name = "snd4")
+    assert(got(2L).forall(_._1 == 1L), s"doc 2 should hit doc 1: $got")
+    assert(!got.contains(3L), s"doc 3 is past doc 1's horizon and must re-occupy, got $got")
+    assert(got(4L).forall(_._1 == 3L), s"doc 4 should hit the fresh occupant doc 3: $got")
+  }
 }
