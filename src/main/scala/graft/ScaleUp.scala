@@ -44,12 +44,20 @@ object ScaleUp {
     // preserved (natural near-dup density per replica) while cross-replica
     // similarity is scrambled instead of the cosine-1.0 twin blow-up that
     // verbatim copies would create. Replica 0 keeps the originals.
+    //
+    // The flip pattern must be INJECTIVE in r: a linear rule like
+    // (r*13 + j*7) mod 3 collapses to (r + j) mod 3, giving replicas
+    // {1,4,7}, {2,5,8}, {3,6,9} identical flip vectors — bit-identical
+    // copies of every source vector, i.e. exactly the cross-replica
+    // cosine-1.0 twins the flips exist to prevent, silently densifying
+    // the "fixed density" stress corpus. Murmur3 of (r, j) has no such
+    // linear structure; any two replicas differ on ~half the components.
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     val embReps = (0 until k).map { r =>
       embs.select(
         (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
         transform(col("embedding"), (x, j) =>
-          when(pmod(lit(r) * 13 + j * 7, lit(3)) === 0 && lit(r) =!= 0, -x).otherwise(x)
+          when(pmod(hash(lit(r), j), lit(2)) === 0 && lit(r) =!= 0, -x).otherwise(x)
         ).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
