@@ -32,23 +32,39 @@ object Bench {
     // optional comma-separated subset, for targeted perf iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
-    val results = queries.map { case (name, fn) =>
+    // Reps are interleaved ROUND-ROBIN (q1 q2 … qN, q1 q2 … qN, …) so a
+    // transient VM stall degrades one rep of many queries — recoverable by
+    // the median — instead of poisoning all reps of one query (the round-7
+    // artifact carried 2-9x single-query spikes from exactly that).
+    // Many queries end in localCheckpoint; their executor blocks otherwise
+    // accumulate across 99×reps runs with only async ContextCleaner
+    // reclaim, bleeding interference into later queries — so persisted
+    // RDDs are dropped after every query (untimed) and a GC closes each
+    // sweep.
+    val queryList = queries.toSeq
+    val times = Array.fill(queryList.size)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    val fails = Array.fill[Option[Throwable]](queryList.size)(None)
+    for (_ <- 1 to reps) {
+      queryList.zipWithIndex.foreach { case ((_, fn), qi) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable => fails(qi) = fails(qi).orElse(Some(e)) }
+        times(qi) += (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+      System.gc()
+    }
+    val results = queryList.zipWithIndex.map { case ((name, _), qi) =>
       // a crashing query must NOT masquerade as a fast one: any failed rep
       // poisons the whole entry to the -1 sentinel (and stderr says why)
-      var failed: Option[Throwable] = None
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable => failed = Some(e) }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      failed.foreach(e => System.err.println(s"BENCH FAIL $name: $e"))
-      name -> (if (failed.isEmpty) times(times.length / 2) else -1.0)
+      fails(qi).foreach(e => System.err.println(s"BENCH FAIL $name: $e"))
+      val ts = times(qi).sorted
+      name -> (if (fails(qi).isEmpty) ts(ts.length / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val okTimes = results.values.filter(_ >= 0)
+    val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
-    val nFail = results.values.count(_ < 0)
+    val nFail = results.map(_._2).count(_ < 0)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$nFail,"queries":$qs,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so
