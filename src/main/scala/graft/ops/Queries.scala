@@ -492,6 +492,32 @@ object Queries {
       repo.getFullDf
     },
 
+    // ---- A9 file-granularity variant on a GROUPED layout --------------
+    // Two pruning levels compose: the updates' group values prune
+    // partition DIRS first, then footer key stats prune files within the
+    // surviving dirs (byGroups scopes the key to its group, exactly like
+    // replaceRecords). Updates touch ONE priority group and a narrow key
+    // range, so the rewrite is a handful of files out of the whole tree.
+    Q("q_upsert_pruned_grouped", Some(
+      s"""SELECT $orderColsSql FROM orders WHERE o_orderkey % 4 IN (0, 1)
+         |   AND NOT (o_orderkey % 8 IN (0, 2) AND o_orderkey <= 2000 AND o_orderpriority = '1-URGENT')
+         | UNION ALL
+         | SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         | FROM orders WHERE o_orderkey % 8 IN (0, 2) AND o_orderkey <= 2000 AND o_orderpriority = '1-URGENT'""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_upsert_pruned_grouped"), s,
+        groupCols = Seq("o_orderpriority"), keyCols = Seq("o_orderkey"),
+        clusterCols = Seq("o_orderkey"), maxRecordsPerFile = 1000L)
+      val o = t(s, d, "orders")
+      repo.extend(o.filter(col("o_orderkey") % 4 === 0 || col("o_orderkey") % 4 === 1))
+      val updates = o.filter((col("o_orderkey") % 8 === 0 || col("o_orderkey") % 8 === 2) &&
+          col("o_orderkey") <= 2000 && col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      repo.replaceRecordsPruned(updates, byGroups = true)
+      repo.getFullDf
+    },
+
     // ---- A9 + A7: keyed upsert on a hash-bucketed layout --------------
     // The reference's HashPartitioner-as-group_cols default (core.py:25-44,
     // 62): the md5 bucket of the key is an implicit partition column, so

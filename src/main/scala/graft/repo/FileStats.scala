@@ -18,56 +18,80 @@ import org.apache.spark.sql.SparkSession
   * footer, it just has to be read. The read is metadata-only (footer tail,
   * no row groups) and runs DISTRIBUTED — one task per slice of the file
   * list — so a 100k-file table costs one short metadata job, not a driver
-  * loop over 100k remote opens. The collected result is one (path, min,
-  * max) triple per file: bounded by file count, the same cardinality class
-  * as the repo's `paths` listing.
+  * loop over 100k remote opens. One footer open serves ALL requested
+  * columns. The collected result is one range map per file: bounded by
+  * file count, the same cardinality class as the repo's `paths` listing.
   *
-  * A file with no usable statistics for the column (ancient writer,
-  * all-null chunk) yields None — callers must treat such files as
-  * ALWAYS-affected. Pruning correctness never depends on stats presence.
+  * A file with no usable statistics for a column (ancient writer,
+  * all-null chunk, or float/double stats poisoned by NaN — NaN compares
+  * false against everything, so a NaN-tainted [min,max] can wrongly
+  * exclude a file) yields None for that column — callers must treat such
+  * files as ALWAYS-affected. Pruning correctness never depends on stats
+  * presence.
   */
 object FileStats {
 
-  /** (path -> Some(min, max)) per file, None where stats are unusable.
+  /** (path -> column -> Some(min, max)), None where stats are unusable.
     * Values are JVM-boxed to match Spark's row layout for the column's
     * type: Int/Long/Float/Double/Boolean primitives, Binary as UTF-8
     * String.
     */
-  def columnRanges(spark: SparkSession, files: Seq[String], column: String)
-      : Seq[(String, Option[(Any, Any)])] = {
+  def columnRanges(spark: SparkSession, files: Seq[String], columns: Seq[String])
+      : Seq[(String, Map[String, Option[(Any, Any)]])] = {
     if (files.isEmpty) return Nil
     val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val cols = columns.toIndexedSeq
     val slices = math.max(1, math.min(files.size, 64))
     spark.sparkContext.parallelize(files, slices)
-      .map(f => (f, rangeOf(conf.value, f, column)))
+      .map(f => (f, rangesOf(conf.value, f, cols)))
       .collect().toSeq
   }
 
-  /** Footer-only min/max of `column` across all row groups of one file. */
-  private def rangeOf(conf: Configuration, file: String, column: String): Option[(Any, Any)] = {
+  /** Single-column convenience form. */
+  def columnRanges(spark: SparkSession, files: Seq[String], column: String)
+      : Seq[(String, Option[(Any, Any)])] =
+    columnRanges(spark, files, Seq(column)).map { case (p, m) => (p, m(column)) }
+
+  /** Footer-only min/max of each of `columns` across all row groups of one
+    * file — one footer read total.
+    */
+  private def rangesOf(conf: Configuration, file: String, columns: Seq[String])
+      : Map[String, Option[(Any, Any)]] = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
-      val blocks = r.getFooter.getBlocks
-      var min: Comparable[Any] = null
-      var max: Comparable[Any] = null
-      var ok = !blocks.isEmpty
-      val it = blocks.iterator()
-      while (ok && it.hasNext) {
-        val chunk = it.next().getColumns.asScala.iterator
-          .find(_.getPath.toDotString == column)
-          .orNull
-        val stats = if (chunk == null) null else chunk.getStatistics
-        // every row group needs usable stats, else the FILE range is unknown
-        if (stats == null || stats.isEmpty || !stats.hasNonNullValue) ok = false
-        else {
-          val lo = stats.genericGetMin.asInstanceOf[Comparable[Any]]
-          val hi = stats.genericGetMax.asInstanceOf[Comparable[Any]]
-          if (min == null || lo.compareTo(min) < 0) min = lo
-          if (max == null || hi.compareTo(max) > 0) max = hi
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      columns.map { column =>
+        var min: Comparable[Any] = null
+        var max: Comparable[Any] = null
+        var ok = blocks.nonEmpty
+        val it = blocks.iterator
+        while (ok && it.hasNext) {
+          val chunk = it.next().getColumns.asScala.iterator
+            .find(_.getPath.toDotString == column)
+            .orNull
+          val stats = if (chunk == null) null else chunk.getStatistics
+          // every row group needs usable stats, else the FILE range is unknown
+          if (stats == null || stats.isEmpty || !stats.hasNonNullValue) ok = false
+          else {
+            val lo = stats.genericGetMin.asInstanceOf[Comparable[Any]]
+            val hi = stats.genericGetMax.asInstanceOf[Comparable[Any]]
+            if (!usable(lo) || !usable(hi)) ok = false
+            else {
+              if (min == null || lo.compareTo(min) < 0) min = lo
+              if (max == null || hi.compareTo(max) > 0) max = hi
+            }
+          }
         }
-      }
-      if (!ok) None else Some((unbox(min), unbox(max)))
+        column -> (if (!ok) None else Some((unbox(min), unbox(max))))
+      }.toMap
     } finally r.close()
+  }
+
+  /** NaN-poisoned float/double bounds are not bounds. */
+  private def usable(v: Any): Boolean = v match {
+    case f: java.lang.Float  => !f.isNaN
+    case d: java.lang.Double => !d.isNaN
+    case _                   => true
   }
 
   /** Parquet stat values -> Spark-row-compatible JVM values. */

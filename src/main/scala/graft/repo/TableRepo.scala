@@ -400,6 +400,7 @@ class TableRepo(
     * via the Parquet output committer.
     */
   def extend(df: DataFrame): Unit = withWriteLock {
+    replayPendingDeletes()
     val schema = resolveSchema(df)
     writeData(harmonize(df, schema), overwrite = false)
   }
@@ -412,6 +413,7 @@ class TableRepo(
     * `_temporary` dir.
     */
   def batchExtend(dfs: Seq[DataFrame]): Unit = withWriteLock {
+    replayPendingDeletes()
     require(dfs.nonEmpty, "batchExtend needs at least one batch")
     val schema = resolveSchema(dfs.head)
     val union = dfs.map(harmonize(_, schema)).reduce(_.unionByName(_))
@@ -431,6 +433,7 @@ class TableRepo(
     * lockless version-swap is the distributed equivalent.
     */
   def compact(targetRecordsPerFile: Long): Unit = withWriteLock {
+    replayPendingDeletes()
     val n = count()
     if (n == 0) return
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -460,6 +463,7 @@ class TableRepo(
 
   /** Overwrite everything (core.py:157-160). */
   def replaceAll(df: DataFrame): Unit = withWriteLock {
+    replayPendingDeletes()
     val schema = resolveSchema(df)
     writeData(harmonize(df, schema), overwrite = true)
   }
@@ -468,6 +472,7 @@ class TableRepo(
     * untouched groups survive (core.py:153-155; tests/test_core.py:178-179).
     */
   def replaceGroups(df: DataFrame): Unit = withWriteLock {
+    replayPendingDeletes()
     require(groupCols.nonEmpty, "replaceGroups requires group columns")
     val schema = resolveSchema(df)
     writeData(harmonize(df, schema), overwrite = true, dynamic = true)
@@ -500,6 +505,7 @@ class TableRepo(
     * touches a handful of partitions, not the table.
     */
   def replaceRecords(updates: DataFrame, byGroups: Boolean = false): Unit = withWriteLock {
+    replayPendingDeletes()
     require(keyCols.nonEmpty, "replaceRecords requires keyCols (the reference's meaningful index)")
     val schema = resolveSchema(updates)
     val u = dedupKeepFirst(harmonize(updates, schema))
@@ -582,70 +588,136 @@ class TableRepo(
     }
   }
 
-  /** File-granularity keyed upsert for FLAT key-clustered repos — the
-    * reference's per-file rewrite (core.py:121-130) re-expressed at Spark
-    * scale. `replaceRecords` prunes the merge to affected partition DIRS;
-    * on a flat repo clustered by the key (`clusterCols == keyCols`) the
-    * same idea applies one level down: the write path gives every file a
-    * narrow key range (`repartitionByRange` + `sortWithinPartitions`), so
-    * the merge only needs the files whose footer [min,max] intersects an
-    * update key ([[FileStats.columnRanges]] — one distributed metadata
-    * job). Untouched files are never read and never rewritten — they stay
-    * byte-identical on disk (asserted in `FilePrunedUpsertSpec`). At
-    * 100 TB this is the difference between rewriting a table and
-    * rewriting the handful of files a trickle of updates lands in.
+  /** File-granularity keyed upsert — the reference's per-file rewrite
+    * (core.py:121-130) re-expressed at Spark scale. `replaceRecords`
+    * prunes the merge to affected partition DIRS; on a key-clustered repo
+    * the same idea applies one level down: the write path gives every
+    * file a narrow key range (`repartitionByRange` +
+    * `sortWithinPartitions`), so the merge only needs the files whose
+    * footer per-key-column [min,max] boxes intersect an update key tuple
+    * ([[FileStats.columnRanges]] — one distributed metadata job, all key
+    * columns from one footer read). Untouched files are never read and
+    * never rewritten — they stay byte-identical on disk (asserted in
+    * `FilePrunedUpsertSpec`). At 100 TB this is the difference between
+    * rewriting a table and rewriting the handful of files a trickle of
+    * updates lands in.
+    *
+    * Layout composition: grouped repos participate with `byGroups = true`
+    * (key scoped to its group, exactly like `replaceRecords`) and
+    * hash-bucketed repos when the bucket hashes a key column — partition
+    * dirs are pruned FIRST from the updates' own layout values, then
+    * footer stats prune files within the surviving dirs. Other grouped
+    * shapes must use `replaceRecords`: an unscoped key's old row may live
+    * outside the updates' partitions.
     *
     * Files without usable key statistics are conservatively treated as
-    * affected — pruning never depends on stats presence.
+    * affected — pruning never depends on stats presence. NaN float/double
+    * update keys disable footer pruning for the batch (NaN satisfies no
+    * range predicate; Spark's join equality does match NaN to NaN, so the
+    * merge itself stays correct), and NaN-poisoned footer bounds are
+    * discarded by [[FileStats]].
     *
-    * Sequencing: the merged replacement files are APPENDED first, then the
-    * affected originals are deleted — a concurrent reader in the gap sees
-    * duplicated keys rather than missing ones (the same non-atomicity
-    * scope line as `compact()`; snapshot isolation needs a table format
-    * with a commit log on top).
+    * Sequencing: the merged replacement files are APPENDED first, then
+    * the affected originals are deleted — a concurrent reader in the gap
+    * sees duplicated keys rather than missing ones. A pending-delete
+    * manifest written between the two makes the delete phase crash-safe:
+    * readers exclude manifest files, and the next mutating op replays the
+    * deletes (see the manifest block near `paths`).
     */
-  def replaceRecordsPruned(updates: DataFrame): Unit = withWriteLock {
-    require(keyCols.length == 1, "file-pruned upsert requires a single key column")
-    require(layoutCols.isEmpty,
-      "file-pruned upsert targets flat repos; grouped/bucketed repos prune via replaceRecords")
-    val k = keyCols.head
+  def replaceRecordsPruned(updates: DataFrame, byGroups: Boolean = false): Unit = withWriteLock {
+    replayPendingDeletes()
+    require(keyCols.nonEmpty, "file-pruned upsert requires keyCols")
     val schema = resolveSchema(updates)
-    val keyType = schema(k).dataType
-    require(Seq(IntegerType, LongType, FloatType, DoubleType, StringType).contains(keyType),
-      s"file-pruned upsert supports int/long/float/double/string keys, got $keyType")
+    val keyTypes = keyCols.map(k => k -> schema(k).dataType)
+    keyTypes.foreach { case (k, dt) =>
+      require(Seq(IntegerType, LongType, FloatType, DoubleType, StringType).contains(dt),
+        s"file-pruned upsert supports int/long/float/double/string keys, got $dt for $k")
+    }
+    val effKeys = if (byGroups && groupCols.nonEmpty) (groupCols ++ keyCols).distinct else keyCols
+    require(layoutCols.isEmpty || ((byGroups || groupCols.isEmpty) &&
+        hashBucket.forall(hb => effKeys.contains(hb.col))),
+      "on a grouped repo the file-pruned upsert needs byGroups = true (key scoped to its " +
+        "group), and a hash bucket must hash a key column — otherwise a key's old row may " +
+        "live outside the updates' partitions; use replaceRecords for those shapes")
     val u = stage(dedupKeepFirst(harmonize(updates, schema)))
     if (!exists) { writeData(u, overwrite = false); return }
-    val ranges = FileStats.columnRanges(spark, paths, k)
-    val statless = ranges.collect { case (p, None) => p }
-    val rangeRows = new java.util.ArrayList[Row]()
-    ranges.foreach { case (p, Some((lo, hi))) => rangeRows.add(Row(p, lo, hi)); case _ => () }
-    val rangesDf = spark.createDataFrame(rangeRows,
-      StructType(Seq(StructField("__graft_file__", StringType),
-        StructField("__graft_min__", keyType), StructField("__graft_max__", keyType))))
-    // per-file intersection: broadcast the (one-row-per-file) ranges table
-    // and join the distinct update keys into it — no driver pass over
-    // update rows; the collected result is bounded by file count
-    val affected = u.select(col(k)).distinct()
-      .join(broadcast(rangesDf),
-        col(k) >= col("__graft_min__") && col(k) <= col("__graft_max__"))
-      .select(col("__graft_file__")).distinct()
-      .collect().map(_.getString(0)) ++ statless
+    // 1) partition scope: grouped/bucketed repos prune DIRS first — the
+    //    updates' own layout values define the scope (legal per the
+    //    require above); flat repos go straight to footers.
+    val candidateFiles: Seq[String] =
+      if (layoutCols.isEmpty) paths
+      else {
+        val dirVals = withLayout(u).select(layoutCols.map(col): _*).distinct()
+          .collect().map(_.toSeq)
+        if (dirVals.length > TableRepo.MaxPartitionPredicateLiterals) {
+          // scope too wide for per-dir listing to pay off; the partition
+          // merge handles it with one dynamic overwrite
+          replaceRecords(updates, byGroups); return
+        }
+        dirVals.toIndexedSeq.flatMap { vals =>
+          val dir = layoutCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+          listParquetFiles(s"$dataPath/$dir")
+        }
+      }
+    // 2) footer pruning: broadcast the (one-row-per-file) range boxes and
+    //    join the distinct update key tuples into them — no driver pass
+    //    over update rows; the collected result is bounded by file count
+    val nanKeyCols = keyTypes.collect { case (k, FloatType | DoubleType) => k }
+    val updatesHaveNanKey = nanKeyCols.nonEmpty &&
+      u.filter(nanKeyCols.map(k => isnan(col(k))).reduce(_ || _)).limit(1).count() > 0
+    val affected: Seq[String] =
+      if (updatesHaveNanKey) candidateFiles // NaN satisfies no range predicate
+      else if (candidateFiles.isEmpty) Nil
+      else {
+        val ranges = FileStats.columnRanges(spark, candidateFiles, keyCols)
+        val statless = ranges.collect { case (p, m) if keyCols.exists(k => m(k).isEmpty) => p }
+        val rangeRows = new java.util.ArrayList[Row]()
+        ranges.foreach { case (p, m) =>
+          if (keyCols.forall(k => m(k).isDefined))
+            rangeRows.add(Row.fromSeq(p +: keyCols.flatMap { k =>
+              val (lo, hi) = m(k).get; Seq(lo, hi)
+            }))
+        }
+        val rangesDf = spark.createDataFrame(rangeRows,
+          StructType(StructField("__graft_file__", StringType) +:
+            keyTypes.flatMap { case (k, dt) =>
+              Seq(StructField(s"__graft_min_${k}__", dt), StructField(s"__graft_max_${k}__", dt))
+            }))
+        val cond = keyCols.map(k =>
+          col(k) >= col(s"__graft_min_${k}__") && col(k) <= col(s"__graft_max_${k}__"))
+          .reduce(_ && _)
+        u.select(keyCols.map(col): _*).distinct()
+          .join(broadcast(rangesDf), cond)
+          .select(col("__graft_file__")).distinct()
+          .collect().map(_.getString(0)).toIndexedSeq ++ statless
+      }
     if (affected.isEmpty) {
       // no existing file can hold any updated key: the batch is all-new
       // keys, and an upsert of new keys is a plain append
       writeData(u, overwrite = false)
     } else {
-      val scoped = pinnedSchema match {
-        case Some(p) => harmonize(spark.read.schema(p).parquet(affected.toIndexedSeq: _*), p)
-        case None    => spark.read.parquet(affected.toIndexedSeq: _*)
-      }
-      val merged = stage(scoped
-        .join(u.select(col(k)).distinct(), keyCols, "left_anti")
+      val merged = stage(readFilesScoped(affected)
+        .join(u.select(effKeys.map(col): _*).distinct(), effKeys, "left_anti")
         .unionByName(u))
       writeData(merged, overwrite = false)
+      writePendingDeletes(affected)
       affected.foreach(p => fs.delete(new Path(p), false))
+      fs.delete(pendingDeletePath, false): Unit
     }
   }
+
+  /** Read an explicit data-file subset with the repo's harmonized row
+    * surface: basePath keeps dir-encoded partition values visible (group
+    * columns in drop mode), helper partition columns never leak.
+    */
+  private def readFilesScoped(files: Seq[String]): DataFrame =
+    pinnedSchema match {
+      case Some(p) =>
+        harmonize(
+          spark.read.schema(p).option("basePath", dataPath).parquet(files: _*), p)
+      case None =>
+        spark.read.option("basePath", dataPath).parquet(files: _*).drop(helperCols: _*)
+    }
 
   /** Unlink all data and the schema sentinel (core.py:162-167). Removes
     * every snapshot version (committed or not), not just the current one.
@@ -659,6 +731,7 @@ class TableRepo(
         fs.delete(s.getPath, false)
     }
     fs.delete(new Path(s"$root/data"), true)
+    fs.delete(pendingDeletePath, false)
     fs.delete(new Path(schemaPath), false)
     fs.delete(new Path(metaPath), false)
   }
@@ -679,11 +752,19 @@ class TableRepo(
     * inference. Without a pin (first contact with a foreign dataset) fall
     * back to a merged-schema inference read.
     */
-  private def readRaw(): DataFrame =
-    pinnedSchema match {
-      case Some(p) => spark.read.schema(p).parquet(dataPath)
-      case None    => spark.read.option("mergeSchema", "true").parquet(dataPath)
+  private def readRaw(): DataFrame = {
+    val rd = pinnedSchema match {
+      case Some(p) => spark.read.schema(p)
+      case None    => spark.read.option("mergeSchema", "true")
     }
+    val pend = pendingDeleteSet()
+    if (pend.isEmpty) rd.parquet(dataPath)
+    else
+      // a crashed pruned merge left replaced-but-undeleted files: exclude
+      // them (basePath keeps dir-encoded partition values visible)
+      rd.option("basePath", dataPath)
+        .parquet(listParquetFiles(dataPath).filterNot(pend.contains): _*)
+  }
 
   /** Harmonized scan that also surfaces the derived layout columns — the
     * hash bucket and the keep-mode group helpers — read from the partition
@@ -758,16 +839,67 @@ class TableRepo(
       .flatMapGroups((k: String, it: Iterator[Row]) => f(k.split(sep).toSeq, it))(Encoders.row(out))
   }
 
-  /** All data file paths (core.py:260-265). */
+  /** All data file paths (core.py:260-265), minus any files a crashed
+    * pruned merge already replaced (pending-delete manifest).
+    */
   def paths: Seq[String] = {
+    val pend = pendingDeleteSet()
+    listParquetFiles(dataPath).filterNot(pend.contains)
+  }
+
+  /** Recursive .parquet listing under `base` (no pending-delete filter). */
+  private def listParquetFiles(base: String): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
-    if (!exists) return out.toSeq
-    val it = fs.listFiles(new Path(dataPath), true)
+    val bp = new Path(base)
+    if (!fs.exists(bp)) return out.toSeq
+    val it = fs.listFiles(bp, true)
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
     }
     out.toSeq
+  }
+
+  // ------------------------------------------- pending-delete manifest
+  //
+  // The pruned merge appends its replacement files FIRST and deletes the
+  // superseded originals after. A crash between the two used to leave
+  // duplicate keys on disk permanently. The delete phase is now preceded
+  // by a manifest (`_graft_pending_delete`) naming the doomed files:
+  // readers exclude manifest files from every scan (their replacements
+  // are already committed), and the next mutating op physically replays
+  // the deletes. The residual window — a crash after the append commit
+  // but before the manifest write — leaves duplicates like the
+  // pre-manifest design, but is one tiny-file write wide instead of a
+  // whole delete loop.
+  private def pendingDeletePath: Path = new Path(s"$root/_graft_pending_delete")
+
+  private def pendingDeleteSet(): Set[String] = {
+    val p = pendingDeletePath
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writePendingDeletes(files: Seq[String]): Unit = {
+    val out = fs.create(pendingDeletePath, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Idempotent crash repair: physically delete manifest files, then drop
+    * the manifest. Runs at the head of every mutating op (inside the
+    * write lock).
+    */
+  private def replayPendingDeletes(): Unit = {
+    val pend = pendingDeleteSet()
+    if (pend.nonEmpty) {
+      pend.foreach(f => fs.delete(new Path(f), false))
+      fs.delete(pendingDeletePath, false): Unit
+    }
   }
 
   def nFiles: Int = paths.size

@@ -88,12 +88,117 @@ class FilePrunedUpsertSpec extends SparkSuite {
     assert(repo.getFullDf.filter(col("k") === "k0001").head().getInt(1) == -1)
   }
 
-  test("grouped repos are rejected (they prune via replaceRecords)") {
+  test("grouped repos without byGroups are rejected (key may live outside the updates' dirs)") {
     val repo = new TableRepo(scratch("pruned-grouped"), spark,
       groupCols = Seq("g"), keyCols = Seq("id"))
     repo.extend(Seq((1L, "a", "x")).toDF("id", "g", "v"))
     intercept[IllegalArgumentException] {
       repo.replaceRecordsPruned(Seq((1L, "a", "y")).toDF("id", "g", "v"))
     }
+  }
+
+  test("composite keys prune on the per-column range box intersection") {
+    val repo = new TableRepo(scratch("pruned-composite"), spark,
+      keyCols = Seq("a", "b"), clusterCols = Seq("a", "b"), maxRecordsPerFile = 800L)
+    repo.extend((0L until 3200L).map(i => (i / 40L, i % 40L, s"v$i")).toDF("a", "b", "payload"))
+    assert(repo.nFiles >= 3, s"need several range files, got ${repo.nFiles}")
+    val before = repo.paths.map(p => p -> md5(p)).toMap
+
+    repo.replaceRecordsPruned(
+      Seq((2L, 3L, "NEW"), (900L, 900L, "APPEND")).toDF("a", "b", "payload"))
+
+    val after = repo.paths.map(p => p -> md5(p)).toMap
+    val replaced = before.keySet -- after.keySet
+    assert(replaced.size == 1, s"expected one rewritten file, got $replaced")
+    before.keySet.intersect(after.keySet)
+      .foreach(p => assert(before(p) == after(p), s"file $p changed bytes"))
+    val out = repo.getFullDf
+    assert(out.count() == 3201)
+    assert(out.groupBy(col("a"), col("b")).count().filter(col("count") > 1).count() == 0)
+    assert(out.filter(col("a") === 2L && col("b") === 3L).head().getString(2) == "NEW")
+  }
+
+  test("byGroups composes dir pruning with footer pruning on a grouped repo") {
+    val repo = new TableRepo(scratch("pruned-bygroups"), spark,
+      groupCols = Seq("g"), keyCols = Seq("id"), clusterCols = Seq("id"),
+      maxRecordsPerFile = 500L)
+    // one input partition per group -> files within a dir carry disjoint
+    // key ranges (sortWithinPartitions + maxRecordsPerFile rolls)
+    repo.extend((0L until 3000L).map(i => (i, s"g${i % 3}", s"v$i"))
+      .toDF("id", "g", "v").repartition(col("g")))
+    val before = repo.paths.map(p => p -> md5(p)).toMap
+    assert(before.size >= 6, s"need several files across dirs, got ${before.size}")
+
+    // updates hit group g0 only, two ids in one narrow range
+    repo.replaceRecordsPruned(Seq((0L, "g0", "N0"), (3L, "g0", "N3")).toDF("id", "g", "v"),
+      byGroups = true)
+
+    val after = repo.paths.map(p => p -> md5(p)).toMap
+    val replaced = before.keySet -- after.keySet
+    assert(replaced.size == 1, s"expected one rewritten file, got $replaced")
+    assert(replaced.head.contains("g=g0"), s"rewritten file outside g0: $replaced")
+    before.keySet.intersect(after.keySet)
+      .foreach(p => assert(before(p) == after(p), s"file $p changed bytes"))
+    val out = repo.getFullDf
+    assert(out.count() == 3000)
+    assert(out.filter(col("id") === 0L).head().getAs[String]("v") == "N0")
+    assert(out.filter(col("id") === 3L).head().getAs[String]("v") == "N3")
+  }
+
+  test("hash-bucketed repos prune bucket dirs first, then footers within") {
+    val repo = new TableRepo(scratch("pruned-bucketed"), spark,
+      keyCols = Seq("id"), hashBucket = Some(HashBucketLayout("id", 8)),
+      clusterCols = Seq("id"), maxRecordsPerFile = 400L)
+    repo.extend((0L until 2400L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = repo.paths.map(p => p -> md5(p)).toMap
+
+    repo.replaceRecordsPruned(Seq((42L, "NEW42")).toDF("id", "v"))
+
+    val after = repo.paths.map(p => p -> md5(p)).toMap
+    val replaced = before.keySet -- after.keySet
+    assert(replaced.nonEmpty && replaced.size < before.size / 2,
+      s"expected a small rewrite set, got ${replaced.size} of ${before.size}")
+    val bucketDirs = replaced.map(_.split("/").find(_.startsWith("__graft_hash_")).getOrElse(""))
+    assert(bucketDirs.size == 1, s"rewrites crossed bucket dirs: $bucketDirs")
+    before.keySet.intersect(after.keySet)
+      .foreach(p => assert(before(p) == after(p), s"file $p changed bytes"))
+    assert(repo.getFullDf.filter(col("id") === 42L).head().getString(1) == "NEW42")
+    assert(repo.count() == 2400)
+  }
+
+  test("NaN update keys disable pruning but keep the one-row-per-key contract") {
+    val repo = new TableRepo(scratch("pruned-nan"), spark,
+      keyCols = Seq("k"), clusterCols = Seq("k"))
+    repo.extend(Seq((1.0, "one"), (2.0, "two"), (Double.NaN, "oldnan")).toDF("k", "v"))
+    repo.replaceRecordsPruned(Seq((Double.NaN, "newnan")).toDF("k", "v"))
+    val out = repo.getFullDf
+    assert(out.count() == 3, "NaN update must replace the existing NaN row, not duplicate it")
+    val nanRows = out.filter(isnan(col("k"))).collect()
+    assert(nanRows.length == 1 && nanRows.head.getString(1) == "newnan")
+  }
+
+  test("a crash between append and deletes is invisible to readers and repaired by the next write") {
+    val root = scratch("pruned-crash")
+    val repo = new TableRepo(root, spark, keyCols = Seq("id"), clusterCols = Seq("id"),
+      maxRecordsPerFile = 500L)
+    repo.extend((0L until 1500L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val victim = repo.paths.head
+    // simulate the crash window: replacement rows for the victim's keys
+    // are committed (here: the file's own rows re-appended verbatim), the
+    // manifest names the victim, but the delete never ran
+    val rows = spark.read.parquet(victim).localCheckpoint(true)
+    rows.write.mode("append").parquet(s"$root/data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_graft_pending_delete"),
+      victim.getBytes("UTF-8"))
+    // readers exclude the manifest file: no duplicate keys
+    assert(repo.getFullDf.count() == 1500)
+    assert(repo.getFullDf.groupBy(col("id")).count().filter(col("count") > 1).count() == 0)
+    // the next mutating op replays the delete and clears the manifest
+    repo.extend(Seq((9999L, "late")).toDF("id", "payload"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_graft_pending_delete")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(new java.net.URI(victim))), "victim file must be deleted on replay")
+    assert(repo.getFullDf.count() == 1501)
   }
 }
