@@ -1,0 +1,84 @@
+package graft.streaming
+
+import scala.util.Random
+
+import graft.SparkSuite
+
+/** Streaming semantic near-dup: same-bucket arrivals within the horizon
+  * emit exact-cosine hits against the first occupant; hits agree with the
+  * batch bucket-collision cut on the same data; bucket state evicts at
+  * the horizon (inline under continuous traffic).
+  */
+class StreamEmbDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sec = 1000000L
+  private val rng = new Random(123)
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new Random(seed)
+    Array.fill(64)(r.nextFloat() - 0.5f)
+  }
+
+  /** near-twin: tiny perturbation keeps all SRP signs w.h.p. */
+  private def near(v: Array[Float]): Array[Float] = v.map(x => x + 0.001f * math.signum(x))
+
+  private def run(batches: Seq[Seq[(Long, Array[Float], Long)]], horizonUs: Long,
+      name: String): Seq[(Long, Long, Int, Double)] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float], Long)]
+    val stream = ms.toDF().toDF("vec_id", "embedding", "ts_us")
+    val q = StreamEmbDedup.candidates(stream, horizonUs)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+  }
+
+  test("a near-twin within the horizon hits with cosine ~1 in every table") {
+    val v = vec(1)
+    val got = run(Seq(
+      Seq((1L, v, 10 * sec), (2L, vec(2), 11 * sec)),
+      Seq((3L, near(v), 20 * sec))
+    ), horizonUs = 600 * sec, name = "sed1")
+    val hits3 = got.filter(_._1 == 3L)
+    assert(hits3.nonEmpty, s"expected hits for the near-twin, got $got")
+    assert(hits3.forall(h => h._2 == 1L && h._4 > 0.99), s"bad hits: $hits3")
+    // 4 tables, twin signs preserved in each -> one hit per table
+    assert(hits3.map(_._3).distinct.size == hits3.size)
+    // first occupants never hit
+    assert(!got.exists(_._1 == 1L))
+  }
+
+  test("streamed hits equal the batch bucket-collision cut on the same data") {
+    val data = (0 until 40).map { i =>
+      val base = if (i % 4 == 0) near(vec(i / 4)) else vec(i % 7)
+      (i.toLong, base, (100 + i) * sec)
+    }
+    // one row per batch, in ts order: the stream sees the same arrival
+    // order the batch twin's min_by(ts, id) occupant rule assumes
+    val got = run(data.map(Seq(_)), horizonUs = 3600 * sec, name = "sed2")
+    val batch = StreamEmbDedup.batchTwin(data.toDF("vec_id", "embedding", "ts_us"),
+        horizonUs = 3600 * sec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got.toSet == batch.toSet,
+      s"stream/batch divergence:\n only-stream=${got.toSet -- batch.toSet}\n only-batch=${batch.toSet -- got.toSet}")
+    assert(got.nonEmpty)
+  }
+
+  test("past the horizon a vector re-occupies silently, even under continuous traffic") {
+    val v = vec(9)
+    val got = run(Seq(
+      Seq((1L, v, 10 * sec)),
+      Seq((2L, near(v), 30 * sec)),   // within horizon of 1 -> hits
+      Seq((3L, near(v), 100 * sec)),  // past 1's horizon, bucket never drained -> re-occupies
+      Seq((4L, near(v), 110 * sec))   // hits the fresh occupant 3
+    ), horizonUs = 60 * sec, name = "sed3")
+    assert(got.filter(_._1 == 2L).forall(_._2 == 1L))
+    assert(!got.exists(_._1 == 3L), s"doc 3 must re-occupy, got $got")
+    assert(got.filter(_._1 == 4L).nonEmpty)
+    assert(got.filter(_._1 == 4L).forall(_._2 == 3L), s"doc 4 must hit doc 3: $got")
+  }
+}
