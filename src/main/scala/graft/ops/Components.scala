@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * propagation — labels(v) = min(label over neighbors ∪ v) — which
   * converges to min(id in component): a unique fixpoint, so the result is
   * deterministic regardless of iteration schedule. Each round is one join
-  * + one aggregate (the standard Spark CC); rounds = graph diameter (dup
-  * clusters are shallow — ≤3 at the test scales). The driver-side loop
-  * holds only a LONG per round (convergence witness), never rows.
+  * + one aggregate (the standard Spark CC) plus a label-on-label join
+  * (pointer doubling), so rounds ≈ log₂(diameter) — a pathological
+  * 1000-node chain converges in ~10 rounds, not 1000 (dup clusters are
+  * shallow anyway — ≤3 at the test scales). The driver-side loop holds
+  * only a LONG per round (convergence witness), never rows.
   */
 object Components {
 
@@ -22,7 +24,13 @@ object Components {
     * columns (`id`, `cluster_id`) with `cluster_id` = min id in the node's
     * component.
     */
-  def minLabel(pairs0: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def minLabel(pairs0: DataFrame, maxRounds: Int = 50): DataFrame =
+    minLabelWithRounds(pairs0, maxRounds)._1
+
+  /** [[minLabel]] plus the number of propagation rounds executed — the
+    * scale witness (rounds ≈ log₂ diameter, see the doubling step below).
+    */
+  def minLabelWithRounds(pairs0: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     require(pairs0.columns.length == 2,
       s"pairs must have exactly two id columns, got ${pairs0.columns.mkString(",")}")
     val pairs = pairs0.toDF("__a", "__b")
@@ -50,9 +58,18 @@ object Components {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = edges
+      val prop = edges
         .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+      // POINTER DOUBLING: follow the label's own label (label(label(v)))
+      // each round. Neighbor propagation alone needs diameter rounds — a
+      // pathological chain of length d costs d joins; the jump collapses
+      // chain depth geometrically, so rounds ≈ log₂(d). Still correct:
+      // label(l) is the min over l's own neighborhood, same component, and
+      // labels stay monotonically decreasing so the sum witness holds.
+      val next = prop
+        .join(prop.select(col("src").as("lbl"), col("lbl").as("__jump")), Seq("lbl"), "left")
+        .select(col("src"), coalesce(col("__jump"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val s = lblSum(next)
       converged = s == prevSum
@@ -60,9 +77,10 @@ object Components {
       labels = next
       rounds += 1
     }
-    // maxRounds covers any realistic dup-cluster diameter; emitting
-    // unconverged labels would be silently wrong, so fail loudly instead
+    // maxRounds covers any realistic dup-cluster diameter with log-depth
+    // headroom to spare; emitting unconverged labels would be silently
+    // wrong, so fail loudly instead
     require(converged, s"label propagation did not converge in $rounds rounds")
-    labels.select(col("src").as("id"), col("lbl").as("cluster_id"))
+    (labels.select(col("src").as("id"), col("lbl").as("cluster_id")), rounds)
   }
 }

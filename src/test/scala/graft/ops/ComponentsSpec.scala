@@ -45,6 +45,16 @@ class ComponentsSpec extends SparkSuite {
     assert(cc(pairs) == want)
   }
 
+  test("pointer doubling makes rounds logarithmic in chain depth") {
+    // a 65-node path (diameter 64): plain neighbor propagation needs 64
+    // rounds; with the label(label(v)) jump the depth halves each round
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val (labels, rounds) = Components.minLabelWithRounds(chain.toDF("a", "b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 64L).map(_ -> 0L).toMap)
+    assert(rounds <= 12, s"expected ~log2(64) rounds, took $rounds")
+  }
+
   test("rejects inputs without exactly two columns") {
     intercept[IllegalArgumentException] {
       Components.minLabel(Seq((1L, 2L, 3L)).toDF("a", "b", "c"))
