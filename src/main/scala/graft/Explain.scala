@@ -38,6 +38,13 @@ object Explain {
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
+    // checkpoint-ending queries explain as one `Scan ExistingRDD` line —
+    // dump their stage pipelines with the barriers disabled so the
+    // candidate/verify plans stay auditable
+    graft.ops.Queries.auditStages(spark, sfDir).foreach { case (n, df) =>
+      println(s"\n======== stage $n (Ckpt disabled for audit) ========")
+      df.explain("formatted")
+    }
     spark.stop()
   }
 }

@@ -148,28 +148,61 @@ object Queries {
     * 16-byte row in the distinct, not a 512-byte embedding pair in the
     * shuffle or a recomputed cosine.
     */
-  private[graft] def embDupClusters(s: SparkSession, d: String,
+  /** The candidate + verify stage of [[embDupClusters]], exposed so plan
+    * audits can dump it: the cluster step's checkpoints would otherwise
+    * hide the whole pipeline from `.explain`.
+    */
+  private[graft] def embDupPairs(s: SparkSession, d: String,
       bits: Int = EmbDupBits, tables: Int = EmbDupTables): DataFrame = {
     val bucketCols = (0 until tables).map(tb =>
       VectorFns.srpBucket(col("embedding"), bits, EmbDupDim, tb).as(s"b$tb"))
-    val e = t(s, d, "embeddings")
+    val e = Ckpt(t(s, d, "embeddings")
       .select(Seq(col("vec_id"), col("embedding"),
-        VectorFns.norm2(col("embedding")).as("nrm")) ++ bucketCols: _*)
-      .localCheckpoint(true)
+        VectorFns.norm2(col("embedding")).as("nrm")) ++ bucketCols: _*))
     val cand = (0 until tables).map { tb =>
       e.as("a").join(e.as("b"),
           col(s"a.b$tb") === col(s"b.b$tb") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
     }.reduce(_.union(_)).dropDuplicates("va", "vb")
-    val pairs = cand
+    cand
       .join(e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("nrm").as("na")), "va")
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("nrm").as("nb")), "vb")
       .withColumn("sim", VectorFns.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= EmbDupThreshold)
       .select(col("va"), col("vb"))
-    Components.minLabel(pairs)
-      .select(col("id").as("vec_id"), col("cluster_id"))
   }
+
+  private[graft] def embDupClusters(s: SparkSession, d: String,
+      bits: Int = EmbDupBits, tables: Int = EmbDupTables): DataFrame =
+    Components.minLabel(embDupPairs(s, d, bits, tables))
+      .select(col("id").as("vec_id"), col("cluster_id"))
+
+  /** The exact near-dup pair stage shared by `q_dup_clusters` (and the
+    * audit dump): hashed token sets -> prefix-filter join at J >= 0.6.
+    */
+  private[graft] def docDupPairs(s: SparkSession, d: String): DataFrame = {
+    val dd = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
+    SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
+  }
+
+  /** Pre-checkpoint stage plans for the checkpoint-ending pipelines.
+    * Built with the [[Ckpt]] barriers disabled so `.explain` shows the
+    * FULL pipeline (scan, SRP projection, candidate joins, verify) that
+    * the executed plan's `Scan ExistingRDD` hides; the cluster queries'
+    * label-propagation step additionally checkpoints internally, so their
+    * pair stage would be invisible even with barriers off. Plan
+    * construction only — executing these frames would recompute shared
+    * stages per consumer, the exact tax the barriers prevent.
+    */
+  private[graft] def auditStages(s: SparkSession, d: String): Seq[(String, DataFrame)] =
+    Ckpt.withDisabled {
+      Seq(
+        "q_emb_dup_clusters:pairs" -> embDupPairs(s, d),
+        "q_dup_clusters:pairs" -> docDupPairs(s, d).select(col("id_a"), col("id_b"))
+      )
+    }
 
   /** MinHash signature (4 hash functions) over 3-gram shingles; docs with
     * fewer than 3 tokens have no shingles and are excluded.
@@ -733,10 +766,9 @@ object Queries {
       // pipeline runs per side (the SetSimJoin round-6 lesson)
       val bucketCols = (0 until EmbDupTables).map(tb =>
         VectorFns.srpBucket(col("embedding"), EmbDupBits, EmbDupDim, tb).as(s"b$tb"))
-      val e = t(s, d, "embeddings")
+      val e = Ckpt(t(s, d, "embeddings")
         .select(Seq(col("vec_id"), col("embedding"),
-          VectorFns.norm2(col("embedding")).as("nrm")) ++ bucketCols: _*)
-        .localCheckpoint(true)
+          VectorFns.norm2(col("embedding")).as("nrm")) ++ bucketCols: _*))
       val q = e.filter(col("vec_id") < 5)
       val cand = (0 until EmbDupTables).map { tb =>
         broadcast(q.select(col("vec_id").as("q_id"), col(s"b$tb").as("qb")))
@@ -957,9 +989,8 @@ object Queries {
       // two parquet scans without this), so both sides read finished rows.
       // Each pair then costs a single dot fold (identical doubles to the
       // oracle's dot/(sqrt(na)*sqrt(nb)) form)
-      val e = t(s, d, "embeddings")
-        .withColumn("nrm", VectorFns.norm2(col("embedding")))
-        .localCheckpoint(true)
+      val e = Ckpt(t(s, d, "embeddings")
+        .withColumn("nrm", VectorFns.norm2(col("embedding"))))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .withColumn("sim",
@@ -1559,12 +1590,7 @@ object Queries {
       // prefix-token equi-join that scales linearly with near-dup
       // density instead of quadratically with block size. The last
       // all-pairs path in this pipeline is gone.
-      val dd = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
-      val pairs = SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
-        .select(col("id_a"), col("id_b"))
-      Components.minLabel(pairs)
+      Components.minLabel(docDupPairs(s, d).select(col("id_a"), col("id_b")))
         .select(col("id").as("doc_id"), col("cluster_id"))
     },
 
@@ -1767,11 +1793,9 @@ object Queries {
         | JOIN uc c ON c.tok = split_part(b.bigram, ' ', 2), tot t
         | ORDER BY lift DESC, b.bigram LIMIT 100""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val toks = t(s, d, "documents").select(TextFns.tokens(col("text")).as("toks"))
-        .localCheckpoint(true)
-      val uc = toks.select(explode(col("toks")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+      val toks = Ckpt(t(s, d, "documents").select(TextFns.tokens(col("text")).as("toks")))
+      val uc = Ckpt(toks.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
       val tot = uc.agg(sum(col("cnt")).as("n"))
       val bc = toks.filter(size(col("toks")) >= 2)
         .select(explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram"))

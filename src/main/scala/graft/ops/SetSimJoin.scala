@@ -81,10 +81,9 @@ object SetSimJoin {
     // UnknownPartitioning (the plan dumps show it), so a pre-checkpoint
     // shuffle is pure cost — every consumer re-shuffles for its own keys
     // regardless
-    val base = dd
+    val base = Ckpt(dd
       .select((col(idCol) +: blocks :+ SetOps.sortedSet(col(setCol)).as("__set")): _*)
-      .withColumn("__n", size(col("__set")))
-      .localCheckpoint(true)
+      .withColumn("__n", size(col("__set"))))
 
     val tokens = base.select(
       (col(idCol) +: blocks :+ col("__n") :+ explode(col("__set")).as("__h")): _*)
@@ -107,7 +106,7 @@ object SetSimJoin {
       // (verified round 7: zero ReusedExchange and ~20% slower without
       // this), so both read the finished prefix rows instead of
       // re-running the dfreq join + window twice
-      .localCheckpoint(true)
+      .transform(Ckpt.apply)
 
     def both(c: String): Column = col(s"a.$c") === col(s"b.$c")
     val joinCond = (("__h" +: blockCols).map(both) :+
