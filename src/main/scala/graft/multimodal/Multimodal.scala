@@ -17,12 +17,15 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is real: pure-JVM `javax.imageio` (PNG/JPEG/GIF/BMP), no
   * native deps — [[decodeImageFeatures]] yields dimensions + pixel stats,
-  * [[resizeImages]] re-encodes a bilinear-scaled PNG. Undecodable payloads
-  * are dropped, counted per partition by the caller if needed (a corrupt
-  * media file must never fail a 100 TB sweep). AUDIO/VIDEO codecs don't
-  * exist in the JVM: [[sampleFrames]] keeps the byte-window iterator shape
-  * as the documented production slot for a codec call, and
-  * [[extractFeatures]] computes codec-independent content signatures
+  * [[resizeImages]] re-encodes a bilinear-scaled PNG. AUDIO decode is
+  * real for PCM containers: pure-JVM `javax.sound.sampled` (WAV/AIFF/AU)
+  * — [[decodeAudioFeatures]] yields format facts + waveform statistics
+  * from decoded samples. Undecodable payloads are dropped, counted per
+  * partition by the caller if needed (a corrupt media file must never
+  * fail a 100 TB sweep). Compressed audio (MP3/Opus) and VIDEO codecs
+  * don't exist in the JVM: [[sampleFrames]] keeps the byte-window
+  * iterator shape as the documented production slot for a codec call,
+  * and [[extractFeatures]] computes codec-independent content signatures
   * (byte histogram + folded signature) useful for binary near-dup on any
   * modality.
   */
@@ -179,6 +182,86 @@ object Multimodal {
             val bos = new ByteArrayOutputStream()
             ImageIO.write(out, "png", bos)
             Media(m.media_id, bos.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
+  /** Decoded audio facts + waveform statistics, all from REAL decoded
+    * PCM samples: stream format (rate/channels/bits), duration, and
+    * channel-0 RMS / peak / zero-crossing rate — the standard cheap
+    * audio-quality screens (silence, clipping, tone-vs-noise).
+    */
+  case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Double,
+      channels: Int,
+      n_frames: Long,
+      duration_s: Double,
+      rms: Double,
+      peak: Double,
+      zero_cross_rate: Double)
+
+  /** Decode one audio payload with `javax.sound.sampled` (pure JVM:
+    * WAV/AIFF/AU containers, PCM and converted-to-PCM encodings) into
+    * 16-bit signed little-endian samples. None for anything the JDK
+    * can't parse. Compressed codecs (MP3/AAC/Opus) have no JVM decoder —
+    * they remain the documented production slot; their containers fail
+    * here and are dropped, never fatal.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Short])] =
+    try {
+      val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      val f0 = in0.getFormat
+      val target = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels, f0.getSampleRate, false)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in0)
+      val bytes = in.readAllBytes()
+      in.close()
+      val samples = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+        i += 1
+      }
+      Some((target, samples))
+    } catch { case _: Exception => None }
+
+  /** Real distributed audio decode: one JDK decode per row in a streaming
+    * partition pass, undecodable payloads dropped — the audio sibling of
+    * [[decodeImageFeatures]] with the identical iterator contract.
+    */
+  def decodeAudioFeatures(media: Dataset[Media]): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeAudio(m.payload).flatMap { case (fmt, samples) =>
+          val ch = fmt.getChannels
+          val nFrames = samples.length / math.max(ch, 1)
+          if (nFrames == 0) None
+          else {
+            // channel-0 walk: RMS, peak, signed zero crossings
+            var sumSq = 0.0; var peak = 0.0; var crossings = 0L
+            var prevSign = 0
+            var i = 0
+            while (i < nFrames) {
+              val s = samples(i * ch) / 32768.0
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) crossings += 1
+                prevSign = sign
+              }
+              i += 1
+            }
+            Some(AudioFeatures(m.media_id, fmt.getSampleRate.toDouble, ch, nFrames.toLong,
+              nFrames / fmt.getSampleRate.toDouble, math.sqrt(sumSq / nFrames), peak,
+              crossings.toDouble / nFrames))
           }
         }
       }

@@ -86,6 +86,41 @@ class MultimodalSpec extends SparkSuite {
     assert(out(2L).toSeq == png(8, 4)((_, _) => 9).toSeq)
   }
 
+  test("real audio decode extracts format facts and waveform statistics") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // synthesize a 16-bit mono PCM WAV: 440 Hz sine, amplitude 0.5, 0.5 s
+    def sineWav(freq: Double, rate: Float, seconds: Double, amp: Double): Array[Byte] = {
+      val n = (rate * seconds).toInt
+      val data = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toInt.toShort
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.Media(1L, sineWav(440.0, 8000f, 0.5, 0.5)),
+      Multimodal.Media(2L, "definitely not audio".getBytes)
+    ).toDS()
+    val got = Multimodal.decodeAudioFeatures(media).collect().map(f => f.media_id -> f).toMap
+    // corrupt payload dropped, never fails the job
+    assert(got.keySet == Set(1L))
+    val f = got(1L)
+    assert(f.sample_rate == 8000.0 && f.channels == 1 && f.n_frames == 4000L)
+    assert(math.abs(f.duration_s - 0.5) < 1e-9)
+    // sine of amplitude a: RMS = a/sqrt(2), peak = a, ZCR = 2f/rate
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f.rms}")
+    assert(math.abs(f.peak - 0.5) < 0.01, s"peak ${f.peak}")
+    assert(math.abs(f.zero_cross_rate - 2 * 440.0 / 8000.0) < 0.005, s"zcr ${f.zero_cross_rate}")
+  }
+
   test("resize stride-downsamples payloads") {
     val media = Multimodal.withPayload(Seq((1L, "abcdefgh"), (2L, "xy")).toDF("doc_id", "text"), "text", "doc_id")
     val out = Multimodal.resize(media, factor = 3).collect().map(m => m.media_id -> new String(m.payload)).toMap
