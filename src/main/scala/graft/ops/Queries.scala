@@ -215,7 +215,12 @@ object Queries {
       .withColumn("h", TextFns.hash32(col("tok")))
     val aggs = TextFns.MinhashA.indices.map(i =>
       min(TextFns.minhashOf(col("h"), i)).cast(LongType).as(s"mh$i"))
-    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // eager checkpoint: the band construction projects the signature once
+    // per band per self-join side (8 distinct subtrees — exchange reuse
+    // connects none of them), so without the barrier every consumer
+    // re-ran the whole tokenize/shingle/hash pipeline: the r8 plan audit
+    // showed 12 corpus scans in q_minhash_est and 10 in q_lsh_verified
+    Ckpt(tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*))
   }
 
   /** SQL fragment: the minhash signature select list (`mh0..mhk`). */
@@ -896,15 +901,14 @@ object Queries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // hashed shingle sets materialized in an exchange (never recomputed
-      // per candidate pair — the q_ngram_jaccard lesson)
-      val sh = docs
+      // hashed shingle sets materialized ONCE (eager checkpoint): the two
+      // verify sides are different subtrees after column pruning, so an
+      // exchange alone was recomputed per side (r8 plan audit)
+      val sh = Ckpt(docs
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
-          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
-        .repartition(col("doc_id"))
+          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh")))
       val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
       cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
         .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
@@ -1210,17 +1214,18 @@ object Queries {
          | FROM s a JOIN s b ON a.h = b.h AND a.sp = 'train' AND b.sp = 'test'
          | GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // one exchange on h feeds the document-frequency aggregate AND both
-      // join sides (ReusedExchange) — the stop-list costs no extra shuffle
-      val sh = t(s, d, "documents")
+      // exploded shingle hashes materialized ONCE (eager checkpoint): the
+      // df aggregate and both join sides prune columns differently, so
+      // the repartition exchange this used to rely on was NOT reused —
+      // the r8 plan audit showed 4 corpus scans
+      val sh = Ckpt(t(s, d, "documents")
         .select(col("doc_id"),
           when(HashBucket.bucket(col("doc_id"), 100) < 80, "train").otherwise("test").as("sp"),
           TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("sp"),
           explode(array_distinct(transform(TextFns.shinglesOf(col("toks"), 3),
-            g => TextFns.hash32(g)))).as("h"))
-        .repartition(col("h"))
+            g => TextFns.hash32(g)))).as("h")))
       val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= TextFns.ShingleDfCap).select(col("h"))
       val shF = sh.join(rare, Seq("h"), "left_semi")
@@ -1829,7 +1834,10 @@ object Queries {
         | QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) = 1""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val docs = t(s, d, "documents")
-      val tk = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      // tokenize once: tf and df are different subtrees over tk (r8 plan
+      // audit: 3 corpus scans without the barrier); nd stays a separate
+      // metadata-only count-star scan
+      val tk = Ckpt(docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
       val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
@@ -2068,13 +2076,11 @@ object Queries {
         .join(sig.as("y"), col("y.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           (eqSum.cast(DoubleType) / TextFns.MinhashA.length).as("est_jaccard"))
-      val sh = docs
+      val sh = Ckpt(docs
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
-        .repartition(col("doc_id"))
         .select(col("doc_id"),
-          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
-        .repartition(col("doc_id"))
+          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh")))
       val inter = SetOps.intersectCount(col("u.sh"), col("v.sh"))
       est.join(sh.as("u"), col("u.doc_id") === col("doc_a"))
         .join(sh.as("v"), col("v.doc_id") === col("doc_b"))
