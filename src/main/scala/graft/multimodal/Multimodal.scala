@@ -22,12 +22,14 @@ import org.apache.spark.sql.types._
   * — [[decodeAudioFeatures]] yields format facts + waveform statistics
   * from decoded samples. Undecodable payloads are dropped, counted per
   * partition by the caller if needed (a corrupt media file must never
-  * fail a 100 TB sweep). Compressed audio (MP3/Opus) and VIDEO codecs
-  * don't exist in the JVM: [[sampleFrames]] keeps the byte-window
-  * iterator shape as the documented production slot for a codec call,
-  * and [[extractFeatures]] computes codec-independent content signatures
-  * (byte histogram + folded signature) useful for binary near-dup on any
-  * modality.
+  * fail a 100 TB sweep). VIDEO frame sampling is real for MJPEG-in-AVI
+  * ([[decodeVideoFrameFeatures]]: RIFF chunk walk + per-frame JPEG
+  * decode). Compressed audio (MP3/Opus) and inter-frame video codecs
+  * (H.264 …) don't exist in the JVM: [[sampleFrames]] keeps the
+  * byte-window iterator shape as the documented production slot for a
+  * codec call, and [[extractFeatures]] computes codec-independent
+  * content signatures (byte histogram + folded signature) useful for
+  * binary near-dup on any modality.
   */
 object Multimodal {
 
@@ -285,8 +287,90 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: every `stride`-th byte window as a "frame" (stub for
-    * video frame extraction — same iterator shape, real plumbing).
+  /** One decoded video frame's facts: index within the stream, decoded
+    * dimensions, and mean 8-bit luma (BT.601) — the per-frame screen a
+    * sampling pipeline thresholds before any heavy model sees the frame.
+    */
+  case class VideoFrameFeatures(
+      media_id: Long, frame_no: Int, width: Int, height: Int, mean_luma: Double)
+
+  /** Extract the JPEG frame payloads of an MJPEG-in-AVI video: walk the
+    * RIFF chunk tree (FourCC + little-endian size, word-aligned) into the
+    * `movi` LIST and collect every `..dc` (compressed video) chunk. Pure
+    * byte-walking — no codec; the frames themselves are JPEGs that
+    * [[decodeImage]] handles. Nil for anything that is not a RIFF/AVI.
+    * Inter-frame-coded formats (H.264 etc.) have no JVM decoder and
+    * remain the documented production slot.
+    */
+  def mjpegFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | (payload(off + 1) & 0xffL) << 8 |
+        (payload(off + 2) & 0xffL) << 16 | (payload(off + 3) & 0xffL) << 24
+    def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(off)
+        val size = u32(off + 4)
+        val body = off + 8
+        val end = body + size.toInt
+        if (size < 0 || size > Int.MaxValue || end > until) return // truncated/corrupt: stop
+        if (id == "RIFF" || id == "LIST") {
+          if (body + 4 <= until) {
+            val listType = fourcc(body)
+            walk(body + 4, end, inMovi || listType == "movi")
+          }
+        } else if (inMovi && id.length == 4 && id.endsWith("dc") && size > 0) {
+          out += java.util.Arrays.copyOfRange(payload, body, end)
+        }
+        off = end + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+    if (payload.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+      walk(0, payload.length, inMovi = false)
+    out.toSeq
+  }
+
+  /** Real distributed video frame sampling for MJPEG-in-AVI payloads:
+    * every `everyNth` frame is decoded with `javax.imageio` and reduced
+    * to per-frame facts — the same streaming partition pass and
+    * drop-not-fail contract as the image and audio decoders. Non-AVI or
+    * non-MJPEG payloads yield no rows.
+    */
+  def decodeVideoFrameFeatures(media: Dataset[Media], everyNth: Int = 1)
+      : Dataset[VideoFrameFeatures] = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    implicit val enc = Encoders.product[VideoFrameFeatures]
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        mjpegFrames(m.payload).zipWithIndex
+          .collect { case (bytes, no) if no % everyNth == 0 => (bytes, no) }
+          .flatMap { case (bytes, no) =>
+            decodeImage(bytes).map { img =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
+              }
+              VideoFrameFeatures(m.media_id, no, w, h, sum / (w.toLong * h))
+            }
+          }.iterator
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th byte window as a "frame" (the
+    * codec-independent byte-window slot for formats with no JVM decoder;
+    * MJPEG/AVI has the real path above).
     */
   case class Frame(media_id: Long, frame_no: Int, frame: Array[Byte])
 

@@ -127,6 +127,40 @@ class MultimodalSpec extends SparkSuite {
     assert(out == Map(1L -> "adg", 2L -> "x"))
   }
 
+  test("real MJPEG/AVI video frame sampling decodes every Nth frame") {
+    // build a minimal RIFF/AVI: LIST('movi') holding JPEG '00dc' chunks
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def jpegGray(level: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(40, 128, 220).map(l => chunk("00dc", jpegGray(l, 20, 10)))
+    val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++ frames.flatten)
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ movi)
+    val media = Seq(
+      Multimodal.Media(1L, avi),
+      Multimodal.Media(2L, "not a video at all".getBytes)
+    ).toDS()
+    val all = Multimodal.decodeVideoFrameFeatures(media).collect().sortBy(_.frame_no)
+    assert(all.map(_.media_id).forall(_ == 1L) && all.length == 3)
+    assert(all.forall(f => f.width == 20 && f.height == 10))
+    // solid-gray JPEGs decode near their level; ordering must hold
+    assert(all.map(_.mean_luma).sliding(2).forall(w => w(0) < w(1)))
+    assert(math.abs(all(1).mean_luma - 128.0) < 3.0, s"mid frame luma ${all(1).mean_luma}")
+    // every-2nd sampling keeps frames 0 and 2
+    val sampled = Multimodal.decodeVideoFrameFeatures(media, everyNth = 2).collect()
+    assert(sampled.map(_.frame_no).sorted.toSeq == Seq(0, 2))
+  }
+
   test("frame sampling yields strided windows") {
     val media = Multimodal.withPayload(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "text", "doc_id")
     val frames = Multimodal.sampleFrames(media, frameSize = 4, stride = 2).collect()
