@@ -116,6 +116,23 @@ class ConcurrentWriteSpec extends SparkSuite {
     assert(other.getFullDf.filter(col("id") === 100L).count() == 1)
   }
 
+  test("extend racing the pruned upsert (append + manifest + delete) loses no rows") {
+    val repo = new TableRepo(scratch("conc-extend-pruned"), spark,
+      keyCols = Seq("id"), clusterCols = Seq("id"), maxRecordsPerFile = 400L)
+    repo.extend((0L until 1200L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val rounds = 5
+    hammer(rounds,
+      first = r => repo.extend(Seq((5000L + r, s"new$r")).toDF("id", "payload")),
+      second = r => repo.replaceRecordsPruned(
+        Seq((r * 7L, s"U$r"), (r * 7L + 1L, s"U${r}b")).toDF("id", "payload")))
+    val got = repo.getFullDf
+    assert(got.count() == 1200 + rounds)
+    assert(got.groupBy(col("id")).count().filter(col("count") > 1).count() == 0,
+      "pruned merge duplicated keys under concurrency")
+    val appended = got.filter(col("id") >= 5000L).select("id").as[Long].collect().sorted.toSeq
+    assert(appended == (0 until rounds).map(5000L + _))
+  }
+
   test("concurrent extends through two handles on the same root serialize cleanly") {
     val root = scratch("conc-two-handles")
     val a = new TableRepo(root, spark)

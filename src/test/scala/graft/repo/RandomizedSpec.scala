@@ -105,6 +105,52 @@ class RandomizedSpec extends SparkSuite {
       s"stale or missing group dirs: $dirs")
   }
 
+  test("pruned and plain upserts agree under seeded random batches (flat, composite, grouped)") {
+    val rng = new Random(31337)
+    def kv(n: Int, keySpace: Int) =
+      (0 until n).map(_ => (rng.nextInt(keySpace).toLong, rng.nextDouble(), alnum(rng, 4)))
+    // FLAT single-key, key-clustered with file rolls
+    val pf = new TableRepo(scratch("rp-flat-p"), spark,
+      keyCols = Seq("k"), clusterCols = Seq("k"), maxRecordsPerFile = 100L)
+    val qf = new TableRepo(scratch("rp-flat-q"), spark, keyCols = Seq("k"))
+    val seed = kv(600, 2000).distinctBy(_._1)
+    Seq[TableRepo](pf, qf).foreach(_.extend(seed.toDF("k", "v", "s")))
+    (0 until 4).foreach { _ =>
+      val ups = kv(50, 2600).distinctBy(_._1).toDF("k", "v", "s") // mix of hits + new keys
+      pf.replaceRecordsPruned(ups)
+      qf.replaceRecords(ups)
+    }
+    assertSameRows(pf.getFullDf.orderBy("k"), qf.getFullDf.orderBy("k"))
+    // COMPOSITE key
+    def kv2(n: Int) = (0 until n).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong, rng.nextDouble()))
+    val pc = new TableRepo(scratch("rp-comp-p"), spark,
+      keyCols = Seq("a", "b"), clusterCols = Seq("a", "b"), maxRecordsPerFile = 120L)
+    val qc = new TableRepo(scratch("rp-comp-q"), spark, keyCols = Seq("a", "b"))
+    val seed2 = kv2(500).distinctBy(t => (t._1, t._2))
+    Seq[TableRepo](pc, qc).foreach(_.extend(seed2.toDF("a", "b", "v")))
+    (0 until 3).foreach { _ =>
+      val ups = kv2(40).distinctBy(t => (t._1, t._2)).toDF("a", "b", "v")
+      pc.replaceRecordsPruned(ups)
+      qc.replaceRecords(ups)
+    }
+    assertSameRows(pc.getFullDf.orderBy("a", "b"), qc.getFullDf.orderBy("a", "b"))
+    // GROUPED byGroups
+    def kg(n: Int) = (0 until n).map(_ =>
+      (rng.nextInt(150).toLong, s"g${rng.nextInt(4)}", rng.nextDouble()))
+    val pg = new TableRepo(scratch("rp-grp-p"), spark,
+      groupCols = Seq("g"), keyCols = Seq("k"), clusterCols = Seq("k"), maxRecordsPerFile = 80L)
+    val qg = new TableRepo(scratch("rp-grp-q"), spark, groupCols = Seq("g"), keyCols = Seq("k"))
+    val seed3 = kg(400).distinctBy(t => (t._1, t._2))
+    Seq[TableRepo](pg, qg).foreach(_.extend(seed3.toDF("k", "g", "v")))
+    (0 until 3).foreach { _ =>
+      val ups = kg(30).distinctBy(t => (t._1, t._2)).toDF("k", "g", "v")
+      pg.replaceRecordsPruned(ups, byGroups = true)
+      qg.replaceRecords(ups, byGroups = true)
+    }
+    assertSameRows(pg.getFullDf.orderBy("k", "g"), qg.getFullDf.orderBy("k", "g"))
+  }
+
   test("md5 bucket expression matches direct BigInteger math on a seeded sweep") {
     val rng = new Random(742)
     val cases = (0 until 200).map(_ => (alnum(rng, 1 + rng.nextInt(20)), 1 + rng.nextInt(5000)))
