@@ -779,7 +779,15 @@ class TableRepo(
         val withH = StructType(p.fields ++
           grpHelpers.map { case (c, h) => StructField(h, p(c).dataType) } ++
           bucketColName.map(b => StructField(b, StringType)))
-        harmonize(spark.read.schema(withH).parquet(dataPath), withH)
+        // same pending-delete exclusion as readRaw: a crashed pruned
+        // merge's doomed files must be invisible to layout reads too
+        val pend = pendingDeleteSet()
+        val rd = spark.read.schema(withH)
+        val base =
+          if (pend.isEmpty) rd.parquet(dataPath)
+          else rd.option("basePath", dataPath)
+            .parquet(listParquetFiles(dataPath).filterNot(pend.contains): _*)
+        harmonize(base, withH)
       case None =>
         // no pin (foreign data / deleted sidecar): partition-column type
         // inference would read a zero-padded bucket dir value like "03" as
