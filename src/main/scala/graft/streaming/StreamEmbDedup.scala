@@ -72,11 +72,13 @@ object StreamEmbDedup {
     val base = vecs.select(col("vec_id").cast(LongType).as("vec_id"),
       col("ts_us").cast(LongType).as("ts_us"), col("embedding"),
       VectorFns.norm2(col("embedding")).as("nrm"))
-    val rows = (0 until tables).map { tb =>
-      base.select(col("vec_id"), col("ts_us"), col("embedding"), col("nrm"),
-        lit(tb).as("table"),
-        VectorFns.srpBucket(col("embedding"), bits, dim, tb).as("bucket"))
-    }.reduce(_.union(_))
+    // ONE pass per row: posexplode of the per-table bucket array (pos ==
+    // table index) — a per-table union would re-read the streaming
+    // source once per table
+    val bucketArr = array((0 until tables).map(tb =>
+      VectorFns.srpBucket(col("embedding"), bits, dim, tb)): _*)
+    val rows = base.select(col("vec_id"), col("ts_us"), col("embedding"), col("nrm"),
+        posexplode(bucketArr).as(Seq("table", "bucket")))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", s"$horizonUs microseconds")
     val horizonMs = horizonUs / 1000L

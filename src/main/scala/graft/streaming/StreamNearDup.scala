@@ -79,12 +79,17 @@ object StreamNearDup {
         .withColumn("toks", TextFns.tokens(col("text")))
         .filter(size(col("toks")) >= 3)
         .withColumn("sig", sigArray(col("toks")))
-      TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        sigd.select(col("doc_id"), col("ts_us"), col("sig"), lit(bnd).as("band"),
-          // the band index prefixes the key so equal hash tuples in
-          // different bands occupy different buckets (batch parity)
-          concat_ws("_", lit(bnd) +: idx.map(i => col("sig")(i)): _*).as("bh"))
-      }.reduce(_.union(_))
+      // ONE pass per row: posexplode of the per-band key array (pos ==
+      // band index by construction). The previous per-band union re-read
+      // the source once per band — a streaming source can't be
+      // checkpointed away like the batch pipelines' shared frames.
+      // The band index prefixes the key so equal hash tuples in
+      // different bands occupy different buckets (batch parity).
+      val bhArr = array(TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+        concat_ws("_", lit(bnd) +: idx.map(i => col("sig")(i)): _*)
+      }: _*)
+      sigd.select(col("doc_id"), col("ts_us"), col("sig"),
+          posexplode(bhArr).as(Seq("band", "bh")))
         .withColumn("event_time", timestamp_micros(col("ts_us")))
         .withWatermark("event_time", s"$horizonUs microseconds")
     }
