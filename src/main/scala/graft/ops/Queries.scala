@@ -237,12 +237,13 @@ object Queries {
     s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
   }.mkString(" UNION ALL ")
 
-  /** LSH band rows (doc_id, band, bh) from a signature DataFrame. */
+  /** LSH band rows (doc_id, band, bh) from a signature DataFrame — one
+    * posexplode pass (pos == band index) instead of a per-band union.
+    */
   private def lshBands(sig: DataFrame): DataFrame =
-    TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
-        concat_ws("_", idx.map(i => col(s"mh$i")): _*).as("bh"))
-    }.reduce(_.union(_))
+    sig.select(col("doc_id"), posexplode(array(
+      TextFns.MinhashBands.map(idx =>
+        concat_ws("_", idx.map(i => col(s"mh$i")): _*)): _*)).as(Seq("band", "bh")))
 
   // ---------------------------------------------------------- inventory
 
