@@ -1849,6 +1849,36 @@ object Queries {
         .select(col("doc_id"), col("tok").as("keyword"), col("tf"), col("df"), col("score"))
     },
 
+    // ---- language-model familiarity score (log-free bigram LM) --------
+    // The quality screen a KenLM perplexity filter approximates at 100 TB:
+    // score each document by how typical its bigrams are of the corpus —
+    // mean corpus frequency of the document's bigrams. Log-probability is
+    // the classic form, but ln() is libm-dependent (not cross-engine
+    // bitwise); the integer-sum mean keeps the same "gibberish scores
+    // low, boilerplate scores high" ordering with EXACT arithmetic: int64
+    // sums + one IEEE division. One corpus tokenize (checkpointed), one
+    // bigram-count aggregate (checkpointed — it feeds its own self-join),
+    // one join back.
+    Q("q_lm_familiarity", Some(
+      s"""WITH tkk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |   FROM tkk WHERE len(toks) >= 2),
+        | bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram)
+        | SELECT bg.doc_id, count(*) AS n_bigrams,
+        |   CAST(sum(bc.cnt) AS DOUBLE) / count(*) AS familiarity
+        | FROM bg JOIN bc ON bc.bigram = bg.bigram GROUP BY bg.doc_id""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val bg = Ckpt(t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram")))
+      val bc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      bg.join(bc, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("cnt")).cast(DoubleType) / count(lit(1))).as("familiarity"))
+    },
+
     // ---- heavy hitters (frequency floor) ------------------------------
     // Tokens above 0.5% of total volume — the exact small-sf twin of a
     // count-min / Misra-Gries pass at 100 TB (where the sketch bounds
