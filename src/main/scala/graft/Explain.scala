@@ -25,7 +25,9 @@ object Explain {
         "q_grouping_sets", "q_minhash_est", "q_near_dup_purge", "q_union_dedup",
         "q_rank_stats", "q_string_fns", "q_date_rollup", "q_correlation",
         // round 7
-        "q_emb_dup_clusters", "q_emb_dup_purge", "q_upsert_pruned")
+        "q_emb_dup_clusters", "q_emb_dup_purge", "q_upsert_pruned",
+        // round 8
+        "q_upsert_pruned_grouped", "q_lm_familiarity", "q_ann_srp")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
