@@ -1890,9 +1890,13 @@ object Queries {
         | t AS (SELECT count(*) AS n FROM tok)
         | SELECT tok, freq FROM c, t WHERE freq * 200 >= n""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val tok = t(s, d, "documents").select(explode(TextFns.tokens(col("text"))).as("tok"))
-      val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      val tot = tok.agg(count(lit(1)).as("n"))
+      // one corpus tokenize: the per-token counts are checkpointed and the
+      // token total is their sum (q_cooccur's derivation) instead of a
+      // second explode pass over the corpus
+      val counts = Ckpt(t(s, d, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq")))
+      val tot = counts.agg(sum(col("freq")).as("n"))
       counts.crossJoin(tot).filter(col("freq") * 200 >= col("n"))
         .select(col("tok"), col("freq"))
     },
