@@ -791,6 +791,46 @@ object Queries {
         .select(col("q_id"), col("n_id"), col("sim"))
     },
 
+    // ---- ANN via multi-PROBE SRP LSH ---------------------------------
+    // The memory-lean alternative to multi-table OR-ing: ONE hyperplane
+    // table, but each query also probes every bucket at Hamming distance
+    // 1 from its own (a near-miss vector most likely differs in exactly
+    // one marginal sign). The probe fan-out lives entirely on the tiny
+    // broadcast query side — an explode of bits+1 bucket ids — while the
+    // corpus is bucketed ONCE; candidate volume per query is
+    // (bits+1) * occupancy. Standard multi-probe LSH (Lv et al.,
+    // VLDB'07) in one equi-join.
+    Q("q_ann_srp_probe", Some {
+      val b0 = sqlSrpBucket("embedding", EmbDupBits, EmbDupDim, 0)
+      val probes = (s"b.b0" +: (0 until EmbDupBits).map(i => s"xor(b.b0, ${1L << i})"))
+        .mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT vec_id, embedding, $b0 AS b0 FROM embeddings),
+         | pr AS (SELECT b.vec_id AS q_id, unnest($probes) AS pb FROM b WHERE b.vec_id < 5),
+         | cand AS (SELECT DISTINCT pr.q_id, c.vec_id AS n_id FROM pr JOIN b c ON c.b0 = pr.pb AND c.vec_id <> pr.q_id)
+         | SELECT q_id, n_id, ${sqlCosine("x.embedding", "y.embedding")} AS sim
+         | FROM cand JOIN embeddings x ON x.vec_id = cand.q_id JOIN embeddings y ON y.vec_id = cand.n_id
+         | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= 5""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val e = Ckpt(t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), VectorFns.norm2(col("embedding")).as("nrm"),
+          VectorFns.srpBucket(col("embedding"), EmbDupBits, EmbDupDim, 0).as("b0")))
+      val probeArr = array(col("b0") +:
+        (0 until EmbDupBits).map(i => col("b0").bitwiseXOR(lit(1L << i))): _*)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), explode(probeArr).as("pb"))
+      val cand = broadcast(probes)
+        .join(e.select(col("vec_id").as("n_id"), col("b0").as("cb")),
+          col("pb") === col("cb") && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id")).dropDuplicates("q_id", "n_id")
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      cand
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")), "q_id")
+        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn")), "n_id")
+        .withColumn("sim", VectorFns.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .select(col("q_id"), col("n_id"), col("sim"))
+    },
+
     // ---- B1: exact dedup ---------------------------------------------
     Q("q_dedup_exact", Some(
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY md5(text)"
