@@ -1889,6 +1889,32 @@ object Queries {
         .select(col("doc_id"), col("tok").as("keyword"), col("tf"), col("df"), col("score"))
     },
 
+    // ---- repetition score (Gopher-style repetitive-document screen) ---
+    // Fraction of a document's bigrams taken by its single most repeated
+    // bigram — the classic boilerplate/spam screen ("most common n-gram
+    // ratio" from the Gopher quality rules). All-integer per-doc
+    // aggregation (max count / total count), one explode + one groupBy;
+    // the single division is the only IEEE op, so both engines agree
+    // bitwise.
+    Q("q_repetition", Some(
+      s"""WITH tkk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |   FROM tkk WHERE len(toks) >= 2),
+        | c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram)
+        | SELECT doc_id, max(cnt) AS top_bigram_n, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |   CAST(max(cnt) AS DOUBLE) / sum(cnt) AS rep_ratio
+        | FROM c GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("cnt")).as("top_bigram_n"), sum(col("cnt")).as("n_bigrams"),
+          (max(col("cnt")).cast(DoubleType) / sum(col("cnt"))).as("rep_ratio"))
+    },
+
     // ---- language-model familiarity score (log-free bigram LM) --------
     // The quality screen a KenLM perplexity filter approximates at 100 TB:
     // score each document by how typical its bigrams are of the corpus —
