@@ -37,6 +37,16 @@ object FileSources {
     schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
   }
 
+  /** Read ORC (native Spark datasource — columnar drops from Hive-era
+    * pipelines land without conversion). ORC carries its own schema, so
+    * `schema` here is a projection/cast contract like the parquet pinned
+    * read, not inference avoidance.
+    */
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+
   /** Land a source file into the repo under its pinned schema. */
   def ingest(repo: TableRepo, df: DataFrame): Unit = repo.extend(df)
 }

@@ -40,6 +40,22 @@ class FileSourcesSpec extends SparkSuite {
     assert(out.filter(col("score").isNull).count() == 2, "missing col null-backfilled")
   }
 
+  test("orc drop lands under the pinned-schema contract") {
+    val root = scratch("src-orc-repo")
+    val repo = new TableRepo(root, spark)
+    repo.extend(Seq((1L, "a", 1.5)).toDF("id", "name", "score"))
+    // ORC drop with an extra column and a missing one
+    val orcDir = scratch("src-orc-data")
+    Seq((2L, "b", "junk2"), (3L, "c", "junk3")).toDF("id", "name", "extra")
+      .write.mode("overwrite").orc(orcDir)
+    FileSources.ingest(repo, FileSources.orc(spark, orcDir))
+    val out = repo.getFullDf
+    assert(out.columns.sorted.toSeq == Seq("id", "name", "score"))
+    assert(out.count() == 3)
+    assert(out.filter(col("score").isNull).count() == 2, "missing col null-backfilled")
+    assert(out.filter(col("id") === 3L).select("name").head().getString(0) == "c")
+  }
+
   test("csv drop casts to pinned types and drops unknown columns") {
     val root = scratch("src-csv-repo")
     val repo = new TableRepo(root, spark)
