@@ -27,7 +27,8 @@ object Explain {
         // round 7
         "q_emb_dup_clusters", "q_emb_dup_purge", "q_upsert_pruned",
         // round 8
-        "q_upsert_pruned_grouped", "q_lm_familiarity", "q_ann_srp")
+        "q_upsert_pruned_grouped", "q_lm_familiarity", "q_ann_srp",
+        "q_ann_srp_probe", "q_repetition", "q_heavy_hitters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
