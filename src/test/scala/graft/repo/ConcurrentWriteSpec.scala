@@ -133,6 +133,22 @@ class ConcurrentWriteSpec extends SparkSuite {
     assert(appended == (0 until rounds).map(5000L + _))
   }
 
+  test("write monitors key on the RESOLVED root: envs don't share locks, same root does") {
+    val base = scratch("conc-envs")
+    val envParent = scratch("conc-envs-alt")
+    val repo = new TableRepo(s"$base/t", spark, envParents = Map("test" -> envParent))
+    repo.extend(Seq((1L, "a")).toDF("id", "v"))
+    val defaultMonitor = TableRepo.monitorFor(repo.root)
+    repo.envCtx("test") {
+      repo.extend(Seq((2L, "b")).toDF("id", "v"))
+      assert(TableRepo.monitorFor(repo.root) ne defaultMonitor,
+        "different env roots must not contend on one monitor")
+    }
+    // two handles on one root share the monitor instance
+    val again = new TableRepo(s"$base/t", spark)
+    assert(TableRepo.monitorFor(again.root) eq defaultMonitor)
+  }
+
   test("concurrent extends through two handles on the same root serialize cleanly") {
     val root = scratch("conc-two-handles")
     val a = new TableRepo(root, spark)

@@ -68,6 +68,26 @@ class StreamEmbDedupSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("bits/tables parameters flow through to bucket layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val v = vec(5)
+    val ms = MemoryStream[(Long, Array[Float], Long)]
+    val stream = ms.toDF().toDF("vec_id", "embedding", "ts_us")
+    // production shape: occupancy-scaled bits (srpBitsFor), fewer tables
+    val bits = graft.functions.VectorFns.srpBitsFor(100000, occupancy = 8) // 14
+    val q = StreamEmbDedup.candidates(stream, horizonUs = 600 * sec, bits = bits, tables = 2)
+      .writeStream.outputMode("append").format("memory").queryName("sedp").start()
+    ms.addData((1L, v, 10 * sec)); q.processAllAvailable()
+    ms.addData((2L, near(v), 20 * sec)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sedp").collect().map(r => (r.getLong(0), r.getInt(2)))
+    // a near-twin keeps all sign bits w.h.p. even at 14 bits; exactly one
+    // hit per table, and table ids stay within the configured count
+    assert(got.nonEmpty && got.forall(_._1 == 2L))
+    assert(got.map(_._2).toSet.subsetOf(Set(0, 1)))
+  }
+
   test("past the horizon a vector re-occupies silently, even under continuous traffic") {
     val v = vec(9)
     val got = run(Seq(
