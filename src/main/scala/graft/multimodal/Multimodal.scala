@@ -314,22 +314,28 @@ object Multimodal {
         val id = fourcc(off)
         val size = u32(off + 4)
         val body = off + 8
-        val end = body + size.toInt
-        if (size < 0 || size > Int.MaxValue || end > until) return // truncated/corrupt: stop
+        // Bounds math in Long: a declared size near 2^31 would wrap an Int
+        // `body + size` negative and bypass the truncation guard.
+        val end = body.toLong + size
+        if (size < 0 || end > until) return // truncated/corrupt: stop
         if (id == "RIFF" || id == "LIST") {
           if (body + 4 <= until) {
             val listType = fourcc(body)
-            walk(body + 4, end, inMovi || listType == "movi")
+            walk(body + 4, end.toInt, inMovi || listType == "movi")
           }
         } else if (inMovi && id.length == 4 && id.endsWith("dc") && size > 0) {
-          out += java.util.Arrays.copyOfRange(payload, body, end)
+          out += java.util.Arrays.copyOfRange(payload, body, end.toInt)
         }
-        off = end + (size.toInt & 1) // chunks are word-aligned
+        off = (end + (size & 1)).toInt // chunks are word-aligned
       }
     }
-    if (payload.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
-      walk(0, payload.length, inMovi = false)
-    out.toSeq
+    // Drop-not-fail: no malformed container may ever fail a task, so any
+    // escape from the walk (however the bytes were crafted) yields Nil.
+    try {
+      if (payload.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
+        walk(0, payload.length, inMovi = false)
+      out.toSeq
+    } catch { case scala.util.control.NonFatal(_) => Nil }
   }
 
   /** Real distributed video frame sampling for MJPEG-in-AVI payloads:

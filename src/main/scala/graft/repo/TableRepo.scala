@@ -175,8 +175,11 @@ class TableRepo(
   //     the next commit would silently GC — lost rows).
   //   - Cross-process: version numbers are claimed atomically (exclusive
   //     create of a `_graft_claim-v<N>` sibling marker), so two racing
-  //     full rewrites land in DIFFERENT dirs and the later commit wins —
-  //     no writer ever clobbers another's in-flight directory. In-place
+  //     full rewrites land in DIFFERENT dirs and the HIGHEST-claimed
+  //     version wins (readers resolve the max committed number — a rewrite
+  //     that claimed a lower number but committed later is superseded, and
+  //     commitNewVersion warns when that happens) — no writer ever
+  //     clobbers another's in-flight directory. In-place
   //     writes (append, dynamic partition overwrite) re-resolve the
   //     current version after the job and FAIL LOUDLY if a concurrent
   //     external rewrite superseded their target mid-write, instead of
@@ -230,13 +233,27 @@ class TableRepo(
         fs.create(new Path(s"$root/_graft_claim-v$next"), false).close()
         claimed = true
       } catch {
-        case _: java.io.IOException => next += 1 // claimed by a concurrent rewrite
+        // Advance ONLY on a confirmed collision; any other IOException
+        // (permissions, quota, FS outage) must surface, not become an
+        // unbounded busy loop silently burning version numbers.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
+        case e: java.io.IOException =>
+          if (fs.exists(new Path(s"$root/_graft_claim-v$next"))) next += 1
+          else throw e
       }
     }
     val target = s"$root/data-v$next"
     fs.delete(new Path(target), true) // leftover of our own failed predecessor job
     write(target)
     fs.create(new Path(s"$target/_GRAFT_COMMIT"), true).close()
+    // Readers resolve the HIGHEST committed version: if a concurrent
+    // rewrite claimed a higher number and committed before us, our rewrite
+    // is superseded on arrival. Make the discarded rewrite observable.
+    committedVersions.lastOption.filter(_ > next).foreach { winner =>
+      org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+        s"full rewrite committed as data-v$next is already superseded by " +
+          s"data-v$winner (highest-claimed version wins)")
+    }
     prior.dropRight(1).foreach { v =>
       fs.delete(new Path(s"$root/data-v$v"), true)
       fs.delete(new Path(s"$root/_graft_claim-v$v"), false)
@@ -580,11 +597,27 @@ class TableRepo(
         } else affectedDf
           .join(newData.select(layoutCols.map(col): _*).distinct(), layoutCols, "left_anti")
           .collect().map(_.toSeq)
+      // Resolve the emptied partitions' on-disk dirs from the FILES Spark
+      // actually read (`input_file_name`), not from rendered `col=value`
+      // strings — Spark Hive-escapes special chars and uses a null
+      // sentinel, so a hand-built path misses the real dir and the stale
+      // rows of a moved key would silently survive as duplicates. Runs
+      // before the overwrite (files still on disk), prunes to the emptied
+      // partitions only, bounded by the affected-partition cap.
+      val emptiedDirs: Array[Path] =
+        if (emptiedGroups.isEmpty) Array.empty
+        else existing
+          .filter(emptiedGroups.map(vals =>
+            layoutCols.zip(vals).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
+            .reduce(_ || _))
+          .select(input_file_name()).distinct()
+          // input_file_name returns URI-ENCODED strings ('%' → %25);
+          // Path(String) would keep the encoding and miss the dir, so
+          // decode once through java.net.URI and keep Path objects
+          .collect().map(r => new Path(new java.net.URI(r.getString(0))).getParent)
+          .distinct
       writeData(newData, overwrite = true, dynamic = true, alreadyStaged = true)
-      emptiedGroups.foreach { vals =>
-        val dir = layoutCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
-        fs.delete(new Path(s"$dataPath/$dir"), true)
-      }
+      emptiedDirs.foreach(d => fs.delete(d, true))
     }
   }
 
@@ -647,15 +680,25 @@ class TableRepo(
     val candidateFiles: Seq[String] =
       if (layoutCols.isEmpty) paths
       else {
-        val dirVals = withLayout(u).select(layoutCols.map(col): _*).distinct()
-          .collect().map(_.toSeq)
+        val lu = withLayout(u).select(layoutCols.map(col): _*)
+        // Spark writes partition dirs Hive-escaped (special chars
+        // %-encoded, null → __HIVE_DEFAULT_PARTITION__, timestamps
+        // formatted), so hand-rendered `col=value` paths are only safe for
+        // types whose toString matches the writer's rendering exactly.
+        // Anything else falls back to the partition-level merge rather
+        // than risk a missed dir (= silently duplicated keys on disk).
+        if (!lu.schema.fields.forall(f => TableRepo.DirRenderableTypes.contains(f.dataType))) {
+          replaceRecords(updates, byGroups); return
+        }
+        val dirVals = lu.distinct().collect().map(_.toSeq)
         if (dirVals.length > TableRepo.MaxPartitionPredicateLiterals) {
           // scope too wide for per-dir listing to pay off; the partition
           // merge handles it with one dynamic overwrite
           replaceRecords(updates, byGroups); return
         }
         dirVals.toIndexedSeq.flatMap { vals =>
-          val dir = layoutCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+          val dir = layoutCols.zip(vals)
+            .map { case (c, v) => TableRepo.dirSegment(c, v) }.mkString("/")
           listParquetFiles(s"$dataPath/$dir")
         }
       }
@@ -1007,6 +1050,23 @@ object TableRepo {
     * above this the merge uses a distributed semi-join instead.
     */
   val MaxPartitionPredicateLiterals: Int = 512
+
+  /** Partition-dir value types whose `toString` matches Spark's writer-side
+    * dir rendering exactly (dates render ISO `yyyy-MM-dd`). Timestamps,
+    * decimals and fractional types are excluded — their rendering is
+    * session-dependent, so path-based pruning must not trust it.
+    */
+  private[repo] val DirRenderableTypes: Set[DataType] =
+    Set(StringType, IntegerType, LongType, ShortType, ByteType, BooleanType, DateType)
+
+  /** One `col=value` path segment rendered with the writer's own rule:
+    * Hive path-escaping for special chars plus the Hive null sentinel
+    * (`ExternalCatalogUtils` is the exact code Spark's dynamic partition
+    * writer uses, so escaped group values resolve to the real dir).
+    */
+  private[repo] def dirSegment(c: String, v: Any): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .getPartitionPathString(c, if (v == null) null else v.toString)
 
   /** Per-root intra-process write monitors — the JVM analog of the
     * reference's named per-table locks (core.py:18,97,111). Keyed by the

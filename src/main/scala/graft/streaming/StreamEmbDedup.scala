@@ -2,7 +2,7 @@ package graft.streaming
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.LongType
@@ -62,6 +62,48 @@ object StreamEmbDedup {
     s
   }
 
+  /** ONE exploded-bucket frame both the stream and its batch twin read:
+    * posexplode of the per-table bucket array (pos == table index) — a
+    * per-table union would re-read a streaming source once per table.
+    */
+  private def explodeBuckets(vecs: DataFrame, bits: Int, tables: Int, dim: Int): DataFrame = {
+    val base = vecs.select(col("vec_id").cast(LongType).as("vec_id"),
+      col("ts_us").cast(LongType).as("ts_us"), col("embedding"),
+      VectorFns.norm2(col("embedding")).as("nrm"))
+    val bucketArr = array((0 until tables).map(tb =>
+      VectorFns.srpBucket(col("embedding"), bits, dim, tb)): _*)
+    base.select(col("vec_id"), col("ts_us"), col("embedding"), col("nrm"),
+        posexplode(bucketArr).as(Seq("table", "bucket")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+  }
+
+  /** THE occupancy rule, shared verbatim by the stream and [[batchTwin]]:
+    * replay a bucket's event-time-sorted arrivals against one remembered
+    * occupant — first arrival occupies, an arrival more than `horizonUs`
+    * after the current occupant re-occupies (no hit), anything else hits
+    * with its exact cosine against the occupant. Returns the hits and the
+    * occupant left standing (the stream persists it as bucket state).
+    */
+  private def occupancyFold(sorted: Seq[VecRow], start: Option[Occupant],
+      horizonUs: Long): (Seq[Hit], Option[Occupant]) = {
+    val out = mutable.ArrayBuffer[Hit]()
+    var occ = start
+    sorted.foreach { r =>
+      occ match {
+        case None => occ = Some(Occupant(r.vec_id, r.embedding, r.nrm, r.ts_us))
+        case Some(o) if r.ts_us - o.ts_us > horizonUs =>
+          // inline horizon: continuous traffic never triggers the
+          // timed-out path, so the row re-occupies past it
+          occ = Some(Occupant(r.vec_id, r.embedding, r.nrm, r.ts_us))
+        case Some(o) if o.first_vec != r.vec_id =>
+          out += Hit(r.vec_id, o.first_vec, r.table,
+            dot(o.embedding, r.embedding) / (o.nrm * r.nrm), r.ts_us)
+        case _ => () // the occupant's own re-sent rows
+      }
+    }
+    (out.toSeq, occ)
+  }
+
   /** Candidate hits for a stream of `(vec_id, embedding, ts_us)` rows.
     * `bits`/`tables` default to the batch pipeline's oracled layout; pass
     * [[VectorFns.srpBitsFor]] of the expected per-horizon volume for
@@ -69,17 +111,7 @@ object StreamEmbDedup {
     */
   def candidates(vecs: DataFrame, horizonUs: Long, bits: Int = 8, tables: Int = 4,
       dim: Int = 64): DataFrame = {
-    val base = vecs.select(col("vec_id").cast(LongType).as("vec_id"),
-      col("ts_us").cast(LongType).as("ts_us"), col("embedding"),
-      VectorFns.norm2(col("embedding")).as("nrm"))
-    // ONE pass per row: posexplode of the per-table bucket array (pos ==
-    // table index) — a per-table union would re-read the streaming
-    // source once per table
-    val bucketArr = array((0 until tables).map(tb =>
-      VectorFns.srpBucket(col("embedding"), bits, dim, tb)): _*)
-    val rows = base.select(col("vec_id"), col("ts_us"), col("embedding"), col("nrm"),
-        posexplode(bucketArr).as(Seq("table", "bucket")))
-      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val rows = explodeBuckets(vecs, bits, tables, dim)
       .withWatermark("event_time", s"$horizonUs microseconds")
     val horizonMs = horizonUs / 1000L
     implicit val rowEnc = Encoders.product[VecRow]
@@ -92,22 +124,8 @@ object StreamEmbDedup {
         (_: String, it: Iterator[VecRow], state: GroupState[Occupant]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = it.toSeq.sortBy(r => (r.ts_us, r.vec_id))
-            val out = mutable.ArrayBuffer[Hit]()
-            var occ = state.getOption
-            sorted.foreach { r =>
-              occ match {
-                case None => occ = Some(Occupant(r.vec_id, r.embedding, r.nrm, r.ts_us))
-                case Some(o) if r.ts_us - o.ts_us > horizonUs =>
-                  // inline horizon: continuous traffic never triggers the
-                  // timed-out path, so the row re-occupies past it
-                  occ = Some(Occupant(r.vec_id, r.embedding, r.nrm, r.ts_us))
-                case Some(o) if o.first_vec != r.vec_id =>
-                  out += Hit(r.vec_id, o.first_vec, r.table,
-                    dot(o.embedding, r.embedding) / (o.nrm * r.nrm), r.ts_us)
-                case _ => () // the occupant's own re-sent rows
-              }
-            }
+            val (out, occ) =
+              occupancyFold(it.toSeq.sortBy(r => (r.ts_us, r.vec_id)), state.getOption, horizonUs)
             occ.foreach { o =>
               state.update(o)
               state.setTimeoutTimestamp(
@@ -119,35 +137,28 @@ object StreamEmbDedup {
       .toDF()
   }
 
-  /** The batch bucket-collision cut this stream must agree with on a
-    * bounded replay: for each SRP table, every (later, first-occupant)
-    * same-bucket pair within the horizon. Used by the spec as the oracle;
-    * at scale it is also the backfill twin for a stream gap.
+  /** The TRUE backfill twin of [[candidates]]: the identical
+    * [[occupancyFold]] run per bucket over an event-time-sorted batch
+    * replay, so stream/batch agreement holds across ANY number of horizon
+    * lapses — each lapse re-occupies the bucket in both engines, not just
+    * within the first horizon. Agreement assumes the stream saw arrivals
+    * in event-time order (the stream sorts within each micro-batch only;
+    * a late arrival crossing micro-batches can still reorder there).
+    *
+    * Scale: one shuffle on (table, bucket); each group materializes one
+    * bucket's arrivals, bounded by per-bucket occupancy — which
+    * [[VectorFns.srpBitsFor]]-scaled `bits` keeps bounded by design.
     */
   def batchTwin(vecs: DataFrame, horizonUs: Long, bits: Int = 8, tables: Int = 4,
       dim: Int = 64): DataFrame = {
-    val cols: Seq[(String, Column)] = Seq(
-      "vec_id" -> col("vec_id").cast(LongType),
-      "ts_us" -> col("ts_us").cast(LongType),
-      "embedding" -> col("embedding"),
-      "nrm" -> VectorFns.norm2(col("embedding")))
-    val base = vecs.select(cols.map { case (n, c) => c.as(n) }: _*)
-    (0 until tables).map { tb =>
-      val b = base.withColumn("bucket", VectorFns.srpBucket(col("embedding"), bits, dim, tb))
-      val first = b.groupBy(col("bucket"))
-        .agg(min_by(struct(col("vec_id"), col("embedding"), col("nrm"), col("ts_us")),
-          struct(col("ts_us"), col("vec_id"))).as("o"))
-        .select(col("bucket"), col("o.*"))
-        .withColumnRenamed("vec_id", "first_vec")
-        .withColumnRenamed("embedding", "o_emb")
-        .withColumnRenamed("nrm", "o_nrm")
-        .withColumnRenamed("ts_us", "o_ts")
-      b.join(first, "bucket")
-        .filter(col("vec_id") =!= col("first_vec") &&
-          col("ts_us") - col("o_ts") <= horizonUs)
-        .select(col("vec_id"), col("first_vec"), lit(tb).as("table"),
-          (VectorFns.dot(col("o_emb"), col("embedding")) / (col("o_nrm") * col("nrm"))).as("sim"),
-          col("ts_us"))
-    }.reduce(_.union(_))
+    implicit val rowEnc = Encoders.product[VecRow]
+    implicit val hitEnc = Encoders.product[Hit]
+    implicit val strEnc = Encoders.STRING
+    explodeBuckets(vecs, bits, tables, dim).as[VecRow]
+      .groupByKey(r => s"${r.table}_${r.bucket}")
+      .flatMapGroups { (_: String, it: Iterator[VecRow]) =>
+        occupancyFold(it.toSeq.sortBy(r => (r.ts_us, r.vec_id)), None, horizonUs)._1.iterator
+      }
+      .toDF()
   }
 }

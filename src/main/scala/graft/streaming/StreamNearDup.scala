@@ -65,6 +65,56 @@ object StreamNearDup {
       array_min(transform(hs, h => TextFns.minhashOf(h, i)))): _*)
   }
 
+  /** ONE exploded-band frame both the stream and its batch twin read:
+    * posexplode of the per-band key array (pos == band index by
+    * construction) — the previous per-band union re-read the source once
+    * per band, and a streaming source can't be checkpointed away like the
+    * batch pipelines' shared frames. The band index prefixes the key so
+    * equal hash tuples in different bands occupy different buckets
+    * (batch parity).
+    */
+  private def explodeBands(docs: DataFrame): DataFrame = {
+    val sigd = docs
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("text"),
+        col("ts_us").cast(LongType).as("ts_us"))
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", sigArray(col("toks")))
+    val bhArr = array(TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+      concat_ws("_", lit(bnd) +: idx.map(i => col("sig")(i)): _*)
+    }: _*)
+    sigd.select(col("doc_id"), col("ts_us"), col("sig"),
+        posexplode(bhArr).as(Seq("band", "bh")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+  }
+
+  /** THE occupancy rule, shared verbatim by the stream and [[batchTwin]]:
+    * replay a bucket's event-time-sorted arrivals against one remembered
+    * occupant. First arrival occupies; an arrival more than `horizonUs`
+    * after the CURRENT occupant re-occupies (under continuous same-bucket
+    * traffic the timed-out path never runs — groups receiving data skip
+    * it — so the horizon is enforced inline rather than hitting a stale
+    * first_doc); anything else hits with the signature-agreement estimate.
+    */
+  private def occupancyFold(sorted: Seq[BandRow], start: Option[Occupant],
+      horizonUs: Long): (Seq[Hit], Option[Occupant]) = {
+    val out = mutable.ArrayBuffer[Hit]()
+    var occ = start
+    sorted.foreach { r =>
+      occ match {
+        case None => occ = Some(Occupant(r.doc_id, r.sig, r.ts_us))
+        case Some(o) if r.ts_us - o.ts_us > horizonUs =>
+          occ = Some(Occupant(r.doc_id, r.sig, r.ts_us))
+        case Some(o) if o.first_doc != r.doc_id =>
+          val agree = o.sig.zip(r.sig).count { case (a, b) => a == b }
+          out += Hit(r.doc_id, o.first_doc, r.band,
+            agree.toDouble / o.sig.length, r.ts_us)
+        case _ => () // the occupant's own re-sent band rows
+      }
+    }
+    (out.toSeq, occ)
+  }
+
   /** Candidate hits for a stream of documents `(doc_id, text, ts_us)`.
     * `horizonUs` bounds both the watermark delay and bucket-state
     * lifetime, in integer microseconds (the engine's event-time
@@ -72,27 +122,8 @@ object StreamNearDup {
     */
   def candidates(docs: DataFrame, horizonUs: Long): DataFrame = {
     val horizonMs = horizonUs / 1000L
-    val bands = {
-      val sigd = docs
-        .select(col("doc_id").cast(LongType).as("doc_id"), col("text"),
-          col("ts_us").cast(LongType).as("ts_us"))
-        .withColumn("toks", TextFns.tokens(col("text")))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("sig", sigArray(col("toks")))
-      // ONE pass per row: posexplode of the per-band key array (pos ==
-      // band index by construction). The previous per-band union re-read
-      // the source once per band — a streaming source can't be
-      // checkpointed away like the batch pipelines' shared frames.
-      // The band index prefixes the key so equal hash tuples in
-      // different bands occupy different buckets (batch parity).
-      val bhArr = array(TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-        concat_ws("_", lit(bnd) +: idx.map(i => col("sig")(i)): _*)
-      }: _*)
-      sigd.select(col("doc_id"), col("ts_us"), col("sig"),
-          posexplode(bhArr).as(Seq("band", "bh")))
-        .withColumn("event_time", timestamp_micros(col("ts_us")))
-        .withWatermark("event_time", s"$horizonUs microseconds")
-    }
+    val bands = explodeBands(docs)
+      .withWatermark("event_time", s"$horizonUs microseconds")
     implicit val rowEnc = Encoders.product[BandRow]
     implicit val occEnc = Encoders.product[Occupant]
     implicit val hitEnc = Encoders.product[Hit]
@@ -104,27 +135,8 @@ object StreamNearDup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // deterministic within-batch order: event time, then id
-            val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
-            val out = mutable.ArrayBuffer[Hit]()
-            var occ = state.getOption
-            sorted.foreach { r =>
-              occ match {
-                case None => occ = Some(Occupant(r.doc_id, r.sig, r.ts_us))
-                case Some(o) if r.ts_us - o.ts_us > horizonUs =>
-                  // The occupant is older than the horizon RELATIVE TO THIS
-                  // ARRIVAL. Under continuous same-bucket traffic the
-                  // timed-out path never runs (groups receiving data skip
-                  // it), so the occupant+horizon contract is enforced
-                  // inline: the row RE-OCCUPIES instead of hitting against
-                  // a stale first_doc.
-                  occ = Some(Occupant(r.doc_id, r.sig, r.ts_us))
-                case Some(o) if o.first_doc != r.doc_id =>
-                  val agree = o.sig.zip(r.sig).count { case (a, b) => a == b }
-                  out += Hit(r.doc_id, o.first_doc, r.band,
-                    agree.toDouble / o.sig.length, r.ts_us)
-                case _ => () // the occupant's own re-sent band rows
-              }
-            }
+            val (out, occ) = occupancyFold(
+              rows.toSeq.sortBy(r => (r.ts_us, r.doc_id)), state.getOption, horizonUs)
             occ.foreach { o =>
               state.update(o)
               // event-time eviction at occupant + horizon; never behind
@@ -134,6 +146,27 @@ object StreamNearDup {
             }
             out.iterator
           }
+      }
+      .toDF()
+  }
+
+  /** The TRUE backfill twin of [[candidates]]: the identical
+    * [[occupancyFold]] run per band bucket over an event-time-sorted
+    * batch replay, so stream/batch agreement holds across ANY number of
+    * horizon lapses (each lapse re-occupies the bucket in both engines).
+    * Agreement assumes the stream saw arrivals in event-time order (the
+    * stream sorts within each micro-batch only). Scale: one shuffle on
+    * the band key; each group materializes one bucket's arrivals,
+    * bounded by per-bucket occupancy over the replayed span.
+    */
+  def batchTwin(docs: DataFrame, horizonUs: Long): DataFrame = {
+    implicit val rowEnc = Encoders.product[BandRow]
+    implicit val hitEnc = Encoders.product[Hit]
+    implicit val strEnc = Encoders.STRING
+    explodeBands(docs).as[BandRow]
+      .groupByKey(_.bh)
+      .flatMapGroups { (_: String, rows: Iterator[BandRow]) =>
+        occupancyFold(rows.toSeq.sortBy(r => (r.ts_us, r.doc_id)), None, horizonUs)._1.iterator
       }
       .toDF()
   }

@@ -161,6 +161,28 @@ class MultimodalSpec extends SparkSuite {
     assert(sampled.map(_.frame_no).sorted.toSeq == Seq(0, 2))
   }
 
+  test("corrupt AVI containers drop to zero frames instead of failing the task") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // an inner frame chunk declaring a size near 2^31 inside a
+    // well-formed RIFF/LIST shell: Int math wraps `body + size` negative,
+    // bypasses the truncation guard, and copyOfRange throws out of the
+    // task — the walk must drop the container instead
+    val dc = "00dc".getBytes("US-ASCII") ++ le32(0x7ffffff0L) ++ Array.fill(16)(0.toByte)
+    val list = "LIST".getBytes("US-ASCII") ++ le32(4L + dc.length) ++
+      "movi".getBytes("US-ASCII") ++ dc
+    val overflow = "RIFF".getBytes("US-ASCII") ++ le32(4L + list.length) ++
+      "AVI ".getBytes("US-ASCII") ++ list
+    assert(Multimodal.mjpegFrames(overflow) == Nil)
+    // size bytes reading as u32 max (declared size 4294967295)
+    val maxSize = "RIFF".getBytes("US-ASCII") ++ le32(0xffffffffL) ++
+      "AVI ".getBytes("US-ASCII") ++ Array.fill(8)(0xff.toByte)
+    assert(Multimodal.mjpegFrames(maxSize) == Nil)
+    // truncated mid-header
+    assert(Multimodal.mjpegFrames("RIFF    AVI ".getBytes("US-ASCII")) == Nil)
+  }
+
   test("frame sampling yields strided windows") {
     val media = Multimodal.withPayload(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "text", "doc_id")
     val frames = Multimodal.sampleFrames(media, frameSize = 4, stride = 2).collect()

@@ -12,8 +12,10 @@ class FilePrunedUpsertSpec extends SparkSuite {
   import spark.implicits._
 
   private def md5(uri: String): String = {
+    // strip the scheme WITHOUT URI-decoding: Hive-escaped dir names
+    // contain literal '%' chars a URI round-trip would corrupt
     val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(new java.net.URI(uri)))
+      java.nio.file.Paths.get(uri.stripPrefix("file:")))
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
   }
@@ -164,6 +166,45 @@ class FilePrunedUpsertSpec extends SparkSuite {
       .foreach(p => assert(before(p) == after(p), s"file $p changed bytes"))
     assert(repo.getFullDf.filter(col("id") === 42L).head().getString(1) == "NEW42")
     assert(repo.count() == 2400)
+  }
+
+  test("group values Spark Hive-escapes in dir names still prune to the real dir") {
+    // ':' and '=' are %-encoded by Spark's partition writer; a raw
+    // s"g=$v" path would miss the dir, classify every update key as new,
+    // and silently append duplicates
+    val repo = new TableRepo(scratch("pruned-escaped"), spark,
+      groupCols = Seq("g"), keyCols = Seq("id"), clusterCols = Seq("id"),
+      maxRecordsPerFile = 300L)
+    repo.extend((0L until 1200L).map(i => (i, if (i % 2 == 0) "a:b" else "c=d", s"v$i"))
+      .toDF("id", "g", "v").repartition(col("g")))
+    val before = repo.paths.map(p => p -> md5(p)).toMap
+    assert(before.keySet.exists(_.contains("%")), s"expected escaped dirs, got ${before.keySet}")
+
+    repo.replaceRecordsPruned(Seq((0L, "a:b", "N0"), (2L, "a:b", "N2")).toDF("id", "g", "v"),
+      byGroups = true)
+
+    val out = repo.getFullDf
+    assert(out.count() == 1200, "escaped-dir miss would have appended duplicates")
+    assert(out.groupBy(col("id"), col("g")).count().filter(col("count") > 1).count() == 0)
+    assert(out.filter(col("id") === 0L).head().getAs[String]("v") == "N0")
+    // and the pruning still held: files in the other group stayed put
+    val after = repo.paths.map(p => p -> md5(p)).toMap
+    before.keySet.intersect(after.keySet).filter(_.contains("c%3Dd"))
+      .foreach(p => assert(before(p) == after(p), s"file $p in untouched group changed"))
+  }
+
+  test("non-renderable layout value types fall back to the partition-level merge") {
+    // timestamp dirs are session-formatted; path-based pruning must not
+    // trust a hand-rendered value, so the call routes to replaceRecords
+    val repo = new TableRepo(scratch("pruned-ts-group"), spark,
+      groupCols = Seq("day"), keyCols = Seq("id"))
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-02 12:30:45")
+    repo.extend(Seq((1L, ts0, "x"), (2L, ts1, "y")).toDF("id", "day", "v"))
+    repo.replaceRecordsPruned(Seq((1L, ts0, "NEW")).toDF("id", "day", "v"), byGroups = true)
+    val out = repo.getFullDf
+    assert(out.count() == 2)
+    assert(out.filter(col("id") === 1L).head().getAs[String]("v") == "NEW")
   }
 
   test("NaN update keys disable pruning but keep the one-row-per-key contract") {

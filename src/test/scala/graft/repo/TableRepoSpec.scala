@@ -109,6 +109,21 @@ class TableRepoSpec extends SparkSuite {
     assert(out.count() == 4)
   }
 
+  test("emptied group with a Hive-escaped value is really deleted when its key moves out") {
+    // group value ':' is %-encoded on disk; the emptied-dir delete must
+    // resolve the REAL dir (via input_file_name) or the moved key's stale
+    // row survives as a duplicate
+    val repo = new TableRepo(scratch("escaped-emptied"), spark,
+      groupCols = Seq("g"), keyCols = Seq("k"))
+    repo.extend(Seq(("k1", "a:b", 1L), ("k2", "plain", 2L)).toDF("k", "g", "n"))
+    // unscoped upsert moves k1 from group "a:b" (now emptied) to "plain"
+    repo.replaceRecords(Seq(("k1", "plain", 10L)).toDF("k", "g", "n"))
+    val out = repo.getFullDf
+    assert(out.filter($"k" === "k1").count() == 1, "stale row in the emptied escaped dir")
+    assert(out.filter($"k" === "k1").select("g").as[String].head() == "plain")
+    assert(out.count() == 2)
+  }
+
   test("replaceGroups overwrites only touched groups (test_core.py:178-179)") {
     val repo = new TableRepo(scratch("rgroups"), spark, groupCols = Seq("C2"))
     repo.extend(df1)

@@ -68,6 +68,23 @@ class StreamEmbDedupSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("batch twin agrees across MULTIPLE horizon lapses (true backfill twin)") {
+    // 25s horizon over 40 rows spaced 10s apart: every bucket re-occupies
+    // several times over the replay — the regime the old global-first-
+    // occupant twin got wrong beyond one horizon.
+    val data = (0 until 40).map { i =>
+      val base = if (i % 4 == 0) near(vec(i / 4)) else vec(i % 7)
+      (i.toLong, base, (100 + 10 * i) * sec)
+    }
+    val got = run(data.map(Seq(_)), horizonUs = 25 * sec, name = "sed4")
+    val batch = StreamEmbDedup.batchTwin(data.toDF("vec_id", "embedding", "ts_us"),
+        horizonUs = 25 * sec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(got.toSet == batch.toSet,
+      s"stream/batch divergence:\n only-stream=${got.toSet -- batch.toSet}\n only-batch=${batch.toSet -- got.toSet}")
+    assert(got.nonEmpty)
+  }
+
   test("bits/tables parameters flow through to bucket layout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -64,6 +64,23 @@ class StreamNearDupSpec extends SparkSuite {
     assert(!got.contains(2L), s"expected no hits after eviction, got $got")
   }
 
+  test("batch twin agrees with the stream across multiple horizon lapses") {
+    // arrivals 40s apart under a 60s horizon: buckets re-occupy repeatedly
+    // over the replay, the regime a single-first-occupant cut gets wrong
+    val data = Seq(
+      (1L, textA, 10 * sec), (2L, textANear, 50 * sec), (3L, textB, 60 * sec),
+      (4L, textA, 130 * sec), (5L, textA, 170 * sec), (6L, textB, 200 * sec),
+      (7L, textANear, 260 * sec))
+    val got = run(data.map(Seq(_)), horizonUs = 60 * sec, name = "snd5")
+    val gotPairs = got.flatMap { case (d, hs) => hs.map(h => (d, h._1, h._2)) }.toSet
+    val batch = StreamNearDup.batchTwin(
+        spark.createDataset(data).toDF("doc_id", "text", "ts_us"), horizonUs = 60 * sec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(gotPairs == batch,
+      s"stream/batch divergence:\n only-stream=${gotPairs -- batch}\n only-batch=${batch -- gotPairs}")
+    assert(gotPairs.nonEmpty)
+  }
+
   test("continuous same-bucket traffic still honors the horizon (inline re-occupancy)") {
     // The bucket receives data every batch, so the timed-out path never
     // runs; the handler must expire the occupant inline. doc 2 hits
