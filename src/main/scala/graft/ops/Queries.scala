@@ -148,15 +148,31 @@ object Queries {
     * 16-byte row in the distinct, not a 512-byte embedding pair in the
     * shuffle or a recomputed cosine.
     */
+  /** Effective SRP width for the semantic-dedup entry points: a pinned
+    * width wins (the oracled queries pin [[EmbDupBits]] so the DuckDB
+    * twin replays the identical cut); otherwise the SAFE behavior is the
+    * default — derive the width from the corpus size via
+    * [[VectorFns.srpBitsFor]], so a caller who never read the scaling
+    * footnote still gets ~constant bucket occupancy (linear candidates)
+    * instead of O(n²/2^bits) growth.
+    */
+  private[graft] def effEmbDupBits(n: => Long, pinned: Option[Int]): Int =
+    pinned.getOrElse(VectorFns.srpBitsFor(n))
+
   /** The candidate + verify stage of [[embDupClusters]], exposed so plan
     * audits can dump it: the cluster step's checkpoints would otherwise
     * hide the whole pipeline from `.explain`.
+    *
+    * `bits = None` (the default) derives the bucket width from a
+    * metadata-only count of the corpus — see [[effEmbDupBits]].
     */
   private[graft] def embDupPairs(s: SparkSession, d: String,
-      bits: Int = EmbDupBits, tables: Int = EmbDupTables): DataFrame = {
+      bits: Option[Int] = None, tables: Int = EmbDupTables): DataFrame = {
+    val src = t(s, d, "embeddings")
+    val effBits = effEmbDupBits(src.count(), bits)
     val bucketCols = (0 until tables).map(tb =>
-      VectorFns.srpBucket(col("embedding"), bits, EmbDupDim, tb).as(s"b$tb"))
-    val e = Ckpt(t(s, d, "embeddings")
+      VectorFns.srpBucket(col("embedding"), effBits, EmbDupDim, tb).as(s"b$tb"))
+    val e = Ckpt(src
       .select(Seq(col("vec_id"), col("embedding"),
         VectorFns.norm2(col("embedding")).as("nrm")) ++ bucketCols: _*))
     val cand = (0 until tables).map { tb =>
@@ -173,7 +189,7 @@ object Queries {
   }
 
   private[graft] def embDupClusters(s: SparkSession, d: String,
-      bits: Int = EmbDupBits, tables: Int = EmbDupTables): DataFrame =
+      bits: Option[Int] = None, tables: Int = EmbDupTables): DataFrame =
     Components.minLabel(embDupPairs(s, d, bits, tables))
       .select(col("id").as("vec_id"), col("cluster_id"))
 
@@ -199,7 +215,7 @@ object Queries {
   private[graft] def auditStages(s: SparkSession, d: String): Seq[(String, DataFrame)] =
     Ckpt.withDisabled {
       Seq(
-        "q_emb_dup_clusters:pairs" -> embDupPairs(s, d),
+        "q_emb_dup_clusters:pairs" -> embDupPairs(s, d, bits = Some(EmbDupBits)),
         "q_dup_clusters:pairs" -> docDupPairs(s, d).select(col("id_a"), col("id_b"))
       )
     }
@@ -485,6 +501,22 @@ object Queries {
       s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 7 AND l_returnflag = 'R'"
     )) { (s, d) =>
       val repo = new TableRepo(freshRoot("q_prune"), s, groupCols = Seq("l_returnflag"))
+      repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 7).select(lineCols.map(col): _*))
+      repo.getPartitionDf(Map("l_returnflag" -> "R"))
+    },
+
+    // ---- A3/A4 keep-mode twin: pruned scan with retained group cols ---
+    // keepGroupCols = true is the REFERENCE DEFAULT (core.py:440-441):
+    // partitioning happens on helper COPIES of the group columns so the
+    // originals stay in the leaf files, and reads must surface exactly
+    // the user schema (helpers never leak, no duplicated column). Same
+    // oracle as q_partition_prune — the two storage modes are
+    // observably identical, cross-engine.
+    Q("q_partition_prune_keep", Some(
+      s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 7 AND l_returnflag = 'R'"
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_prune_keep"), s,
+        groupCols = Seq("l_returnflag"), keepGroupCols = true)
       repo.extend(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 7).select(lineCols.map(col): _*))
       repo.getPartitionDf(Map("l_returnflag" -> "R"))
     },
@@ -1058,7 +1090,7 @@ object Queries {
          |   UNION SELECT va, va FROM p UNION SELECT vb, vb FROM p),
          | reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
          | SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin.replaceAll("\n", "")
-    )) { (s, d) => embDupClusters(s, d) },
+    )) { (s, d) => embDupClusters(s, d, bits = Some(EmbDupBits)) },
 
     // ---- semantic dedup PURGE (one survivor per cluster) ---------------
     // The embedding sibling of q_near_dup_purge, but cluster-exact rather
@@ -1075,7 +1107,7 @@ object Queries {
          | SELECT v.vec_id, v.label FROM embeddings v
          | WHERE v.vec_id NOT IN (SELECT vec_id FROM c WHERE vec_id <> cluster_id)""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val dropped = embDupClusters(s, d)
+      val dropped = embDupClusters(s, d, bits = Some(EmbDupBits))
         .filter(col("vec_id") =!= col("cluster_id"))
         .select(col("vec_id").as("__drop_id"))
       t(s, d, "embeddings")
@@ -1922,27 +1954,39 @@ object Queries {
     // the classic form, but ln() is libm-dependent (not cross-engine
     // bitwise); the integer-sum mean keeps the same "gibberish scores
     // low, boilerplate scores high" ordering with EXACT arithmetic: int64
-    // sums + one IEEE division. One corpus tokenize (checkpointed), one
-    // bigram-count aggregate (checkpointed — it feeds its own self-join),
-    // one join back.
+    // sums + one IEEE division. One corpus tokenize (checkpointed).
+    //
+    // The corpus-count join is OCCURRENCE-FREE: the bigram stream is
+    // pre-aggregated to (doc_id, bigram, k) so the join carries DISTINCT
+    // doc-bigram pairs and familiarity = Σ k·cnt / Σ k (identical int64
+    // sums). Joining the raw stream would shuffle every occurrence keyed
+    // by bigram text — at 100 TB the hottest Zipf key ("of the", ~1% of
+    // all rows) lands on one reducer; after the reshape its multiplicity
+    // collapses from occurrences to one-per-document. (q_cooccur needs no
+    // such reshape: its join input `bc` is already one-row-per-bigram,
+    // and its bigram AGGREGATION handles hot keys with map-side partial
+    // combine.) The (doc, bigram) pre-aggregate shuffles on the pair key,
+    // which Zipf skew cannot concentrate.
     Q("q_lm_familiarity", Some(
       s"""WITH tkk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
         |   FROM tkk WHERE len(toks) >= 2),
-        | bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram)
-        | SELECT bg.doc_id, count(*) AS n_bigrams,
-        |   CAST(sum(bc.cnt) AS DOUBLE) / count(*) AS familiarity
-        | FROM bg JOIN bc ON bc.bigram = bg.bigram GROUP BY bg.doc_id""".stripMargin.replaceAll("\n", "")
+        | bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+        | dk AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY doc_id, bigram)
+        | SELECT dk.doc_id, CAST(sum(dk.k) AS BIGINT) AS n_bigrams,
+        |   CAST(sum(dk.k * bc.cnt) AS DOUBLE) / sum(dk.k) AS familiarity
+        | FROM dk JOIN bc ON bc.bigram = dk.bigram GROUP BY dk.doc_id""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val bg = Ckpt(t(s, d, "documents")
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram")))
       val bc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
-      bg.join(bc, "bigram")
+      val dk = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+      dk.join(bc, "bigram")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum(col("cnt")).cast(DoubleType) / count(lit(1))).as("familiarity"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          (sum(col("k") * col("cnt")).cast(DoubleType) / sum(col("k"))).as("familiarity"))
     },
 
     // ---- heavy hitters (frequency floor) ------------------------------
