@@ -62,11 +62,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-rep times make the artifact self-diagnosing: a single-rep VM
+    // stall shows up as one outlier in its array instead of demanding a
+    // cross-run adjudication (the round-8 76-vs-59s ambiguity)
+    val perRep = queryList.zipWithIndex.map { case ((name, _), qi) =>
+      "\"" + name + "\":" + times(qi).map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$nFail,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","failed":$nFail,"queries":$qs,"rep_times":$perRep,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so
     // ALSO write to a committed path — docs/bench_last.json is the durable
     // all-queries artifact each round

@@ -57,6 +57,49 @@ class RepoSinkSpec extends SparkSuite {
     assert(repo.getFullDf.filter($"id" === 2L).select("v").as[String].head() == "B2")
   }
 
+  test("JSONL drop dir streams into a pinned-schema repo: exactly-once across " +
+      "restart, schema drift harmonized, equal to the batch ingest") {
+    import org.apache.spark.sql.types._
+    val drop = scratch("landing-drop")
+    new java.io.File(drop).mkdirs()
+    def dropFile(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(drop, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val pinned = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("w", LongType)))
+    val repo = new TableRepo(scratch("landing-repo"), spark, fixedSchema = Some(pinned))
+    val ckpt = scratch("landing-ckpt")
+    def stream = spark.readStream.schema(pinned)
+      .option("multiLine", "false").json(drop)
+
+    dropFile("d1.jsonl", """{"id":1,"v":"a","w":10}""", """{"id":2,"v":"b","w":20}""")
+    val q1 = RepoSink.start(stream, repo, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(repo.count() == 2)
+
+    // mid-stream schema drift: d2 misses `w` (null-backfilled), d3 carries
+    // an unknown `extra` (dropped by the pinned read schema) — the same
+    // harmonization contract as the batch path
+    dropFile("d2.jsonl", """{"id":3,"v":"c"}""")
+    dropFile("d3.jsonl", """{"id":4,"v":"d","w":40,"extra":"zzz"}""")
+    // RESTART from the same checkpoint: only the new files may land —
+    // re-landing d1 would double ids 1 and 2
+    val q2 = RepoSink.start(stream, repo, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    val got = repo.getFullDf
+    assert(got.count() == 4, "restart must not re-land already-committed files")
+    assert(got.groupBy($"id").count().filter($"count" > 1).count() == 0)
+    assert(got.filter($"id" === 3L).select("w").head().isNullAt(0))
+    assert(got.columns.toSeq == Seq("id", "v", "w"))
+    // the streamed landing equals the batch FileSources ingest of the
+    // same drop files into a twin repo
+    val twin = new TableRepo(scratch("landing-twin"), spark, fixedSchema = Some(pinned))
+    graft.sources.FileSources.ingest(twin,
+      graft.sources.FileSources.jsonl(spark, drop, Some(pinned)))
+    assertSameRows(got.orderBy("id"), twin.getFullDf.orderBy("id"))
+  }
+
   test("foreachBatch sink appends micro-batches into the repo") {
     val srcDir = scratch("stream-src")
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(srcDir)
