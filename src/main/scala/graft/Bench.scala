@@ -44,15 +44,32 @@ object Bench {
     val queryList = queries.toSeq
     val times = Array.fill(queryList.size)(scala.collection.mutable.ArrayBuffer.empty[Double])
     val fails = Array.fill[Option[Throwable]](queryList.size)(None)
-    for (_ <- 1 to reps) {
-      queryList.zipWithIndex.foreach { case ((_, fn), qi) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable => fails(qi) = fails(qi).orElse(Some(e)) }
-        times(qi) += (System.nanoTime() - t0) / 1e9
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      }
-      System.gc()
+    // Experiment knobs for decomposing harness cost from plan cost
+    // (SCALE.md "Measurement noise"): mode=consecutive re-runs each
+    // query's reps back-to-back (the pre-r8 warm-block subsidy);
+    // nockpt=1 disables the Ckpt barriers, paying recomputation of
+    // shared stages instead of materialization — quantifying what the
+    // checkpoint floor costs at this SF.
+    val consecutive = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("consecutive")
+    val noCkpt = sys.env.get("SPARK_GRAFT_BENCH_NOCKPT").contains("1")
+    def runOnce(qi: Int, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        if (noCkpt) graft.ops.Ckpt.withDisabled(fn(spark, sfDir).count())
+        else fn(spark, sfDir).count()
+      } catch { case e: Throwable => fails(qi) = fails(qi).orElse(Some(e)) }
+      times(qi) += (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    if (consecutive)
+      queryList.zipWithIndex.foreach { case ((_, fn), qi) =>
+        for (_ <- 1 to reps) runOnce(qi, fn); System.gc()
+      }
+    else
+      for (_ <- 1 to reps) {
+        queryList.zipWithIndex.foreach { case ((_, fn), qi) => runOnce(qi, fn) }
+        System.gc()
+      }
     val results = queryList.zipWithIndex.map { case ((name, _), qi) =>
       // a crashing query must NOT masquerade as a fast one: any failed rep
       // poisons the whole entry to the -1 sentinel (and stderr says why)
@@ -71,16 +88,19 @@ object Bench {
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)
+    val mode = (if (consecutive) "consecutive" else "roundrobin") +
+      (if (noCkpt) "+nockpt" else "")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","failed":$nFail,"queries":$qs,"rep_times":$perRep,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so
     // ALSO write to a committed path — docs/bench_last.json is the durable
     // all-queries artifact each round
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target/bench.json"), (line + "\n").getBytes("UTF-8"))
-    // only a FULL run may replace the committed artifact — a targeted
-    // subset run must not clobber the round's all-queries record
-    if (only.isEmpty) {
+    // only a FULL run in the production harness mode may replace the
+    // committed artifact — a targeted subset or experiment run must not
+    // clobber the round's all-queries record
+    if (only.isEmpty && !consecutive && !noCkpt) {
       Files.createDirectories(Paths.get("docs"))
       Files.write(Paths.get("docs/bench_last.json"), (line + "\n").getBytes("UTF-8"))
     }

@@ -62,8 +62,26 @@ object ScaleUp {
         col("label"))
     }.reduce(_ unionByName _)
     embReps.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // Keyed tables for the WRITE-path stress family (q_compact,
+    // q_upsert_pruned*, q_sized_append…): replicate orders/lineitem with
+    // key shifts that keep keys unique across replicas. The shift is a
+    // multiple of 10/8/4/3 (1e8), so every `key % m` class the bench
+    // queries filter on scales exactly k× — the same subset-shape at k×
+    // rows, which is what a clean exponent needs.
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    (0 until k).map { r =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until k).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     println(s"wrote ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
-      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} embeddings to $out")
+      s"${spark.read.parquet(s"$out/embeddings.parquet").count()} embeddings, " +
+      s"${spark.read.parquet(s"$out/orders.parquet").count()} orders, " +
+      s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitem to $out")
     spark.stop()
   }
 }

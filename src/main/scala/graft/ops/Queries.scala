@@ -786,6 +786,12 @@ object Queries {
     // same-bucket neighbors (id pairs only, deduplicated BEFORE the
     // cosine fetch) — the multi-probe shape that keeps per-table bucket
     // occupancy ~n/2^bits while the table OR recovers recall.
+    // MEASURED recall (graft.RecallStudy; SCALE.md "ANN recall"):
+    // 4 tables find 91% of planted cos-0.95 twins (1 table: 39%) —
+    // scale-invariant from n=2k to 20k; isotropic mid-cosine top-5
+    // recall is ~0.11 at 364 candidates/query, i.e. this is a near-dup
+    // sieve, not a general retrieval index (q_topk_cosine / q_ann_ivf
+    // are the exact paths).
     Q("q_ann_srp", Some {
       val buckets = (0 until EmbDupTables)
         .map(tb => s"${sqlSrpBucket("embedding", EmbDupBits, EmbDupDim, tb)} AS b$tb").mkString(", ")
@@ -831,7 +837,11 @@ object Queries {
     // broadcast query side — an explode of bits+1 bucket ids — while the
     // corpus is bucketed ONCE; candidate volume per query is
     // (bits+1) * occupancy. Standard multi-probe LSH (Lv et al.,
-    // VLDB'07) in one equi-join.
+    // VLDB'07) in one equi-join. MEASURED recall (graft.RecallStudy;
+    // SCALE.md "ANN recall"): Hamming≤1 probes on ONE table find 77% of
+    // planted cos-0.95 twins vs 39% unprobed — the memory-lean recall
+    // lever (one stored table vs four), at ~2x the candidate volume of
+    // the 4-table OR.
     Q("q_ann_srp_probe", Some {
       val b0 = sqlSrpBucket("embedding", EmbDupBits, EmbDupDim, 0)
       val probes = (s"b.b0" +: (0 until EmbDupBits).map(i => s"xor(b.b0, ${1L << i})"))
