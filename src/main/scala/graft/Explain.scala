@@ -28,7 +28,9 @@ object Explain {
         "q_emb_dup_clusters", "q_emb_dup_purge", "q_upsert_pruned",
         // round 8
         "q_upsert_pruned_grouped", "q_lm_familiarity", "q_ann_srp",
-        "q_ann_srp_probe", "q_repetition", "q_heavy_hitters")
+        "q_ann_srp_probe", "q_repetition", "q_heavy_hitters",
+        // round 9
+        "q_partition_prune_keep")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

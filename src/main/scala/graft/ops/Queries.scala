@@ -1967,32 +1967,34 @@ object Queries {
     // sums + one IEEE division. One corpus tokenize (checkpointed).
     //
     // The corpus-count join is OCCURRENCE-FREE: the bigram stream is
-    // pre-aggregated to (doc_id, bigram, k) so the join carries DISTINCT
-    // doc-bigram pairs and familiarity = Σ k·cnt / Σ k (identical int64
+    // aggregated ONCE to (doc_id, bigram, k) — one pass over the
+    // occurrences, checkpointed — and BOTH join sides derive from it:
+    // the corpus counts are Σ k over docs, and the join carries DISTINCT
+    // doc-bigram pairs with familiarity = Σ k·cnt / Σ k (identical int64
     // sums). Joining the raw stream would shuffle every occurrence keyed
     // by bigram text — at 100 TB the hottest Zipf key ("of the", ~1% of
     // all rows) lands on one reducer; after the reshape its multiplicity
-    // collapses from occurrences to one-per-document. (q_cooccur needs no
-    // such reshape: its join input `bc` is already one-row-per-bigram,
-    // and its bigram AGGREGATION handles hot keys with map-side partial
-    // combine.) The (doc, bigram) pre-aggregate shuffles on the pair key,
-    // which Zipf skew cannot concentrate.
+    // collapses from occurrences to one-per-document, and the one
+    // occurrence-level shuffle left is the (doc, bigram) pair-key
+    // aggregate, which Zipf skew cannot concentrate and map-side partial
+    // combine absorbs. (q_cooccur needs no such reshape: its join input
+    // `bc` is already one-row-per-bigram.)
     Q("q_lm_familiarity", Some(
       s"""WITH tkk AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         | bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
         |   FROM tkk WHERE len(toks) >= 2),
-        | bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
-        | dk AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY doc_id, bigram)
+        | dk AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY doc_id, bigram),
+        | bc AS (SELECT bigram, sum(k) AS cnt FROM dk GROUP BY bigram)
         | SELECT dk.doc_id, CAST(sum(dk.k) AS BIGINT) AS n_bigrams,
         |   CAST(sum(dk.k * bc.cnt) AS DOUBLE) / sum(dk.k) AS familiarity
         | FROM dk JOIN bc ON bc.bigram = dk.bigram GROUP BY dk.doc_id""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val bg = Ckpt(t(s, d, "documents")
+      val dk = Ckpt(t(s, d, "documents")
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram")))
-      val bc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
-      val dk = bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+        .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k")))
+      val bc = dk.groupBy(col("bigram")).agg(sum(col("k")).as("cnt"))
       dk.join(bc, "bigram")
         .groupBy(col("doc_id"))
         .agg(sum(col("k")).as("n_bigrams"),
