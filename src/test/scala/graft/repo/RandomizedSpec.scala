@@ -105,6 +105,39 @@ class RandomizedSpec extends SparkSuite {
       s"stale or missing group dirs: $dirs")
   }
 
+  test("grouped repo random upserts with Hive-escaped group values match the model") {
+    // same model as above, but every group value needs writer-side
+    // escaping (':', '=', '%', space) — the regime where hand-built
+    // col=value paths silently miss dirs (round-9 fix)
+    val rng = new Random(271828)
+    val groups = Vector("a:b", "c=d", "e f", "plain", "x%y")
+    val repo = new TableRepo(scratch("rand-model-esc"), spark,
+      groupCols = Seq("g"), keyCols = Seq("k"))
+    val model = scala.collection.mutable.Map[Long, (String, Double)]()
+    def rows(n: Int, nGroups: Int) = (0 until n).map { _ =>
+      (rng.nextInt(100).toLong, groups(rng.nextInt(nGroups)), rng.nextDouble())
+    }
+    val init = rows(80, 5).distinctBy(_._1)
+    repo.extend(init.toDF("k", "g", "v"))
+    init.foreach { case (k, g, v) => model(k) = (g, v) }
+    (0 until 3).foreach { _ =>
+      val ups = rows(30, 5).distinctBy(_._1)
+      repo.replaceRecords(ups.toDF("k", "g", "v"))
+      ups.foreach { case (k, g, v) => model(k) = (g, v) }
+    }
+    // squeeze into 2 escaped groups: the other 3 escaped dirs MUST empty
+    val sweep = model.keys.toSeq.sorted.map(k => (k, groups((k % 2).toInt), rng.nextDouble()))
+    repo.replaceRecords(sweep.toDF("k", "g", "v"))
+    sweep.foreach { case (k, g, v) => model(k) = (g, v) }
+    val expected = model.toSeq.map { case (k, (g, v)) => (k, g, v) }.toDF("k", "g", "v")
+    assertSameRows(repo.getFullDf.orderBy("k"), expected.orderBy("k"))
+    val dirs = new java.io.File(repo.root + "/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val want = model.values.map(_._1).toSet.map((g: String) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString("g", g))
+    assert(dirs == want, s"stale or missing escaped group dirs: $dirs vs $want")
+  }
+
   test("pruned and plain upserts agree under seeded random batches (flat, composite, grouped)") {
     val rng = new Random(31337)
     def kv(n: Int, keySpace: Int) =
