@@ -1957,6 +1957,48 @@ object Queries {
           (max(col("cnt")).cast(DoubleType) / sum(col("cnt"))).as("rep_ratio"))
     },
 
+    // ---- repeated-passage mining (exact-substring dedup screen) -------
+    // The screen MinHash cannot express: find exact token WINDOWS (8-gram
+    // passages) occurring in more than one document — the
+    // exact-substring-dedup signal of Lee et al. ("Deduplicating Training
+    // Data Makes Language Models Better", ACL'22), where the offender is
+    // a repeated boilerplate passage inside otherwise-distinct documents.
+    // Spark shape: one window explode (positional 8-gram shingles, NOT
+    // deduplicated — within-doc repeats count), hash to 32-bit window
+    // ids, ONE aggregation shuffle on the hash with map-side partial
+    // combine; cross-doc windows survive an n_docs >= 2 filter. At
+    // 100 TB this is the linear-pass alternative to a distributed suffix
+    // array: rows ≈ token count, the aggregate carries (hash, counts),
+    // Output is (window hash, doc count, occurrence count) — id-only, the
+    // dedup action downstream joins windows back on the hash; a string
+    // exemplar column would force min(string) aggregation, which Spark
+    // plans as SortAggregate (strings have no mutable hash-agg buffer).
+    // Hash collisions merge windows identically on both engines (same
+    // md5-prefix hash), so the oracle replays the exact cut.
+    Q("q_repeated_passages", Some {
+      val w8 = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH tkk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        | wn AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> $w8)) AS w
+        |   FROM tkk WHERE len(t) >= 8)
+        | SELECT ${sqlHash32("w")} AS w_hash,
+        |   count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+        | FROM wn GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      // two-level aggregate instead of countDistinct: the (hash, doc)
+      // pair-key shuffle is skew-immune and the whole plan stays in
+      // whole-stage HashAggregate (a distinct-agg would plan Expand +
+      // SortAggregate)
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 8)).as("w"))
+        .groupBy(TextFns.hash32(col("w")).as("w_hash"), col("doc_id"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("w_hash"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+    },
+
     // ---- language-model familiarity score (log-free bigram LM) --------
     // The quality screen a KenLM perplexity filter approximates at 100 TB:
     // score each document by how typical its bigrams are of the corpus —
