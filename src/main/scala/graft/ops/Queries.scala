@@ -410,9 +410,12 @@ object Queries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | QUALIFY row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      // keep-first as a hash aggregate: min(struct(order cols)) per key is
-      // one partial-aggregating shuffle — no per-partition full sort like a
-      // row_number window. Struct comparison is lexicographic over the
+      // keep-first as min(struct(order cols)) per key: Spark plans this
+      // SORT-based (structs have no mutable hash-agg buffer), but the
+      // partial aggregate still combines map-side, so the exchange
+      // carries ONE row per key per input partition — the scale win over
+      // the row_number window form, which shuffles every row before its
+      // per-partition sort. Struct comparison is lexicographic over the
       // fields, so leading with the full tie-break order (the (l_orderkey,
       // l_linenumber) pair is NOT unique in this data) gives the same row
       // the QUALIFY oracle picks. Null-safe here: the compared columns are
@@ -1997,6 +2000,42 @@ object Queries {
         .groupBy(col("w_hash"))
         .agg(count(lit(1)).as("n_docs"), sum(col("k")).as("n_occ"))
         .filter(col("n_docs") >= 2)
+    },
+
+    // ---- duplicate-window share (cross-doc duplication fraction) ------
+    // The per-document ACTION signal on top of q_repeated_passages: the
+    // fraction of a document's 8-token windows that occur in at least one
+    // OTHER document — the "duplicate n-gram fraction" screen of the
+    // Gopher/Dolma quality rules (complementing q_repetition, which is
+    // WITHIN-doc repetition). Same occurrence-free discipline as
+    // q_lm_familiarity: windows aggregate ONCE to (doc, hash, k)
+    // (checkpointed, pair-key shuffle — skew-immune), the cross-doc
+    // counts derive from that same frame, and the join carries distinct
+    // doc-window pairs. All-int64 until the one closing division.
+    Q("q_dup_window_share", Some {
+      val w8 = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH tkk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        | wn AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i -> $w8)) AS w
+        |   FROM tkk WHERE len(t) >= 8),
+        | dk AS (SELECT doc_id, ${sqlHash32("w")} AS h, count(*) AS k FROM wn GROUP BY 1, 2),
+        | rep AS (SELECT h, count(*) AS n_docs FROM dk GROUP BY h)
+        | SELECT dk.doc_id, CAST(sum(dk.k) AS BIGINT) AS n_windows,
+        |   CAST(sum(CASE WHEN rep.n_docs >= 2 THEN dk.k ELSE 0 END) AS BIGINT) AS n_dup,
+        |   CAST(sum(CASE WHEN rep.n_docs >= 2 THEN dk.k ELSE 0 END) AS DOUBLE) / sum(dk.k) AS dup_share
+        | FROM dk JOIN rep ON rep.h = dk.h GROUP BY dk.doc_id""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val dk = Ckpt(t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 8)).as("w"))
+        .groupBy(col("doc_id"), TextFns.hash32(col("w")).as("h"))
+        .agg(count(lit(1)).as("k")))
+      val rep = dk.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      val dup = sum(when(col("n_docs") >= 2, col("k")).otherwise(lit(0L)))
+      dk.join(rep, "h")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_windows"), dup.as("n_dup"),
+          (dup.cast(DoubleType) / sum(col("k"))).as("dup_share"))
     },
 
     // ---- language-model familiarity score (log-free bigram LM) --------
