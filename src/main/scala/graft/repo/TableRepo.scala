@@ -975,9 +975,11 @@ class TableRepo(
     */
   def partitionPaths(values: Map[String, Any]): Seq[String] = {
     // callers name user-facing columns; directories are named by the
-    // physical layout columns (keep-mode helpers included)
+    // physical layout columns (keep-mode helpers included), rendered
+    // with the writer's own Hive escaping so values containing ':'/'='/
+    // null still match their on-disk dirs
     val needles = (groupCols ++ bucketColName)
-      .flatMap(c => values.get(c).map(v => s"${physOf(c)}=$v"))
+      .flatMap(c => values.get(c).map(v => TableRepo.dirSegment(physOf(c), v)))
     paths // absolute URIs (file:/...); match on the col=val path segments
       .filter(p => needles.forall(n => p.contains(s"/$n/")))
       .map(p => p.substring(0, p.lastIndexOf('/')))

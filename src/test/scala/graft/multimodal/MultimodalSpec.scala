@@ -183,6 +183,23 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.mjpegFrames("RIFF    AVI ".getBytes("US-ASCII")) == Nil)
   }
 
+  test("RIFF walk never throws on seeded random bytes (drop-not-fail fuzz)") {
+    // 100 TB sweeps see arbitrary garbage; the walk's contract is Nil or
+    // frames, never an exception out of the task. Seeded, so failures
+    // reproduce. Half the cases get a valid RIFF/AVI preamble so the
+    // walk actually enters the chunk loop on attacker-shaped bytes.
+    val rng = new scala.util.Random(20260813)
+    (0 until 300).foreach { i =>
+      val n = rng.nextInt(512)
+      val bytes = Array.fill(n)(rng.nextInt().toByte)
+      if (i % 2 == 0 && n >= 12) {
+        "RIFF".getBytes("US-ASCII").copyToArray(bytes, 0)
+        "AVI ".getBytes("US-ASCII").copyToArray(bytes, 8)
+      }
+      Multimodal.mjpegFrames(bytes): Unit // must not throw
+    }
+  }
+
   test("frame sampling yields strided windows") {
     val media = Multimodal.withPayload(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "text", "doc_id")
     val frames = Multimodal.sampleFrames(media, frameSize = 4, stride = 2).collect()

@@ -116,6 +116,9 @@ class TableRepoSpec extends SparkSuite {
     val repo = new TableRepo(scratch("escaped-emptied"), spark,
       groupCols = Seq("g"), keyCols = Seq("k"))
     repo.extend(Seq(("k1", "a:b", 1L), ("k2", "plain", 2L)).toDF("k", "g", "n"))
+    // the path helper must find the Hive-escaped dir for the raw value
+    assert(repo.partitionPaths(Map("g" -> "a:b")).nonEmpty,
+      "partitionPaths missed the escaped dir")
     // unscoped upsert moves k1 from group "a:b" (now emptied) to "plain"
     repo.replaceRecords(Seq(("k1", "plain", 10L)).toDF("k", "g", "n"))
     val out = repo.getFullDf
