@@ -121,6 +121,32 @@ object TextFns {
     lenScore * lit(0.5) + stopScore * lit(0.3) + tokScore * lit(0.2)
   }
 
+  /** PII patterns (the scrubbing pass of public training-data pipelines:
+    * Dolma §4.1, FineWeb), in redaction-precedence order — email first so
+    * a digit-bearing local part can never later be re-matched as a phone.
+    * Restricted to the Java-regex ∩ RE2 common subset (explicit `[0-9]`
+    * classes, `\b` ASCII anchors, no lookaround, no backreferences) so the
+    * DuckDB oracle runs the semantically identical automaton; the
+    * redacted-text md5 in `q_pii_screen` cross-checks the match SPANS, not
+    * just the counts.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn"   -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "phone" -> "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b",
+    "ipv4"  -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  )
+
+  /** Non-overlapping occurrence count of one PII category. */
+  def piiCount(c: Column, pattern: String): Column = regexp_count(c, lit(pattern))
+
+  /** Replace every PII span with a `<category>` sentinel, categories
+    * applied in [[PiiPatterns]] order. Pure codegen'd `regexp_replace`
+    * chain — linear per row, shuffle-free, safe inside any scan.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (cat, p)) => regexp_replace(acc, p, s"<$cat>") }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text — the
     * exact-dedup key. `fingerprintBucket` is its top-16-bit shard, the
     * partition key a 100 TB dedup would shuffle on.

@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -87,6 +87,20 @@ object Queries {
   private val sqlShingles =
     s"list_distinct(list_transform(range(1, len($sqlToks) - 1), i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2]))"
   private def sqlHash32(c: String) = s"('0x'||substr(md5($c),1,8))::BIGINT"
+  /** DuckDB twin of [[TextFns.langPredict]], split as (score columns,
+    * argmax CASE) so both `q_lang_id` and `q_filter_funnel` replay the
+    * identical precedence rule. Generated from [[TextFns.LangMarkers]].
+    */
+  private val sqlLangScores: String = TextFns.LangMarkers.map { case (lang, m) =>
+    val set = m.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"len(list_filter($sqlTokSet, x -> list_contains($set, x))) AS s_$lang"
+  }.mkString(", ")
+  private val sqlLangCase: String = {
+    val langs = TextFns.LangMarkers.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val whens = langs.dropRight(1).map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    s"CASE $whens ELSE '${langs.last}' END"
+  }
   private def sqlCosine(a: String, b: String) =
     s"list_inner_product($a::DOUBLE[], $b::DOUBLE[]) / (sqrt(list_inner_product($a::DOUBLE[], $a::DOUBLE[])) * sqrt(list_inner_product($b::DOUBLE[], $b::DOUBLE[])))"
   /** SRP bucket in DuckDB SQL — plane literals generated from the same
@@ -1178,15 +1192,8 @@ object Queries {
 
     // ---- language identification -------------------------------------
     Q("q_lang_id", Some {
-      val scores = TextFns.LangMarkers.map { case (lang, m) =>
-        val set = m.map(x => s"'$x'").mkString("[", ", ", "]")
-        s"len(list_filter($sqlTokSet, x -> list_contains($set, x))) AS s_$lang"
-      }.mkString(", ")
-      val langs = TextFns.LangMarkers.map(_._1)
-      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val caseExpr = langs.dropRight(1).map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
-      s"""WITH sc AS (SELECT doc_id, lang, $scores FROM documents)
-         | SELECT doc_id, lang, CASE $caseExpr ELSE '${langs.last}' END AS lang_pred FROM sc""".stripMargin.replaceAll("\n", "")
+      s"""WITH sc AS (SELECT doc_id, lang, $sqlLangScores FROM documents)
+         | SELECT doc_id, lang, $sqlLangCase AS lang_pred FROM sc""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
       t(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFns.langPredict(col("text")).as("lang_pred"))
@@ -1204,6 +1211,116 @@ object Queries {
          | FROM m""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       t(s, d, "documents").select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+    },
+
+    // ---- PII screen (detect + redact) ---------------------------------
+    // The scrubbing pass every public pretraining pipeline runs (Dolma
+    // §4.1, FineWeb): count and sentinel-replace email / SSN / phone /
+    // IPv4 spans. The synthetic corpus carries no natural PII, so the
+    // query plants deterministic doc_id-derived PII in-flight — BOTH
+    // engines build the identical augmented string, which turns the
+    // oracle into a real Java-regex-vs-RE2 conformance check: `redact_md5`
+    // hashes the fully redacted text, so the two engines must agree on
+    // every match SPAN, not just the counts. One scan, zero shuffles,
+    // all codegen'd regexp expressions — the 100 TB shape is a map-only
+    // pass fused into whatever scan follows it.
+    Q("q_pii_screen", Some {
+      val counts = TextFns.PiiPatterns
+        .map { case (cat, p) => s"CAST(len(regexp_extract_all(aug, '$p')) AS BIGINT) AS n_$cat" }
+        .mkString(", ")
+      // DuckDB regexp_replace is first-match-only without the 'g' flag
+      val redacted = TextFns.PiiPatterns.foldLeft("aug") {
+        case (acc, (cat, p)) => s"regexp_replace($acc, '$p', '<$cat>', 'g')"
+      }
+      s"""WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+         | || (CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 97 AS VARCHAR) ELSE '' END)
+         | || (CASE WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+         | || (CASE WHEN doc_id % 5 = 2 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END) AS aug FROM documents)
+         | SELECT doc_id, $counts, md5($redacted) AS redact_md5, CAST(length($redacted) AS BIGINT) AS redacted_len FROM aug""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      def mod(n: Int) = (col("doc_id") % n).cast(StringType)
+      val aug = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast(StringType), lit("@mail"),
+        mod(7), lit(".org"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ip 10."), mod(200), lit(".0."), mod(97))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-"), lpad(mod(1000), 3, "0"), lit("-"), lpad(mod(10000), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          concat(lit(" ssn 123-45-"), lpad(mod(10000), 4, "0"))).otherwise(lit("")))
+      val countCols = TextFns.PiiPatterns.map { case (cat, p) =>
+        TextFns.piiCount(col("aug"), p).cast(LongType).as(s"n_$cat")
+      }
+      t(s, d, "documents").withColumn("aug", aug).select(
+        col("doc_id") +: countCols :+
+          md5(TextFns.redactPii(col("aug")).cast(BinaryType)).as("redact_md5") :+
+          length(TextFns.redactPii(col("aug"))).cast(LongType).as("redacted_len"): _*)
+    },
+
+    // ---- quality filter funnel ----------------------------------------
+    // The composed pipeline report: per-stage survivor counts through the
+    // canonical gate order (length -> quality -> language -> exact dedup),
+    // i.e. Dolma/FineWeb's filter-then-dedup sequence built from this
+    // library's own screens. Spark shape: per-row gate flags in ONE scan,
+    // keep-first resolved by a min-over-fingerprint window (the funnel's
+    // only shuffle, keyed by the same fingerprint a 100 TB dedup shards
+    // on), then a single tiny aggregate unpivoted with stack() — NOT five
+    // passes over the corpus. Cumulative conjunctions make the funnel
+    // monotone by construction. At sf0.01 the corpus has no exact dups
+    // (dedup stage passes everything through); at sf0.1 it drops 8.
+    Q("q_filter_funnel", Some {
+      val fLen = s"len($sqlToks) BETWEEN 24 AND 80"
+      val fQ = "least(nt / 64.0, 1.0) * 0.5 + least(sh / nt * 8.0, 1.0) * 0.3 + " +
+        "(CASE WHEN (ncd - (nt - 1.0)) / nt >= 3.0 AND (ncd - (nt - 1.0)) / nt <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.7"
+      s"""WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+         |   CAST(len($sqlToks) AS DOUBLE) AS nt, CAST(length(text) AS DOUBLE) AS ncd,
+         |   CAST(len(list_filter($sqlToks, x -> list_contains(['the', 'a', 'an', 'and', 'of'], x))) AS DOUBLE) AS sh,
+         |   ($fLen) AS f_len, $sqlLangScores,
+         |   md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp
+         |   FROM documents),
+         | f AS (SELECT doc_id, nc, f_len, ($fQ) AS f_q, ($sqlLangCase = 'en') AS f_lang, fp FROM m),
+         | k AS (SELECT f.*, min(CASE WHEN f_len AND f_q AND f_lang THEN doc_id END) OVER (PARTITION BY fp) AS keep_id FROM f),
+         | a AS (SELECT count(*) AS n0, CAST(sum(nc) AS BIGINT) AS c0,
+         |   CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN f_len THEN nc ELSE 0 END) AS BIGINT) AS c1,
+         |   CAST(sum(CASE WHEN f_len AND f_q THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN f_len AND f_q THEN nc ELSE 0 END) AS BIGINT) AS c2,
+         |   CAST(sum(CASE WHEN f_len AND f_q AND f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n3, CAST(sum(CASE WHEN f_len AND f_q AND f_lang THEN nc ELSE 0 END) AS BIGINT) AS c3,
+         |   CAST(sum(CASE WHEN f_len AND f_q AND f_lang AND doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n4, CAST(sum(CASE WHEN f_len AND f_q AND f_lang AND doc_id = keep_id THEN nc ELSE 0 END) AS BIGINT) AS c4
+         |   FROM k)
+         | SELECT CAST(0 AS BIGINT) AS ord, 'all' AS stage, n0 AS n_docs, c0 AS n_chars_total FROM a
+         | UNION ALL SELECT 1, 'length', n1, c1 FROM a
+         | UNION ALL SELECT 2, 'quality', n2, c2 FROM a
+         | UNION ALL SELECT 3, 'lang', n3, c3 FROM a
+         | UNION ALL SELECT 4, 'dedup', n4, c4 FROM a""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val nTok = TextFns.tokenCount(col("text"))
+      val flags = t(s, d, "documents").select(
+        col("doc_id"), length(col("text")).cast(LongType).as("nc"),
+        (nTok >= 24 && nTok <= 80).as("f_len"),
+        (TextFns.qualityScore(col("text")) >= 0.7).as("f_q"),
+        (TextFns.langPredict(col("text")) === "en").as("f_lang"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      val kept = flags.withColumn("keep_id",
+        min(when(col("f_len") && col("f_q") && col("f_lang"), col("doc_id")))
+          .over(Window.partitionBy(col("fp"))))
+      def stageAgg(flag: Column, n: String, c: String) = Seq(
+        sum(when(flag, 1L).otherwise(0L)).as(n),
+        sum(when(flag, col("nc")).otherwise(0L)).as(c))
+      val aggCols = Seq(count(lit(1)).as("n0"), sum(col("nc")).as("c0")) ++
+        stageAgg(col("f_len"), "n1", "c1") ++
+        stageAgg(col("f_len") && col("f_q"), "n2", "c2") ++
+        stageAgg(col("f_len") && col("f_q") && col("f_lang"), "n3", "c3") ++
+        stageAgg(col("f_len") && col("f_q") && col("f_lang") && col("doc_id") === col("keep_id"),
+          "n4", "c4")
+      kept.agg(aggCols.head, aggCols.tail: _*)
+        .select(expr(
+          """stack(5,
+            | CAST(0 AS BIGINT), 'all', n0, c0,
+            | CAST(1 AS BIGINT), 'length', n1, c1,
+            | CAST(2 AS BIGINT), 'quality', n2, c2,
+            | CAST(3 AS BIGINT), 'lang', n3, c3,
+            | CAST(4 AS BIGINT), 'dedup', n4, c4) AS (ord, stage, n_docs, n_chars_total)"""
+            .stripMargin.replaceAll("\n", "")))
     },
 
     // ---- document fingerprinting -------------------------------------
