@@ -1743,6 +1743,42 @@ object Queries {
           count(lit(1)).as("n_docs"))
     },
 
+    // ---- data profiling (per-column ANALYZE pass) ---------------------
+    // The pre-training data-quality profile every pipeline runs before
+    // touching a new corpus drop: per-column null and exact distinct
+    // counts plus the row total, one row per column. Spark shape: ONE
+    // scan into one aggregate; the multi-distinct aggregate plans as a
+    // single Expand(×columns) pass — the standard exact strategy. At
+    // 100 TB the drop-in scale path is approx_count_distinct (HLL, no
+    // Expand), traded here for oracle-exact counts. Timestamps profile
+    // at µs grain on both engines (ns truncation, see class doc).
+    Q("q_profile", Some {
+      val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      val aggs = cols.map { c =>
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c, " +
+          s"count(DISTINCT $c) AS nd_$c"
+      }.mkString(", ")
+      val rows = cols.zipWithIndex.map { case (c, i) =>
+        s"SELECT CAST($i AS BIGINT) AS ord, '$c' AS column_name, n_rows, nn_$c AS n_nulls, nd_$c AS n_distinct FROM a"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events),
+         | a AS (SELECT count(*) AS n_rows, $aggs FROM e)
+         | $rows""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      val e = eventsUs(s, d).select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      val aggCols = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"))
+      }
+      val stackArgs = cols.zipWithIndex
+        .map { case (c, i) => s"CAST($i AS BIGINT), '$c', n_rows, nn_$c, nd_$c" }
+        .mkString(", ")
+      e.agg(aggCols.head, aggCols.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS (ord, column_name, n_rows, n_nulls, n_distinct)"))
+    },
+
     // ---- ordered sequence building (per-entity event history) ---------
     // Builds each user's time-ordered event-type sequence — the
     // behavioral-sequence construction step of a training pipeline. Spark

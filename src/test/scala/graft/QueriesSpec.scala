@@ -19,6 +19,33 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_filter_funnel stages are monotone non-increasing") {
+    val rows = Queries.all("q_filter_funnel")(spark, dir)
+      .orderBy("ord").collect()
+    assert(rows.length == 5)
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val chars = rows.map(_.getAs[Long]("n_chars_total"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      s"n_docs not monotone: ${docs.toSeq}")
+    assert(chars.zip(chars.tail).forall { case (a, b) => a >= b },
+      s"n_chars_total not monotone: ${chars.toSeq}")
+  }
+
+  test("q_profile invariants: distinct <= rows, nulls accounted") {
+    val rows = Queries.all("q_profile")(spark, dir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (n, nn, nd) =
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"))
+      // count(DISTINCT col) excludes nulls, so distinct + nulls <= rows
+      assert(nn <= n && nd <= n - nn,
+        s"${r.getAs[String]("column_name")}: distinct=$nd nulls=$nn rows=$n")
+    }
+    // event_id is the table's unique key: distinct must equal rows
+    val eid = rows.find(_.getAs[String]("column_name") == "event_id").get
+    assert(eid.getAs[Long]("n_distinct") == eid.getAs[Long]("n_rows"))
+  }
+
   // q_scan legitimately returns 0 rows only if the predicate missed; all
   // inventory queries are expected non-empty on sf0.001
   Queries.all.keys.toSeq.sorted.foreach { name =>
