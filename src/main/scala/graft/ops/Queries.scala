@@ -1653,6 +1653,33 @@ object Queries {
         .select(col("doc_id"), col("lang"))
     },
 
+    // ---- corpus mixing: per-source token-quota sampling ----------------
+    // The mixture step of a pretraining pipeline (Pile/Dolma-style source
+    // weighting): each source gets a token budget; sources over budget are
+    // downsampled to acceptance fraction budget/total, sources under it
+    // pass whole. Decisions are stateless hash-threshold Bernoulli —
+    // md5(doc_id) mod 10k under frac×10k — so unlike q_sample_stratified's
+    // exact-count window (per-group sort), the keep test is a pure per-row
+    // filter behind a broadcast of 20 per-source fractions: no window, no
+    // per-group ordering, reproducible on any cluster layout. Totals pass
+    // is a cheap two-column scan; frac = one IEEE division, replayed
+    // identically by the oracle.
+    Q("q_mix_quota", Some(
+      s"""WITH tot AS (SELECT source, CAST(sum(CAST(len($sqlToks) AS BIGINT)) AS BIGINT) AS tok_total FROM documents GROUP BY source),
+         | f AS (SELECT source, least(1.0, 1000.0 / CAST(tok_total AS DOUBLE)) AS frac FROM tot)
+         | SELECT d.doc_id, d.source, f.frac FROM documents d JOIN f ON d.source = f.source
+         | WHERE CAST(${sqlMd5Mod("CAST(d.doc_id AS VARCHAR)", 10000)} AS DOUBLE) / 10000.0 < f.frac""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).cast(LongType).as("ntok"))
+      val fr = docs.groupBy(col("source")).agg(sum(col("ntok")).as("tok_total"))
+        .select(col("source").as("fsrc"),
+          least(lit(1.0), lit(1000.0) / col("tok_total").cast(DoubleType)).as("frac"))
+      docs.join(broadcast(fr), col("source") === col("fsrc"))
+        .filter(HashBucket.bucket(col("doc_id"), 10000).cast(DoubleType) / lit(10000.0) < col("frac"))
+        .select(col("doc_id"), col("source"), col("frac"))
+    },
+
     // ---- rollup (multi-level aggregation in one pass) -----------------
     // ROLLUP computes (flag, status), (flag), () grids in ONE shuffle with
     // grouping-set expansion — the alternative is three jobs or a union of
