@@ -78,10 +78,27 @@ object ScaleUp {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(r.toLong * 100000000L))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // Events for the sessionization/window stress family: shift event_id
+    // AND user_id per replica but keep timestamps — k× distinct users over
+    // the SAME time span. Per-user session structure is preserved exactly
+    // (each replica user replays an original user's history), while
+    // every tumbling/sliding time window sees k× the rows — the shape a
+    // k×-traffic day actually has. ts reads as an ns BIGINT here
+    // (nanosAsLong) and lands as INT64; every event query consumes
+    // ts div 1000 (see Queries.eventsUs), so the µs arithmetic is
+    // identical against both the real and the stress table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until k).map { r =>
+      ev.withColumn("event_id", col("event_id") + lit(r.toLong * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(r.toLong * 100000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"wrote ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
       s"${spark.read.parquet(s"$out/embeddings.parquet").count()} embeddings, " +
       s"${spark.read.parquet(s"$out/orders.parquet").count()} orders, " +
-      s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitem to $out")
+      s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitem, " +
+      s"${spark.read.parquet(s"$out/events.parquet").count()} events to $out")
     spark.stop()
   }
 }
