@@ -31,7 +31,8 @@ object Explain {
         "q_ann_srp_probe", "q_repetition", "q_heavy_hitters",
         // round 9
         "q_partition_prune_keep", "q_repeated_passages", "q_dup_window_share",
-        "q_pii_screen", "q_filter_funnel", "q_profile", "q_mix_quota")
+        "q_pii_screen", "q_filter_funnel", "q_profile", "q_mix_quota",
+        "q_strip_dup_spans")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

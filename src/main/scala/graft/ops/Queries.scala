@@ -2218,6 +2218,70 @@ object Queries {
           (dup.cast(DoubleType) / sum(col("k"))).as("dup_share"))
     },
 
+    // ---- exact-substring dedup REMOVAL (clean-text reconstruction) ----
+    // The ACTION the two screens above feed: remove every cross-document
+    // duplicated 8-token span from each document and reassemble the
+    // cleaned text — the removal step of Lee et al.'s exact-substring
+    // dedup (ACL'22), where q_repeated_passages MINES the offenders and
+    // q_dup_window_share SCORES the docs. Linear pass, no suffix array:
+    // positional 8-gram windows hash once; cross-doc hashes come from the
+    // same skew-immune two-level (hash, doc) aggregate as
+    // q_repeated_passages; covered token positions are the windows'
+    // 8-position spans, made distinct on the (doc, pos) pair key; kept
+    // tokens are a left-anti join on that same pair key, reassembled in
+    // position order. Every shuffle is pair-keyed EXCEPT wn ⋈ rep on the
+    // window hash — there a boilerplate span hot in 1M docs concentrates
+    // its occurrences on one reducer, but the rep side is ONE row per
+    // hash, so the fanout is 1:1 (no pair blow-up) and AQE skew-split
+    // divides the occurrence side freely. Hash collisions remove the same
+    // extra span on both engines (same md5-prefix hash), so the oracle
+    // replays the identical cut; rejoined text normalizes whitespace
+    // identically (single space) on both sides.
+    Q("q_strip_dup_spans", Some {
+      val w8 = (0 until 8).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH tkk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        | wn AS (SELECT doc_id, i AS pos, ${sqlHash32(s"($w8)")} AS h
+        |   FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM tkk WHERE len(t) >= 8)),
+        | rep AS (SELECT h FROM (SELECT h, doc_id FROM wn GROUP BY h, doc_id) GROUP BY h HAVING count(*) >= 2),
+        | cov AS (SELECT DISTINCT doc_id, p FROM
+        |   (SELECT doc_id, unnest(range(pos, pos + 8)) AS p FROM wn WHERE h IN (SELECT h FROM rep))),
+        | tok AS (SELECT doc_id, i AS pos, t[i] AS tok
+        |   FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tkk)),
+        | kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |   LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.pos WHERE cov.p IS NULL),
+        | cl AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |   FROM kept GROUP BY doc_id)
+        | SELECT tkk.doc_id, len(t)::BIGINT AS n_tokens,
+        |   (len(t) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+        |   coalesce(clean_text, '') AS clean_text
+        | FROM tkk LEFT JOIN cl ON cl.doc_id = tkk.doc_id""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val tk = Ckpt(t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")))
+      val wn = Ckpt(tk.filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(TextFns.shinglesOf(col("toks"), 8)).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"), TextFns.hash32(col("w")).as("h")))
+      val rep = wn.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("k"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2).select(col("h"))
+      val cov = wn.join(rep, "h")
+        .select(col("doc_id").as("cdoc"), explode(sequence(col("pos"), col("pos") + lit(7))).as("p"))
+        .distinct()
+      val tok = tk.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      val kept = tok.join(cov,
+        tok("doc_id") === cov("cdoc") && tok("pos") === cov("p"), "left_anti")
+      val clean = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+      tk.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
+
     // ---- language-model familiarity score (log-free bigram LM) --------
     // The quality screen a KenLM perplexity filter approximates at 100 TB:
     // score each document by how typical its bigrams are of the corpus —
