@@ -1081,6 +1081,49 @@ object Queries {
         .select(col("vec_id"), col("centroid_id"), col("sim"))
     },
 
+    // ---- cluster-balanced diverse sampling (corpus selection) ---------
+    // The selection step of SemDeDup (Abbas et al. '23) / DsDm-style
+    // cluster-balanced corpus curation: assign every embedding to its
+    // nearest centroid (the q_ivf_assign frame: broadcast centroids, one
+    // codegen dot per pair; the argmax window gets a Partial
+    // WindowGroupLimit, so its exchange carries one row per VECTOR, not
+    // one per vector-centroid pair), then
+    // keep a fixed per-cluster quota so the sample covers ALL regions of
+    // embedding space instead of oversampling the dense ones. The quota
+    // cut uses the bounded-heap TopKAgg (most-central first, vec_id
+    // tie-break), NOT a per-cluster window: with k clusters a window
+    // shuffle concentrates the whole corpus onto k reducers, while the
+    // heap ships at most quota rows per cluster per map task and the
+    // final agg holds k x quota rows total. Oracle = the window-rank
+    // formulation, proving the heap is semantically identical; cosines
+    // are bitwise-equal across engines (same dot/sqrt form as
+    // q_ivf_assign), so the rank cut replays exactly.
+    Q("q_diverse_sample", Some(
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         | p AS (SELECT e.vec_id AS vec_id, c.centroid_id AS centroid_id, ${sqlCosine("e.embedding", "c.c_emb")} AS sim
+         |   FROM embeddings e CROSS JOIN c),
+         | a AS (SELECT vec_id, centroid_id, sim FROM p
+         |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1)
+         | SELECT centroid_id, CAST(rn AS BIGINT) AS rank, vec_id, sim FROM
+         |   (SELECT centroid_id, vec_id, sim,
+         |     row_number() OVER (PARTITION BY centroid_id ORDER BY sim DESC, vec_id) AS rn FROM a)
+         | WHERE rn <= 16""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val c = e.filter(col("vec_id") < 8).select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_emb"), VectorFns.norm2(col("embedding")).as("c_nrm"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+      e.select(col("vec_id"), col("embedding"), VectorFns.norm2(col("embedding")).as("e_nrm"))
+        .crossJoin(broadcast(c))
+        .withColumn("sim", VectorFns.dot(col("embedding"), col("c_emb")) / (col("e_nrm") * col("c_nrm")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .groupBy(col("centroid_id"))
+        .agg(graft.functions.TopKAgg.topk(col("sim"), col("vec_id"), 16).as("top"))
+        .select(col("centroid_id"), posexplode(col("top")))
+        .select(col("centroid_id"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.tie").as("vec_id"), col("col.value").as("sim"))
+    },
+
     // ---- embedding near-dup ------------------------------------------
     Q("q_emb_near_dup", Some(
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlCosine("a.embedding", "b.embedding")} AS sim
