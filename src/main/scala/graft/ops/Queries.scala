@@ -504,6 +504,30 @@ object Queries {
       repo.getFullDf
     },
 
+    // ---- snapshot time travel ----------------------------------------
+    // The snapshot-versioned full rewrite (TableRepo.commitNewVersion)
+    // keeps ONE grace version for in-flight readers; getDfAt exposes it
+    // as Delta-style time travel — read the table AS OF the superseded
+    // commit. Two replaceAll calls leave data-v0 (grace) + data-v1
+    // (current); the query reads BOTH and the v0 rows must equal the
+    // pre-rewrite source exactly even though v1 has diverged. Oracle
+    // replays the two logical states straight from the source table.
+    Q("q_time_travel", Some(
+      """SELECT 'v0' AS snap, n_nationkey, n_name, n_regionkey FROM nation
+        | UNION ALL SELECT 'v1' AS snap, n_nationkey, upper(n_name) AS n_name, n_regionkey
+        | FROM nation WHERE n_regionkey < 3""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_time_travel"), s)
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      repo.replaceAll(n)
+      repo.replaceAll(n.filter(col("n_regionkey") < 3)
+        .withColumn("n_name", upper(col("n_name"))))
+      val Seq(grace, current) = repo.snapshotVersions.takeRight(2)
+      repo.getDfAt(grace).withColumn("snap", lit("v0"))
+        .unionByName(repo.getDfAt(current).withColumn("snap", lit("v1")))
+        .select(col("snap"), col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    },
+
     // ---- A8/A2: grouped write + multi-file union scan ----------------
     Q("q_scan_union", Some(
       s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 7"

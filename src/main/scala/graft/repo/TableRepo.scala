@@ -853,6 +853,44 @@ class TableRepo(
       case None                    => readRaw().drop(helperCols: _*)
     }
 
+  /** Committed snapshot versions on disk, oldest first: the current
+    * version plus at most one GRACE version — [[commitNewVersion]] GCs
+    * anything older at the next full rewrite, so retention is one
+    * rewrite cycle, not unbounded history. A pre-versioning plain `data`
+    * dir (append-only repos) has no commit marker and is not listed.
+    */
+  def snapshotVersions: Seq[Int] = committedVersions
+
+  /** Time-travel read: the table AS OF committed snapshot `version`
+    * (Delta-style `VERSION AS OF`, bounded by the one-grace-version
+    * retention above). Same pinned-schema scan and harmonization as
+    * [[getFullDf]], so a caller can diff the current state against the
+    * pre-rewrite snapshot — audit a compact/replaceAll/backfill — without
+    * either read touching the other's files. Grace snapshots are sealed
+    * (full rewrites land in fresh dirs); only the CURRENT version can
+    * carry a crashed pruned-merge's pending deletes, so the exclusion is
+    * applied exactly when `version` resolves to it.
+    */
+  def getDfAt(version: Int): DataFrame = {
+    val vs = committedVersions
+    require(vs.contains(version),
+      s"no committed snapshot data-v$version under $root (on disk: ${vs.mkString(", ")})")
+    val path = s"$root/data-v$version"
+    val rd = pinnedSchema match {
+      case Some(p) => spark.read.schema(p)
+      case None    => spark.read.option("mergeSchema", "true")
+    }
+    val pend = if (path == dataPath) pendingDeleteSet() else Set.empty[String]
+    val base =
+      if (pend.isEmpty) rd.parquet(path)
+      else rd.option("basePath", path)
+        .parquet(listParquetFiles(path).filterNot(pend.contains): _*)
+    pinnedSchema match {
+      case Some(p) => harmonize(base, p)
+      case None    => base.drop(helperCols: _*)
+    }
+  }
+
   /** Partition-restricted read (core.py:184-194). The equality filters hit
     * Catalyst's partition pruning — only matching directories are listed.
     * Filters naming a group column are rewritten onto its keep-mode helper

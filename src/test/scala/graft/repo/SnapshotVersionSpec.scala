@@ -63,6 +63,25 @@ class SnapshotVersionSpec extends SparkSuite {
     assert(repo.getFullDf.head().getString(1) == "c")
   }
 
+  test("time travel reads the grace snapshot; GC bounds the history") {
+    val root = scratch("snap-travel")
+    val repo = new TableRepo(root, spark, keyCols = Seq("id"))
+    repo.extend(Seq((1L, "a")).toDF("id", "v"))
+    assert(repo.snapshotVersions.isEmpty) // legacy append-only dir: no commits
+    assertThrows[IllegalArgumentException](repo.getDfAt(0))
+
+    repo.replaceAll(Seq((1L, "b"), (2L, "b")).toDF("id", "v")) // -> v0
+    repo.replaceAll(Seq((1L, "c")).toDF("id", "v"))            // -> v1, grace v0
+    assert(repo.snapshotVersions == Seq(0, 1))
+    assert(repo.getDfAt(0).orderBy("id").collect().map(_.getString(1)).toSeq == Seq("b", "b"))
+    assert(repo.getDfAt(1).collect().map(_.getString(1)).toSeq == Seq("c"))
+
+    repo.replaceAll(Seq((1L, "d")).toDF("id", "v")) // -> v2, v0 GC'd
+    assert(repo.snapshotVersions == Seq(1, 2))
+    assertThrows[IllegalArgumentException](repo.getDfAt(0))
+    assert(repo.getDfAt(1).collect().map(_.getString(1)).toSeq == Seq("c"))
+  }
+
   test("purge removes every version dir") {
     val root = scratch("snap-purge")
     val repo = new TableRepo(root, spark, keyCols = Seq("id"))
