@@ -528,6 +528,41 @@ object Queries {
         .select(col("snap"), col("n_nationkey"), col("n_name"), col("n_regionkey"))
     },
 
+    // ---- snapshot diff (CDC/audit view of a full rewrite) ------------
+    // TableRepo.snapshotDiff joins the grace and current snapshots on
+    // the table key and emits the CHANGED subset as op + old_/new_ row
+    // images — what an incremental consumer (index refresh, cache
+    // invalidation) replays instead of the whole table. The rewrite
+    // below deletes regions >= 3, rewrites every kept name, and inserts
+    // one synthetic row, so all three op kinds appear; the oracle
+    // replays both logical snapshots from the source table and takes
+    // the same FULL OUTER JOIN.
+    Q("q_snapshot_diff", Some(
+      """WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+        | v1 AS (SELECT n_nationkey, n_name || '-2' AS n_name, n_regionkey FROM nation WHERE n_regionkey < 3
+        |   UNION ALL SELECT n_nationkey + 500, 'ATLANTIS', n_regionkey FROM nation WHERE n_nationkey = 0)
+        | SELECT CASE WHEN v1.n_nationkey IS NULL THEN 'delete'
+        |   WHEN v0.n_nationkey IS NULL THEN 'insert' ELSE 'update' END AS op,
+        |  COALESCE(v0.n_nationkey, v1.n_nationkey) AS n_nationkey,
+        |  v0.n_name AS old_n_name, v1.n_name AS new_n_name,
+        |  v0.n_regionkey AS old_n_regionkey, v1.n_regionkey AS new_n_regionkey
+        | FROM v0 FULL OUTER JOIN v1 ON v0.n_nationkey = v1.n_nationkey
+        | WHERE v0.n_nationkey IS NULL OR v1.n_nationkey IS NULL
+        |   OR v0.n_name <> v1.n_name OR v0.n_regionkey <> v1.n_regionkey""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val repo = new TableRepo(freshRoot("q_snapshot_diff"), s, keyCols = Seq("n_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      repo.replaceAll(n)
+      repo.replaceAll(
+        n.filter(col("n_regionkey") < 3)
+          .withColumn("n_name", concat(col("n_name"), lit("-2")))
+          .unionByName(n.filter(col("n_nationkey") === 0)
+            .select((col("n_nationkey") + 500).as("n_nationkey"),
+              lit("ATLANTIS").as("n_name"), col("n_regionkey"))))
+      val Seq(grace, current) = repo.snapshotVersions.takeRight(2)
+      repo.snapshotDiff(grace, current)
+    },
+
     // ---- A8/A2: grouped write + multi-file union scan ----------------
     Q("q_scan_union", Some(
       s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 7"

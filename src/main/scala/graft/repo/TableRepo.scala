@@ -891,6 +891,35 @@ class TableRepo(
     }
   }
 
+  /** Row-level diff between two committed snapshots — the CDC/audit view
+    * of a full rewrite: what did this replaceAll/compact/backfill actually
+    * change? Keyed on `keyCols`; returns one row per inserted, deleted, or
+    * updated key with `op` + the coalesced key + `old_`/`new_` images of
+    * every non-key column (unchanged keys are dropped, null-safely, so
+    * the output is the changed subset, not the table). One co-partitioned
+    * shuffle join on the table key — the minimum for a keyed diff; both
+    * sides are straight snapshot scans, AQE splits key skew, and the
+    * changed-subset output is what feeds downstream (incremental index
+    * refresh, cache invalidation) instead of a full-table replay.
+    */
+  def snapshotDiff(from: Int, to: Int): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff requires keyCols (the keyed-table contract)")
+    val a = getDfAt(from).withColumn("__a", lit(true))
+    val b = getDfAt(to).withColumn("__b", lit(true))
+    val nonKey = getDfAt(from).columns.filterNot(keyCols.contains).toSeq
+    val joined = a.join(b, keyCols.map(k => a(k) <=> b(k)).reduce(_ && _), "full_outer")
+    val changed = nonKey.map(c => !(a(c) <=> b(c))).reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("op",
+        when(b("__b").isNull, lit("delete"))
+          .when(a("__a").isNull, lit("insert"))
+          .when(changed, lit("update")))
+      .filter(col("op").isNotNull)
+      .select(col("op") +:
+        keyCols.map(k => coalesce(a(k), b(k)).as(k)) ++:
+        nonKey.flatMap(c => Seq(a(c).as(s"old_$c"), b(c).as(s"new_$c"))): _*)
+  }
+
   /** Partition-restricted read (core.py:184-194). The equality filters hit
     * Catalyst's partition pruning — only matching directories are listed.
     * Filters naming a group column are rewritten onto its keep-mode helper

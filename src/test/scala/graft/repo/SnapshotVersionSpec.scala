@@ -82,6 +82,25 @@ class SnapshotVersionSpec extends SparkSuite {
     assert(repo.getDfAt(1).collect().map(_.getString(1)).toSeq == Seq("c"))
   }
 
+  test("snapshotDiff emits only the changed subset, null-safely") {
+    val repo = new TableRepo(scratch("snap-diff"), spark, keyCols = Seq("id"))
+    repo.extend(Seq((1L, "a")).toDF("id", "v"))
+    assertThrows[IllegalArgumentException] { // unkeyed repo contract
+      new TableRepo(scratch("snap-diff2"), spark).snapshotDiff(0, 1)
+    }
+    // v0: unchanged null, changed null->value, value->null, value, delete
+    repo.replaceAll(Seq(
+      (1L, null), (2L, null), (3L, "x"), (4L, "x"), (5L, "gone")
+    ).toDF("id", "v"))
+    repo.replaceAll(Seq(
+      (1L, null), (2L, "now"), (3L, null), (4L, "x"), (6L, "new")
+    ).toDF("id", "v"))
+    val d = repo.snapshotDiff(repo.snapshotVersions.head, repo.snapshotVersions.last)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ids 1 (null==null) and 4 (x==x) are unchanged and must NOT appear
+    assert(d == Seq(("update", 2L), ("update", 3L), ("delete", 5L), ("insert", 6L)))
+  }
+
   test("purge removes every version dir") {
     val root = scratch("snap-purge")
     val repo = new TableRepo(root, spark, keyCols = Seq("id"))
