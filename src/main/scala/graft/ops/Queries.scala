@@ -259,13 +259,16 @@ object Queries {
   }.mkString(", ")
 
   /** SQL fragment: UNION ALL of the per-band (doc_id, band, bh) selects
-    * over a `sig` CTE — generated from the same constants as the Spark
-    * [[lshBands]] so both engines see identical band keys.
+    * over the named signature CTE — generated from the same constants as
+    * the Spark [[lshBands]] so both engines see identical band keys.
     */
-  private lazy val sqlBandSelects: String = TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
-    val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
-    s"SELECT doc_id, $bnd AS band, $bh AS bh FROM sig"
-  }.mkString(" UNION ALL ")
+  private def sqlBandSelectsFrom(src: String): String =
+    TextFns.MinhashBands.zipWithIndex.map { case (idx, bnd) =>
+      val bh = idx.map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $bh AS bh FROM $src"
+    }.mkString(" UNION ALL ")
+
+  private lazy val sqlBandSelects: String = sqlBandSelectsFrom("sig")
 
   /** LSH band rows (doc_id, band, bh) from a signature DataFrame — one
     * posexplode pass (pos == band index) instead of a per-band union.
@@ -1075,6 +1078,66 @@ object Queries {
           inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
         .filter(col("jaccard") >= 0.4)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    },
+
+    // ---- incremental dedup against a persisted LSH index -------------
+    // The continuous-ingestion composition: the corpus's LSH band table
+    // is a persisted TableRepo (built once, appended forever), and each
+    // arriving batch (1) minhashes ONCE, (2) probes the index with its
+    // band keys BROADCAST — the daily increment is tiny next to a 100 TB
+    // index, so the probe is a map-side hash join over the index scan
+    // with no index shuffle — (3) verifies candidates with exact Jaccard
+    // and keeps the earliest corpus duplicate per batch doc, then
+    // (4) extends the index with its own bands so the next batch dedups
+    // against this one too. The batch-side streaming twin of the same
+    // contract is StreamNearDup; here the index OUTLIVES the job. The
+    // index read is checkpointed before step 4 so the emitted verdict is
+    // a consistent pre-extend snapshot. Oracle replays both phases from
+    // the parity split of documents with the shared minhash/band SQL.
+    Q("q_incr_dedup", Some {
+      val hs = sqlMinhashSelects
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         | newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+         | hc AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM (SELECT doc_id, unnest($sqlShingles) AS tok FROM corp WHERE len($sqlToks) >= 3)),
+         | hb AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM (SELECT doc_id, unnest($sqlShingles) AS tok FROM newb WHERE len($sqlToks) >= 3)),
+         | sigc AS (SELECT doc_id, $hs FROM hc GROUP BY doc_id),
+         | sigb AS (SELECT doc_id, $hs FROM hb GROUP BY doc_id),
+         | bc AS (${sqlBandSelectsFrom("sigc")}),
+         | bb AS (${sqlBandSelectsFrom("sigb")}),
+         | cand AS (SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS dup_of
+         |   FROM bb b JOIN bc c ON b.band = c.band AND b.bh = c.bh),
+         | sh AS (SELECT doc_id, list_distinct(list_transform($sqlShingles, g -> ${sqlHash32("g")})) AS sh FROM documents WHERE len($sqlToks) >= 3),
+         | p AS (SELECT cand.batch_doc AS batch_doc, cand.dup_of AS dup_of,
+         |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+         |   FROM cand JOIN sh x ON x.doc_id = cand.batch_doc JOIN sh y ON y.doc_id = cand.dup_of)
+         | SELECT batch_doc, dup_of, jaccard FROM p WHERE jaccard >= 0.4
+         | QUALIFY row_number() OVER (PARTITION BY batch_doc ORDER BY dup_of) = 1""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val index = new TableRepo(freshRoot("q_incr_dedup"), s)
+      index.extend(lshBands(minhashSig(corpus)))
+      val bBands = Ckpt(lshBands(minhashSig(batch)).withColumnRenamed("doc_id", "batch_doc"))
+      val idxBands = Ckpt(index.getFullDf) // consistent pre-extend snapshot
+      val cand = idxBands.join(broadcast(bBands), Seq("band", "bh"))
+        .select(col("batch_doc"), col("doc_id").as("dup_of")).distinct()
+      val sh = Ckpt(docs
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh")))
+      val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
+      val w = Window.partitionBy(col("batch_doc")).orderBy(col("dup_of"))
+      val verdict = cand.join(sh.as("x"), col("x.doc_id") === col("batch_doc"))
+        .join(sh.as("y"), col("y.doc_id") === col("dup_of"))
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
+        .filter(col("jaccard") >= 0.4)
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("batch_doc"), col("dup_of"), col("jaccard"))
+      index.extend(bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")))
+      verdict
     },
 
     // ---- B3: brute-force top-k cosine --------------------------------
