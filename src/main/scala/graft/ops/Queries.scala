@@ -1355,6 +1355,32 @@ object Queries {
         length(col("text")).cast(LongType).as("n_chars_obs"))
     },
 
+    // ---- fixed-token chunking with overlap ---------------------------
+    // Embedding/RAG prep: split every document into 32-token chunks at
+    // stride 16 (50 % overlap), emitting the chunk's start offset, text,
+    // and length. Pure map-side — one scan, sequence+explode+slice, no
+    // shuffle anywhere; fan-out per doc is bounded by n_tokens/stride, so
+    // at 100 TB this is embarrassingly parallel and the chunk table
+    // partitions exactly like its source. The final (shorter) chunks are
+    // kept — the downstream packer (q_pack_sequences) handles padding.
+    Q("q_chunk_docs", Some(
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents WHERE len($sqlToks) >= 1),
+         | st AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 16)) AS s FROM tk)
+         | SELECT doc_id, s AS chunk_start,
+         |  array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text,
+         |  CAST(len(list_slice(toks, s + 1, s + 32)) AS BIGINT) AS n_tokens
+         | FROM st""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(16))).as("s"))
+        .select(col("doc_id"), col("s").cast(LongType).as("chunk_start"),
+          array_join(slice(col("toks"), col("s") + 1, lit(32)), " ").as("chunk_text"),
+          size(slice(col("toks"), col("s") + 1, lit(32))).cast(LongType).as("n_tokens"))
+    },
+
     // ---- language identification -------------------------------------
     Q("q_lang_id", Some {
       s"""WITH sc AS (SELECT doc_id, lang, $sqlLangScores FROM documents)
