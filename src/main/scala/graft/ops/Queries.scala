@@ -1526,6 +1526,34 @@ object Queries {
         TextFns.fingerprintBucket(col("text")).as("fp_bucket"))
     },
 
+    // ---- winnowing fingerprint selection -----------------------------
+    // Winnowing (Schleimer et al. SIGMOD'03 — the MOSS algorithm): hash
+    // every positional 4-gram, then keep the minimum hash of each
+    // 4-hash sliding window. Guarantee: any token run of length
+    // >= w + k - 1 = 7 shared by two documents contributes at least one
+    // common fingerprint, at expected density 2/(w+1) of all grams —
+    // the principled sampling the full q_fingerprint/q_repeated_passages
+    // screens subsample to. Output is the doc's DISTINCT selected hash
+    // VALUES, so the within-window tie-break (positional in the paper)
+    // does not affect the result. Pure map-side: one scan, no shuffle;
+    // matching across docs is a plain equi-join on fp downstream.
+    Q("q_winnow", Some(
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS toks FROM documents WHERE len($sqlToks) >= 7),
+         | g AS (SELECT doc_id, list_transform(range(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS grams FROM tk),
+         | h AS (SELECT doc_id, list_transform(grams, x -> ${sqlHash32("x")}) AS hs FROM g)
+         | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(list_slice(hs, i, i + 3))))) AS fp
+         | FROM h""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 7)
+        .select(col("doc_id"),
+          transform(TextFns.shinglesOf(col("toks"), 4), g => TextFns.hash32(g)).as("hs"))
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("hs")) - 4),
+            i => array_min(slice(col("hs"), i + 1, lit(4)))))).as("fp"))
+    },
+
     // ---- multimodal metadata plumbing --------------------------------
     Q("q_multimodal_meta", Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
