@@ -1246,6 +1246,49 @@ object Queries {
           col("col.tie").as("vec_id"), col("col.value").as("sim"))
     },
 
+    // ---- SemDeDup: within-cluster semantic prune ---------------------
+    // The removal step of SemDeDup (Abbas et al. '23), sharing
+    // q_diverse_sample's assignment frame: assign every embedding to its
+    // nearest centroid (broadcast centroids, Partial-WindowGroupLimit
+    // argmax), then inside each cluster drop every vector that has a
+    // LOWER-id cluster-mate above the cosine threshold — keep-min greedy,
+    // the q_near_dup_purge rule. The 8 pinned centroids are the ORACLE
+    // pin (the EmbDupBits pattern): production SemDeDup scales k with n
+    // (k ∝ n / target occupancy), which bounds per-cluster pair work the
+    // same way srpBitsFor bounds bucket occupancy; when clusters are
+    // still too dense, the SRP screen (q_emb_dup_purge) is the
+    // sub-quadratic alternative over the same verdict.
+    Q("q_semdedup", Some(
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         | p AS (SELECT e.vec_id AS vec_id, c.centroid_id AS centroid_id, ${sqlCosine("e.embedding", "c.c_emb")} AS sim
+         |   FROM embeddings e CROSS JOIN c),
+         | a AS (SELECT vec_id, centroid_id FROM p
+         |   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) = 1),
+         | ae AS (SELECT a.vec_id AS vec_id, a.centroid_id AS centroid_id, e.embedding AS embedding
+         |   FROM a JOIN embeddings e ON e.vec_id = a.vec_id),
+         | dup AS (SELECT DISTINCT y.vec_id AS vec_id FROM ae x JOIN ae y
+         |   ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+         |   WHERE ${sqlCosine("x.embedding", "y.embedding")} >= 0.35)
+         | SELECT vec_id, centroid_id FROM ae WHERE vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val c = e.filter(col("vec_id") < 8).select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_emb"), VectorFns.norm2(col("embedding")).as("c_nrm"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+      val assign = Ckpt(e
+        .select(col("vec_id"), col("embedding"), VectorFns.norm2(col("embedding")).as("nrm"))
+        .crossJoin(broadcast(c))
+        .withColumn("sim", VectorFns.dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("vec_id"), col("centroid_id"), col("embedding"), col("nrm")))
+      val dup = assign.as("x").join(assign.as("y"),
+          col("x.centroid_id") === col("y.centroid_id") && col("x.vec_id") < col("y.vec_id"))
+        .filter(VectorFns.dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")) >= 0.35)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      assign.join(dup, Seq("vec_id"), "left_anti").select(col("vec_id"), col("centroid_id"))
+    },
+
     // ---- embedding near-dup ------------------------------------------
     Q("q_emb_near_dup", Some(
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${sqlCosine("a.embedding", "b.embedding")} AS sim
