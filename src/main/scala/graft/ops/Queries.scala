@@ -278,6 +278,43 @@ object Queries {
       TextFns.MinhashBands.map(idx =>
         concat_ws("_", idx.map(i => col(s"mh$i")): _*)): _*)).as(Seq("band", "bh")))
 
+  /** Seed an incremental-dedup band index with a corpus (doc_id, text). */
+  private[graft] def incrDedupSeed(index: TableRepo, corpus: DataFrame): Unit =
+    index.extend(lshBands(minhashSig(corpus)))
+
+  /** One round of incremental dedup (the q_incr_dedup engine): probe the
+    * persisted band `index` with the batch's bands BROADCAST, verify
+    * candidates with exact Jaccard (shingle sets drawn from `shingleSrc`,
+    * which must cover both the batch and every indexed doc), keep the
+    * earliest verified duplicate per batch doc, then EXTEND the index
+    * with the batch's bands so the next round dedups against this batch
+    * too. The index read is checkpointed before the extend, so the
+    * emitted verdict is a consistent pre-extend snapshot.
+    */
+  private[graft] def incrDedupRound(index: TableRepo, batch: DataFrame,
+      shingleSrc: DataFrame): DataFrame = {
+    val bBands = Ckpt(lshBands(minhashSig(batch)).withColumnRenamed("doc_id", "batch_doc"))
+    val idxBands = Ckpt(index.getFullDf)
+    val cand = idxBands.join(broadcast(bBands), Seq("band", "bh"))
+      .select(col("batch_doc"), col("doc_id").as("dup_of")).distinct()
+    val sh = Ckpt(shingleSrc
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh")))
+    val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
+    val w = Window.partitionBy(col("batch_doc")).orderBy(col("dup_of"))
+    val verdict = cand.join(sh.as("x"), col("x.doc_id") === col("batch_doc"))
+      .join(sh.as("y"), col("y.doc_id") === col("dup_of"))
+      .withColumn("jaccard",
+        inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
+      .filter(col("jaccard") >= 0.4)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("batch_doc"), col("dup_of"), col("jaccard"))
+    index.extend(bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")))
+    verdict
+  }
+
   // ---------------------------------------------------------- inventory
 
   private lazy val registry: Seq[Q] = Seq(
@@ -1114,30 +1151,9 @@ object Queries {
          | QUALIFY row_number() OVER (PARTITION BY batch_doc ORDER BY dup_of) = 1""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
       val docs = t(s, d, "documents")
-      val corpus = docs.filter(col("doc_id") % 2 === 0)
-      val batch = docs.filter(col("doc_id") % 2 === 1)
       val index = new TableRepo(freshRoot("q_incr_dedup"), s)
-      index.extend(lshBands(minhashSig(corpus)))
-      val bBands = Ckpt(lshBands(minhashSig(batch)).withColumnRenamed("doc_id", "batch_doc"))
-      val idxBands = Ckpt(index.getFullDf) // consistent pre-extend snapshot
-      val cand = idxBands.join(broadcast(bBands), Seq("band", "bh"))
-        .select(col("batch_doc"), col("doc_id").as("dup_of")).distinct()
-      val sh = Ckpt(docs
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"),
-          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh")))
-      val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
-      val w = Window.partitionBy(col("batch_doc")).orderBy(col("dup_of"))
-      val verdict = cand.join(sh.as("x"), col("x.doc_id") === col("batch_doc"))
-        .join(sh.as("y"), col("y.doc_id") === col("dup_of"))
-        .withColumn("jaccard",
-          inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
-        .filter(col("jaccard") >= 0.4)
-        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("batch_doc"), col("dup_of"), col("jaccard"))
-      index.extend(bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")))
-      verdict
+      incrDedupSeed(index, docs.filter(col("doc_id") % 2 === 0))
+      incrDedupRound(index, docs.filter(col("doc_id") % 2 === 1), docs)
     },
 
     // ---- B3: brute-force top-k cosine --------------------------------
