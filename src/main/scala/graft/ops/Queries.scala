@@ -315,6 +315,38 @@ object Queries {
     verdict
   }
 
+  /** Seed an incremental EXACT-dedup fingerprint index with a corpus. */
+  private[graft] def incrExactSeed(index: TableRepo, corpus: DataFrame): Unit =
+    index.extend(corpus.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
+
+  /** One round of incremental exact dedup (the q_incr_dedup_exact engine):
+    * fingerprint the batch ONCE, probe the persisted index with the batch
+    * BROADCAST (the index side never shuffles), find batch-internal
+    * duplicates with a first-occurrence min window over the small batch
+    * only, keep the EARLIEST duplicate source per doc across both
+    * candidate sets, then extend the index with the batch's SURVIVORS so
+    * the next round dedups against this batch too. The index read is
+    * checkpointed before the extend — the verdict is a consistent
+    * pre-extend snapshot.
+    */
+  private[graft] def incrExactRound(index: TableRepo, batchDocs: DataFrame): DataFrame = {
+    val batch = Ckpt(batchDocs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
+    val idx = Ckpt(index.getFullDf)
+    val fromIndex = idx
+      .join(broadcast(batch.select(col("doc_id").as("batch_doc"), col("fp"))), Seq("fp"))
+      .select(col("batch_doc"), col("doc_id").as("cand"), lit("index").as("origin"))
+    val fromBatch = batch
+      .withColumn("bmin", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") > col("bmin"))
+      .select(col("doc_id").as("batch_doc"), col("bmin").as("cand"), lit("batch").as("origin"))
+    val verdict = fromIndex.union(fromBatch)
+      .groupBy(col("batch_doc"))
+      .agg(min(col("cand")).as("dup_of"), min_by(col("origin"), col("cand")).as("origin"))
+    index.extend(batch
+      .join(verdict.select(col("batch_doc").as("doc_id")), Seq("doc_id"), "left_anti"))
+    verdict
+  }
+
   // ---------------------------------------------------------- inventory
 
   private lazy val registry: Seq[Q] = Seq(
@@ -2992,6 +3024,74 @@ object Queries {
           year(col("o_orderdate")).cast(LongType).as("yr"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("revenue"))
+    },
+
+    // ---- incremental EXACT dedup against a persisted fingerprint index
+    // The exact twin of q_incr_dedup and the commonest continuous-
+    // ingestion op: a persisted (doc_id, fp) content-hash repo outlives
+    // every job; each arriving batch fingerprints ONCE, finds exact-
+    // content duplicates against (1) the index — batch side BROADCAST,
+    // so the 100 TB index side never shuffles — and (2) itself (first-
+    // occurrence-wins min window over the small batch only), keeps the
+    // EARLIEST duplicate source per doc (min / min_by over the union of
+    // candidates), then extends the index with the batch's SURVIVORS so
+    // the next batch dedups against this one too. The index read is
+    // checkpointed before the extend, so the emitted verdict is a
+    // consistent pre-extend snapshot. The batch plants deterministic
+    // duplicates — a re-crawl slice of the corpus and an echo slice of
+    // itself under fresh ingest ids — so the verdict is non-trivial at
+    // every SF and the oracle can replay the identical construction.
+    Q("q_incr_dedup_exact", Some {
+      val norm = "md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' '))"
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |   UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+         |   UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 8 = 1),
+         | fi AS (SELECT doc_id, $norm AS fp FROM corp),
+         | fb AS (SELECT doc_id, $norm AS fp FROM batch),
+         | fbm AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS bmin FROM fb),
+         | cand AS (
+         |   SELECT b.doc_id AS batch_doc, i.doc_id AS cand, 'index' AS origin
+         |     FROM fb b JOIN fi i ON b.fp = i.fp
+         |   UNION ALL
+         |   SELECT doc_id, bmin, 'batch' FROM fbm WHERE doc_id > bmin)
+         | SELECT batch_doc, min(cand) AS dup_of, min_by(origin, cand) AS origin
+         | FROM cand GROUP BY batch_doc""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val index = new TableRepo(freshRoot("q_incr_dedup_exact"), s)
+      incrExactSeed(index, docs.filter(col("doc_id") % 2 === 0))
+      incrExactRound(index, docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"))))
+    },
+
+    // ---- Z-order clustered layout + 2-D box pruning -------------------
+    // The lakehouse data-skipping lever (Delta OPTIMIZE ZORDER BY,
+    // Iceberg sort orders): rows are written sorted by the Morton
+    // interleave of (user_id, v_bin), so every rolled file covers a
+    // compact 2-D bounding box and the parquet footer min/max on EITHER
+    // column is selective. The box predicate then prunes at file, row-
+    // group, and page granularity before a data page of a non-matching
+    // region is read; ZOrderPruneSpec asserts the footer boxes really do
+    // exclude most files — and that a lexicographic layout cannot skip
+    // on the trailing dimension. The oracle checks the read path end to
+    // end: clustering must never change query results.
+    Q("q_zorder_prune", Some(
+      """SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v_bin, event_type
+        | FROM events
+        | WHERE user_id BETWEEN 40 AND 80 AND CAST(floor(value) AS BIGINT) BETWEEN 50 AND 150""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        floor(col("value")).cast(LongType).as("v_bin"), col("event_type"))
+      val repo = new TableRepo(freshRoot("q_zorder_prune"), s,
+        maxRecordsPerFile = 2500, zOrderCols = Seq("user_id", "v_bin"))
+      repo.extend(ev)
+      repo.getFullDf
+        .filter(col("user_id").between(40, 80) && col("v_bin").between(50, 150))
+        .select(col("event_id"), col("user_id"), col("v_bin"), col("event_type"))
     }
   )
 
