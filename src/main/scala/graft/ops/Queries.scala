@@ -3082,7 +3082,7 @@ object Queries {
     Q("q_zorder_prune", Some(
       """SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS v_bin, event_type
         | FROM events
-        | WHERE user_id BETWEEN 40 AND 80 AND CAST(floor(value) AS BIGINT) BETWEEN 50 AND 150""".stripMargin.replaceAll("\n", "")
+        | WHERE user_id BETWEEN 3 AND 9 AND CAST(floor(value) AS BIGINT) BETWEEN 20 AND 200""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
         floor(col("value")).cast(LongType).as("v_bin"), col("event_type"))
@@ -3090,7 +3090,7 @@ object Queries {
         maxRecordsPerFile = 2500, zOrderCols = Seq("user_id", "v_bin"))
       repo.extend(ev)
       repo.getFullDf
-        .filter(col("user_id").between(40, 80) && col("v_bin").between(50, 150))
+        .filter(col("user_id").between(3, 9) && col("v_bin").between(20, 200))
         .select(col("event_id"), col("user_id"), col("v_bin"), col("event_type"))
     }
   )
