@@ -331,7 +331,25 @@ object Queries {
     */
   private[graft] def incrExactRound(index: TableRepo, batchDocs: DataFrame): DataFrame = {
     val batch = Ckpt(batchDocs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
-    val idx = Ckpt(index.getFullDf)
+    incrExactMerge(index, batch, Ckpt(index.getFullDf))
+  }
+
+  /** incrExactRound with a footer-PRUNED index probe: the persisted index
+    * is CLUSTERED by fingerprint, so every index file covers a narrow fp
+    * range and [[TableRepo.readWhereIn]] scans only the files whose range
+    * intersects the batch's fingerprints — the probe's scan cost follows
+    * the BATCH size, not the index size (the full-scan round reads the
+    * whole index every time, which a 100 TB index cannot afford). Verdict
+    * semantics are identical (the oracle replays the same SQL); only the
+    * scanned byte count changes. `PrunedReadSpec` asserts the file-subset
+    * property itself.
+    */
+  private[graft] def incrExactRoundPruned(index: TableRepo, batchDocs: DataFrame): DataFrame = {
+    val batch = Ckpt(batchDocs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
+    incrExactMerge(index, batch, Ckpt(index.readWhereIn(batch.select(col("fp")), "fp")))
+  }
+
+  private def incrExactMerge(index: TableRepo, batch: DataFrame, idx: DataFrame): DataFrame = {
     val fromIndex = idx
       .join(broadcast(batch.select(col("doc_id").as("batch_doc"), col("fp"))), Seq("fp"))
       .select(col("batch_doc"), col("doc_id").as("cand"), lit("index").as("origin"))
@@ -3065,6 +3083,42 @@ object Queries {
         .union(docs.filter(col("doc_id") % 4 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
         .union(docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"))))
+    },
+
+    // ---- B1/A9: incremental exact dedup, footer-pruned probe ----------
+    // Same verdict semantics as q_incr_dedup_exact, but the persisted
+    // index is CLUSTERED by fingerprint and the probe goes through
+    // readWhereIn — only index files whose footer fp-range intersects
+    // the batch's fingerprints are scanned, so at a 100 TB index the
+    // probe reads O(batch) files, not O(index). The oracle replays the
+    // identical dedup SQL: pruning must never change the verdict.
+    Q("q_incr_dedup_pruned", Some {
+      val norm = "md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' '))"
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+         | batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+         |   UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+         |   UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 1),
+         | fi AS (SELECT doc_id, $norm AS fp FROM corp),
+         | fb AS (SELECT doc_id, $norm AS fp FROM batch),
+         | fbm AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS bmin FROM fb),
+         | cand AS (
+         |   SELECT b.doc_id AS batch_doc, i.doc_id AS cand, 'index' AS origin
+         |     FROM fb b JOIN fi i ON b.fp = i.fp
+         |   UNION ALL
+         |   SELECT doc_id, bmin, 'batch' FROM fbm WHERE doc_id > bmin)
+         | SELECT batch_doc, min(cand) AS dup_of, min_by(origin, cand) AS origin
+         | FROM cand GROUP BY batch_doc""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val index = new TableRepo(freshRoot("q_incr_dedup_pruned"), s,
+        maxRecordsPerFile = 2000, clusterCols = Seq("fp"))
+      incrExactSeed(index, docs.filter(col("doc_id") % 3 === 0))
+      incrExactRoundPruned(index, docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .union(docs.filter(col("doc_id") % 9 === 1)
           .select((col("doc_id") + 2000000).as("doc_id"), col("text"))))
     },
 

@@ -762,6 +762,56 @@ class TableRepo(
         spark.read.option("basePath", dataPath).parquet(files: _*).drop(helperCols: _*)
     }
 
+  /** Files whose footer [min,max] box on `column` can hold at least one
+    * value of `needles` — the read-side twin of the pruned upsert's
+    * affected-file computation: one distributed footer job over the file
+    * list, needle boxes broadcast, the collected result bounded by file
+    * count. Files without usable stats are always candidates (pruning
+    * correctness never depends on stats presence); NaN needles disable
+    * pruning for the same reason the pruned upsert does — NaN satisfies
+    * no range predicate.
+    */
+  private[repo] def prunedFilesFor(needles: DataFrame, column: String): Seq[String] = {
+    val dt = needles.schema(column).dataType
+    require(Seq(IntegerType, LongType, FloatType, DoubleType, StringType).contains(dt),
+      s"footer pruning supports int/long/float/double/string, got $dt for $column")
+    val all = paths
+    if (all.isEmpty) return Nil
+    val nanNeedles = Seq(FloatType, DoubleType).contains(dt) &&
+      needles.filter(isnan(col(column))).limit(1).count() > 0
+    if (nanNeedles) return all
+    val ranges = FileStats.columnRanges(spark, all, column)
+    val statless = ranges.collect { case (p, None) => p }
+    val rangeRows = new java.util.ArrayList[Row]()
+    ranges.foreach { case (p, r) => r.foreach { case (lo, hi) => rangeRows.add(Row(p, lo, hi)) } }
+    val rangesDf = spark.createDataFrame(rangeRows,
+      StructType(Seq(StructField("__graft_file__", StringType),
+        StructField("__graft_min__", dt), StructField("__graft_max__", dt))))
+    needles.select(col(column)).distinct()
+      .join(broadcast(rangesDf),
+        col(column) >= col("__graft_min__") && col(column) <= col("__graft_max__"))
+      .select(col("__graft_file__")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq ++ statless
+  }
+
+  /** Footer-pruned point-lookup read: rows whose `column` value appears
+    * in `needles`, scanning ONLY the files whose footer range intersects
+    * the needle set. On a repo CLUSTERED by `column` (`clusterCols`/
+    * `zOrderCols` keep every file's range narrow) a small needle set
+    * touches a small file subset — the bare-Parquet equivalent of an
+    * Iceberg/Delta data-skipping point lookup, and the scale path for
+    * probing a large persisted index with a small batch: the probe cost
+    * follows the BATCH size, not the index size. On an unclustered repo
+    * it degrades gracefully to the full-scan join (every file's range is
+    * wide — correctness is identical, only the skip rate changes).
+    */
+  def readWhereIn(needles: DataFrame, column: String): DataFrame = {
+    val files = prunedFilesFor(needles, column)
+    if (files.isEmpty) getFullDf.limit(0)
+    else readFilesScoped(files)
+      .join(needles.select(col(column)).distinct(), Seq(column), "left_semi")
+  }
+
   /** Unlink all data and the schema sentinel (core.py:162-167). Removes
     * every snapshot version (committed or not), not just the current one.
     */
@@ -1017,6 +1067,154 @@ class TableRepo(
     if (pend.nonEmpty) {
       pend.foreach(f => fs.delete(new Path(f), false))
       fs.delete(pendingDeletePath, false): Unit
+    }
+  }
+
+  // ------------------------------------------ exactly-once append ledger
+  //
+  // foreachBatch sinks are AT-LEAST-ONCE by default: a crash between a
+  // micro-batch's data write and the streaming checkpoint commit replays
+  // the batch, and a plain `extend` lands it twice. `extendExactlyOnce`
+  // closes the window with a per-(writer, batch) commit protocol built
+  // from the same primitives as the snapshot versions and the
+  // pending-delete manifest:
+  //   1. the harmonized batch is STAGED under `_graft_staging/<w>-<b>`
+  //      in overwrite mode (a half-staged predecessor is clobbered;
+  //      underscore-prefixed dirs are invisible to every reader);
+  //   2. a MANIFEST (`_graft_ledger/<w>/<b>.pending`) pins the staged
+  //      file names and the target version dir — from here on the
+  //      batch's bytes are frozen and a replay never re-runs the job
+  //      (re-execution could shuffle rows into differently-named files,
+  //      which is exactly how replayed appends duplicate);
+  //   3. each staged file is RENAMED into the target — atomic per file,
+  //      and the names carry the staging job's uuid, so they collide
+  //      with nothing;
+  //   4. a COMMIT marker (`_graft_ledger/<w>/<b>`) makes future replays
+  //      no-ops; staging leftovers are dropped and markers more than
+  //      `LedgerKeep` batches behind are pruned (the streaming engine
+  //      only ever replays batches since its last checkpoint).
+  // Recovery is FORWARD: a replay that finds the manifest skips staging
+  // and re-runs the renames (an already-moved file is simply absent from
+  // staging — a no-op). If a concurrent full rewrite superseded the
+  // pinned target during the crash window, the already-renamed files
+  // still exist in the superseded GRACE version dir and are first moved
+  // back into staging, then renamed into the current target — so recovery
+  // shares the snapshot contract's bound: it must run within ONE full
+  // rewrite cycle (the grace dir is GC'd at the next commit), which a
+  // restarting streaming query does by construction. Readers during a
+  // crash window may observe a PREFIX of the batch (renames are
+  // per-file); recovery always resolves to exactly-once, never twice.
+
+  private val LedgerKeep = 1000L
+
+  private def ledgerDir(writerId: String): Path = {
+    require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\\'),
+      s"writerId must be a plain name: '$writerId'")
+    new Path(s"$root/_graft_ledger/$writerId")
+  }
+
+  private def batchStaging(writerId: String, batchId: Long): String =
+    s"$root/_graft_staging/$writerId-$batchId"
+
+  /** Has `batchId` from `writerId` been durably committed? */
+  def isBatchCommitted(writerId: String, batchId: Long): Boolean =
+    fs.exists(new Path(ledgerDir(writerId), batchId.toString))
+
+  /** Steps 1–2 of the protocol: stage the batch and pin its manifest.
+    * Package-visible so crash-window states are constructible in specs.
+    */
+  private[repo] def stageBatchOnly(df: DataFrame, writerId: String, batchId: Long): Unit = {
+    val staging = batchStaging(writerId, batchId)
+    val schema = resolveSchema(df)
+    val data = clustered(routeToBuckets(withLayout(harmonize(df, schema))))
+    configuredWriter(data, "overwrite").parquet(staging)
+    val stQual = fs.makeQualified(new Path(staging)).toString
+    val rels = listParquetFiles(staging).map { abs =>
+      require(abs.startsWith(stQual + "/"), s"staged file $abs outside $stQual")
+      abs.stripPrefix(stQual + "/")
+    }
+    writeBatchManifest(writerId, batchId, dataPath, rels)
+  }
+
+  private def manifestPath(writerId: String, batchId: Long): Path =
+    new Path(ledgerDir(writerId), s"$batchId.pending")
+
+  private def writeBatchManifest(writerId: String, batchId: Long,
+      target: String, rels: Seq[String]): Unit = {
+    val out = fs.create(manifestPath(writerId, batchId), true)
+    out.write((target +: rels).mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readBatchManifest(writerId: String, batchId: Long): (String, Seq[String]) = {
+    val in = fs.open(manifestPath(writerId, batchId))
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    val lines = new String(bytes, "UTF-8").split("\n", -1).toSeq
+    (lines.head, lines.tail.filter(_.nonEmpty))
+  }
+
+  /** Idempotent append for replayable micro-batch writers: lands `df`
+    * exactly once per (writerId, batchId) across arbitrary crash/replay
+    * cycles (protocol above). Returns false when the batch was already
+    * committed — the replayed `df` is then IGNORED by contract, matching
+    * foreachBatch's replay semantics (same batchId ⇒ same data).
+    * The keyed-upsert sink path needs none of this: `replaceRecords` is
+    * replay-idempotent by construction (same keys replace again).
+    */
+  def extendExactlyOnce(df: DataFrame, writerId: String, batchId: Long): Boolean = withWriteLock {
+    replayPendingDeletes()
+    val marker = new Path(ledgerDir(writerId), batchId.toString)
+    val staging = batchStaging(writerId, batchId)
+    if (fs.exists(marker)) {
+      fs.delete(new Path(staging), true) // leftover of a crashed duplicate attempt
+      false
+    } else {
+      if (!fs.exists(manifestPath(writerId, batchId))) stageBatchOnly(df, writerId, batchId)
+      val (pinned, rels) = readBatchManifest(writerId, batchId)
+      val target = dataPath
+      if (target != pinned) {
+        // the crashed attempt's landed files live in the (now grace)
+        // superseded version dir — pull them back into staging first
+        rels.foreach { rel =>
+          val old = new Path(s"$pinned/$rel")
+          val st = new Path(s"$staging/$rel")
+          if (!fs.exists(st) && fs.exists(old)) {
+            fs.mkdirs(st.getParent)
+            if (!fs.rename(old, st))
+              throw new java.io.IOException(s"failed to recover $old into staging")
+          }
+        }
+        writeBatchManifest(writerId, batchId, target, rels)
+      }
+      rels.foreach { rel =>
+        val st = new Path(s"$staging/$rel")
+        if (fs.exists(st)) {
+          val dst = new Path(s"$target/$rel")
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(st, dst))
+            throw new java.io.IOException(s"failed to commit staged file $st to $dst")
+        }
+      }
+      // fail BEFORE the marker if a concurrent external rewrite superseded
+      // the target mid-flight: the manifest stays pinned to the grace dir,
+      // so the retry's move-back loop recovers every landed file
+      checkVersionStable(target, "exactly-once append")
+      fs.create(marker, true).close()
+      fs.delete(manifestPath(writerId, batchId), false)
+      fs.delete(new Path(staging), true)
+      Option(fs.listStatus(ledgerDir(writerId))).getOrElse(Array.empty)
+        .filter { s =>
+          val n = s.getPath.getName
+          n.forall(_.isDigit) && n.toLong < batchId - LedgerKeep
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+      true
     }
   }
 
