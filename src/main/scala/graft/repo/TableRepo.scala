@@ -59,8 +59,10 @@ class TableRepo(
     val hashBucket: Option[HashBucketLayout] = None,
     val keepGroupCols: Boolean = false,
     val clusterCols: Seq[String] = Nil,
-    val zOrderCols: Seq[String] = Nil
+    val zOrderCols: Seq[String] = Nil,
+    val snapshotRetention: Int = 1
 ) {
+  require(snapshotRetention >= 1, "snapshotRetention keeps at least the one grace version")
   require(zOrderCols.isEmpty || zOrderCols.length == 2,
     "zOrderCols interleaves exactly two numeric columns")
   require(zOrderCols.isEmpty || clusterCols.isEmpty,
@@ -254,11 +256,41 @@ class TableRepo(
         s"full rewrite committed as data-v$next is already superseded by " +
           s"data-v$winner (highest-claimed version wins)")
     }
-    prior.dropRight(1).foreach { v =>
-      fs.delete(new Path(s"$root/data-v$v"), true)
-      fs.delete(new Path(s"$root/_graft_claim-v$v"), false)
+    // GC: keep the newest `snapshotRetention` superseded snapshots (the
+    // grace versions time travel can reach); the legacy plain `data` dir
+    // acts as the oldest link of the chain (version -1)
+    dropOldSnapshots(prior, snapshotRetention)
+  }
+
+  /** Delete every superseded snapshot older than the newest `keep` of
+    * `priorVersions` (the plain `data` dir counted as the oldest).
+    */
+  private def dropOldSnapshots(priorVersions: Seq[Int], keep: Int): Unit = {
+    val chain: Seq[Int] =
+      (if (fs.exists(new Path(s"$root/data"))) Seq(-1) else Nil) ++ priorVersions
+    chain.dropRight(keep).foreach { v =>
+      if (v == -1) fs.delete(new Path(s"$root/data"), true)
+      else {
+        fs.delete(new Path(s"$root/data-v$v"), true)
+        fs.delete(new Path(s"$root/_graft_claim-v$v"), false)
+      }
     }
-    if (prior.nonEmpty) fs.delete(new Path(s"$root/data"), true): Unit
+  }
+
+  /** Trim time-travel history NOW: drop all but the newest `keepLast`
+    * snapshots (current included in the count — the current version is
+    * never deleted). The lakehouse VACUUM verb: reclaims superseded
+    * version dirs that a `snapshotRetention` > 1 repo accumulates,
+    * without waiting for the next full rewrite's GC. Readers planned
+    * against the current version are untouched; time-travel reads of the
+    * dropped versions fail loudly at `getDfAt`'s existence check.
+    */
+  def vacuum(keepLast: Int = 1): Unit = withWriteLock {
+    require(keepLast >= 1, "vacuum keeps at least the current snapshot")
+    // the chain passed down ends with the CURRENT version (or the plain
+    // `data` dir when nothing is versioned), so keepLast >= 1 always
+    // preserves the live table
+    dropOldSnapshots(committedVersions, keepLast)
   }
 
   private def dataPath: String =
@@ -912,8 +944,9 @@ class TableRepo(
   def snapshotVersions: Seq[Int] = committedVersions
 
   /** Time-travel read: the table AS OF committed snapshot `version`
-    * (Delta-style `VERSION AS OF`, bounded by the one-grace-version
-    * retention above). Same pinned-schema scan and harmonization as
+    * (Delta-style `VERSION AS OF`, bounded by the retention above —
+    * `snapshotRetention` grace versions, default 1, trimmable early via
+    * [[vacuum]]). Same pinned-schema scan and harmonization as
     * [[getFullDf]], so a caller can diff the current state against the
     * pre-rewrite snapshot — audit a compact/replaceAll/backfill — without
     * either read touching the other's files. Grace snapshots are sealed
