@@ -803,7 +803,7 @@ class TableRepo(
     * pruning for the same reason the pruned upsert does — NaN satisfies
     * no range predicate.
     */
-  private[repo] def prunedFilesFor(needles: DataFrame, column: String): Seq[String] = {
+  def prunedFilesFor(needles: DataFrame, column: String): Seq[String] = {
     val dt = needles.schema(column).dataType
     require(Seq(IntegerType, LongType, FloatType, DoubleType, StringType).contains(dt),
       s"footer pruning supports int/long/float/double/string, got $dt for $column")
