@@ -350,6 +350,15 @@ object Queries {
   }
 
   private def incrExactMerge(index: TableRepo, batch: DataFrame, idx: DataFrame): DataFrame = {
+    val verdict = incrExactVerdict(batch, idx)
+    index.extend(incrSurvivors(batch, verdict))
+    verdict
+  }
+
+  /** Verdict only — no index write (the merge rounds and the streaming
+    * driver share this; the write discipline differs between them).
+    */
+  private def incrExactVerdict(batch: DataFrame, idx: DataFrame): DataFrame = {
     val fromIndex = idx
       .join(broadcast(batch.select(col("doc_id").as("batch_doc"), col("fp"))), Seq("fp"))
       .select(col("batch_doc"), col("doc_id").as("cand"), lit("index").as("origin"))
@@ -357,12 +366,29 @@ object Queries {
       .withColumn("bmin", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
       .filter(col("doc_id") > col("bmin"))
       .select(col("doc_id").as("batch_doc"), col("bmin").as("cand"), lit("batch").as("origin"))
-    val verdict = fromIndex.union(fromBatch)
+    fromIndex.union(fromBatch)
       .groupBy(col("batch_doc"))
       .agg(min(col("cand")).as("dup_of"), min_by(col("origin"), col("cand")).as("origin"))
-    index.extend(batch
-      .join(verdict.select(col("batch_doc").as("doc_id")), Seq("doc_id"), "left_anti"))
-    verdict
+  }
+
+  private def incrSurvivors(batch: DataFrame, verdict: DataFrame): DataFrame =
+    batch.join(verdict.select(col("batch_doc").as("doc_id")), Seq("doc_id"), "left_anti")
+
+  /** The streaming micro-batch building block ([[graft.streaming.StreamIncrDedup]]):
+    * verdict + survivors against the PRE-batch index snapshot, both
+    * checkpointed so a replay recomputes identical frames; the CALLER
+    * owns the writes (ledgered, ordered). `pruned` selects the
+    * footer-pruned probe.
+    */
+  def incrExactVerdictAndSurvivors(index: TableRepo, batchDocs: DataFrame,
+      pruned: Boolean): (DataFrame, DataFrame) = {
+    val batch = Ckpt(batchDocs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
+    val idx = Ckpt(
+      if (!index.exists) batch.limit(0) // unseeded index: first batch bootstraps it
+      else if (pruned) index.readWhereIn(batch.select(col("fp")), "fp")
+      else index.getFullDf)
+    val verdict = Ckpt(incrExactVerdict(batch, idx))
+    (verdict, incrSurvivors(batch, verdict))
   }
 
   // ---------------------------------------------------------- inventory

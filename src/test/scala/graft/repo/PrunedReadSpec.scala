@@ -53,6 +53,29 @@ class PrunedReadSpec extends SparkSuite {
       repo.getFullDf.filter(col("k").isin(1L, 4999L)).orderBy("k"))
   }
 
+  test("overlapping extents degrade pruning; compact restores one-file-per-range") {
+    import spark.implicits._
+    val repo = new TableRepo(scratch("pruned-read-compact"), spark,
+      maxRecordsPerFile = 500, clusterCols = Seq("k"))
+    // five appends over the SAME key domain: each extend range-partitions
+    // only its own batch, so file ranges overlap across extends and a
+    // point needle hits ~one file PER EXTEND
+    (0 until 5).foreach { i =>
+      repo.extend((0 until 2000).map(j => (j.toLong, s"e$i-$j")).toDF("k", "v"))
+    }
+    val needles = Seq(7L).toDF("k")
+    val before = repo.prunedFilesFor(needles, "k").size
+    assert(before >= 4, s"overlapping extents should multiply touched files, got $before")
+    // compaction preserves the clustering contract: one global range sort
+    // restores narrow disjoint boxes — the INDEX MAINTENANCE story for a
+    // long-lived incremental-dedup index
+    repo.compact(500)
+    val after = repo.prunedFilesFor(needles, "k").size
+    assert(after <= 2, s"compacted clustered index must localize a point needle, got $after")
+    assert(repo.readWhereIn(needles, "k").count() == 5)
+    assert(repo.count() == 10000)
+  }
+
   test("NaN needles disable pruning rather than miss rows") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (2L, Double.NaN), (3L, 9.5)).toDF("id", "x")

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+import graft.ops.Queries
+import graft.repo.TableRepo
+
+/** Restart-safe streaming dedup against a persisted index: micro-batches
+  * dedup against everything ever ingested, and every crash/replay window
+  * resolves to exactly-once on BOTH repos (verdicts and index) through
+  * the commit-ledger composition documented on [[StreamIncrDedup]].
+  */
+class StreamIncrDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("micro-batches dedup against the durable index; a replayed batch is a no-op") {
+    val index = new TableRepo(scratch("sid-index"), spark)
+    val verdicts = new TableRepo(scratch("sid-verdicts"), spark)
+    val b0 = docs((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
+    val v0 = StreamIncrDedup.processBatch(b0, index, verdicts, "w", 0L)
+    assert(v0.count() == 0, "first batch has no duplicates")
+    assert(index.count() == 3)
+    val b1 = docs((6L, "bravo"), (7L, "delta"), (8L, "delta"))
+    val v1 = StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L)
+    val got = v1.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((6L, 2L, "index"), (8L, 7L, "batch")), s"got $got")
+    assert(index.count() == 4, "only the one survivor (7) extends the index")
+    assert(verdicts.count() == 2)
+    // crash AFTER both commits, before the checkpoint: full replay
+    val replay = StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L)
+    assert(replay.count() == 0)
+    assert(index.count() == 4 && verdicts.count() == 2, "replay must change nothing")
+  }
+
+  test("crash between the verdict commit and the index extend resolves exactly-once") {
+    val index = new TableRepo(scratch("sid-crash-index"), spark)
+    val verdicts = new TableRepo(scratch("sid-crash-verdicts"), spark)
+    StreamIncrDedup.processBatch(docs((1L, "alpha"), (2L, "bravo")), index, verdicts, "w", 0L)
+    // crashed attempt of batch 1: step 1 (verdict commit) landed, step 2
+    // (index extend) did not
+    val b1 = docs((5L, "alpha"), (6L, "echo"))
+    val (v, _) = Queries.incrExactVerdictAndSurvivors(index, b1, pruned = false)
+    verdicts.extendExactlyOnce(v, "w-verdicts", 1L)
+    assert(verdicts.count() == 1 && index.count() == 2)
+    // replay through the real code path: verdict write no-ops on its
+    // ledger, the index extend completes
+    val replay = StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L)
+    assert(replay.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 1L)))
+    assert(verdicts.count() == 1, "verdict must not double-land")
+    assert(index.count() == 3, "survivor 6 must extend the index exactly once")
+    // and a SECOND full replay after completion is inert
+    assert(StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L).count() == 0)
+    assert(verdicts.count() == 1 && index.count() == 3)
+  }
+
+  test("end-to-end stream with the pruned probe matches the batch rounds on one shared index") {
+    val index = new TableRepo(scratch("sid-e2e-index"), spark,
+      maxRecordsPerFile = 2, clusterCols = Seq("fp"))
+    val verdicts = new TableRepo(scratch("sid-e2e-verdicts"), spark)
+    val srcDir = scratch("sid-e2e-src")
+    docs((1L, "alpha"), (2L, "bravo"), (3L, "alpha"), (4L, "foxtrot"))
+      .coalesce(1).write.json(srcDir)
+    val stream = spark.readStream.schema(docs((0L, "x")).schema).json(srcDir)
+    val q = StreamIncrDedup.start(stream, index, verdicts, scratch("sid-e2e-ckpt"),
+      writerId = "s", pruned = true)
+    q.awaitTermination()
+    val got = verdicts.getFullDf.collect()
+      .map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("dup_of"))).toSet
+    assert(got == Set((3L, 1L)), s"got $got")
+    assert(index.count() == 3)
+    // the BATCH round now drives the same index the stream built
+    val batchVerdict = Queries.incrExactRoundPruned(index, docs((9L, "bravo"), (10L, "golf")))
+    assert(batchVerdict.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9L, 2L)))
+    assert(index.count() == 4)
+  }
+}
