@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ops.Queries
 import graft.repo.TableRepo
@@ -38,11 +37,6 @@ import graft.repo.TableRepo
   */
 object StreamIncrDedup {
 
-  private val VerdictSchema = StructType(Seq(
-    StructField("batch_doc", LongType),
-    StructField("dup_of", LongType),
-    StructField("origin", StringType)))
-
   /** `stream` must carry `doc_id` (long) and `text` (string). */
   def start(
       stream: DataFrame,
@@ -62,20 +56,35 @@ object StreamIncrDedup {
 
   /** One micro-batch through the index (ordering contract above).
     * Exposed so specs and batch backfills can drive replays through the
-    * exact streaming code path. Returns the verdict frame — empty when
-    * the batch was a replayed, fully-committed duplicate.
+    * exact streaming code path. Returns false when the batch was a
+    * replayed, fully-committed duplicate (verdicts live in `verdictRepo`
+    * either way).
+    *
+    * Checkpoint hygiene for unbounded streams: the round's barriers
+    * (batch fingerprints, index snapshot, verdict) are localCheckpoint
+    * blocks that ContextCleaner only reclaims on driver GC — over
+    * thousands of micro-batches that async backlog bleeds executor
+    * storage, so the blocks this batch created are dropped EAGERLY once
+    * both writes are durable (foreachBatch runs one batch at a time per
+    * query, so the before/after persistent-RDD diff is this batch's own).
     */
   def processBatch(batch: DataFrame, index: TableRepo, verdictRepo: TableRepo,
-      writerId: String, batchId: Long, pruned: Boolean = false): DataFrame = {
-    val spark = batch.sparkSession
-    if (index.isBatchCommitted(writerId, batchId)) {
-      // step 2 is durable, and step 1 always precedes it: nothing to do
-      spark.createDataFrame(new java.util.ArrayList[Row](), VerdictSchema)
-    } else {
-      val (verdict, survivors) = Queries.incrExactVerdictAndSurvivors(index, batch, pruned)
-      verdictRepo.extendExactlyOnce(verdict, s"$writerId-verdicts", batchId)
-      index.extendExactlyOnce(survivors, writerId, batchId)
-      verdict
-    }
+      writerId: String, batchId: Long, pruned: Boolean = false): Boolean = {
+    val sc = batch.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try {
+      if (index.isBatchCommitted(writerId, batchId)) {
+        // step 2 is durable, and step 1 always precedes it: nothing to do
+        false
+      } else {
+        val (verdict, survivors) = Queries.incrExactVerdictAndSurvivors(index, batch, pruned)
+        verdictRepo.extendExactlyOnce(verdict, s"$writerId-verdicts", batchId)
+        index.extendExactlyOnce(survivors, writerId, batchId)
+        true
+      }
+    } finally
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
   }
 }

@@ -20,20 +20,25 @@ class StreamIncrDedupSpec extends SparkSuite {
   test("micro-batches dedup against the durable index; a replayed batch is a no-op") {
     val index = new TableRepo(scratch("sid-index"), spark)
     val verdicts = new TableRepo(scratch("sid-verdicts"), spark)
+    val preIds = spark.sparkContext.getPersistentRDDs.keySet
     val b0 = docs((1L, "alpha"), (2L, "bravo"), (3L, "charlie"))
-    val v0 = StreamIncrDedup.processBatch(b0, index, verdicts, "w", 0L)
-    assert(v0.count() == 0, "first batch has no duplicates")
+    assert(StreamIncrDedup.processBatch(b0, index, verdicts, "w", 0L))
+    assert(verdicts.count() == 0, "first batch has no duplicates")
     assert(index.count() == 3)
     val b1 = docs((6L, "bravo"), (7L, "delta"), (8L, "delta"))
-    val v1 = StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L)
-    val got = v1.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L))
+    val got = verdicts.getFullDf.collect()
+      .map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("dup_of"), r.getAs[String]("origin")))
+      .toSet
     assert(got == Set((6L, 2L, "index"), (8L, 7L, "batch")), s"got $got")
     assert(index.count() == 4, "only the one survivor (7) extends the index")
-    assert(verdicts.count() == 2)
     // crash AFTER both commits, before the checkpoint: full replay
-    val replay = StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L)
-    assert(replay.count() == 0)
+    assert(!StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L))
     assert(index.count() == 4 && verdicts.count() == 2, "replay must change nothing")
+    // checkpoint hygiene: every batch's barrier blocks were released —
+    // an unbounded stream must not accumulate executor storage
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preIds
+    assert(leaked.isEmpty, s"micro-batches leaked persistent RDDs: $leaked")
   }
 
   test("crash between the verdict commit and the index extend resolves exactly-once") {
@@ -48,12 +53,14 @@ class StreamIncrDedupSpec extends SparkSuite {
     assert(verdicts.count() == 1 && index.count() == 2)
     // replay through the real code path: verdict write no-ops on its
     // ledger, the index extend completes
-    val replay = StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L)
-    assert(replay.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((5L, 1L)))
+    assert(StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L))
+    val got = verdicts.getFullDf.collect()
+      .map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("dup_of"))).toSet
+    assert(got == Set((5L, 1L)), s"got $got")
     assert(verdicts.count() == 1, "verdict must not double-land")
     assert(index.count() == 3, "survivor 6 must extend the index exactly once")
     // and a SECOND full replay after completion is inert
-    assert(StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L).count() == 0)
+    assert(!StreamIncrDedup.processBatch(b1, index, verdicts, "w", 1L))
     assert(verdicts.count() == 1 && index.count() == 3)
   }
 
