@@ -394,6 +394,7 @@ class TableRepo(
       configuredWriter(df, "append").parquet(target)
       checkVersionStable(target, "append")
     } else if (dynamic && layoutCols.nonEmpty) {
+      val mark = stagedMark
       val staged = if (alreadyStaged) df else stage(df)
       val target = dataPath
       try {
@@ -401,7 +402,7 @@ class TableRepo(
           .option("partitionOverwriteMode", "dynamic")
           .parquet(target)
         checkVersionStable(target, "dynamic partition overwrite")
-      } finally dropStaging()
+      } finally releaseStagedFrom(mark)
     } else {
       // snapshot swap: the replacement lands in a fresh version dir, so
       // the input plan may freely read the current one (different paths —
@@ -422,10 +423,32 @@ class TableRepo(
     * staging round-trip, and the merge-scoped data is bounded by the
     * affected partitions, not the table.
     */
-  private def stage(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+  // staged merge frames are localCheckpoint blocks; ContextCleaner only
+  // reclaims them on driver GC, so a long-running driver doing many
+  // upserts slowly accumulates executor storage. Every stage() records
+  // the checkpointed RDD (all staging happens under the write monitor);
+  // each public staging op releases ITS OWN tail in a finally — marks
+  // keep reentrant compositions (an op staging inside another) from
+  // releasing a parent's frames early. A global persistent-RDD sweep
+  // would be wrong here: concurrent repos in one session may hold live
+  // checkpoints whose lineage is truncated — unpersisting those mid-job
+  // is unrecoverable.
+  private val stagedRdds = new mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]
 
-  private def dropStaging(): Unit = ()
+  private def stage(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = true)
+    ck.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(stagedRdds += _)
+    ck
+  }
+
+  private def stagedMark: Int = stagedRdds.length
+
+  private def releaseStagedFrom(mark: Int): Unit = {
+    stagedRdds.drop(mark).foreach(_.unpersist(blocking = false))
+    stagedRdds.dropRightInPlace(stagedRdds.length - mark): Unit
+  }
 
   /** Post-write guard for IN-PLACE writes (append, dynamic partition
     * overwrite): re-resolve the current version dir after the job and fail
@@ -554,6 +577,12 @@ class TableRepo(
     * touches a handful of partitions, not the table.
     */
   def replaceRecords(updates: DataFrame, byGroups: Boolean = false): Unit = withWriteLock {
+    val mark = stagedMark
+    try replaceRecordsBody(updates, byGroups)
+    finally releaseStagedFrom(mark)
+  }
+
+  private def replaceRecordsBody(updates: DataFrame, byGroups: Boolean): Unit = {
     replayPendingDeletes()
     require(keyCols.nonEmpty, "replaceRecords requires keyCols (the reference's meaningful index)")
     val schema = resolveSchema(updates)
@@ -690,6 +719,12 @@ class TableRepo(
     * deletes (see the manifest block near `paths`).
     */
   def replaceRecordsPruned(updates: DataFrame, byGroups: Boolean = false): Unit = withWriteLock {
+    val mark = stagedMark
+    try replaceRecordsPrunedBody(updates, byGroups)
+    finally releaseStagedFrom(mark)
+  }
+
+  private def replaceRecordsPrunedBody(updates: DataFrame, byGroups: Boolean): Unit = {
     replayPendingDeletes()
     require(keyCols.nonEmpty, "file-pruned upsert requires keyCols")
     val schema = resolveSchema(updates)
