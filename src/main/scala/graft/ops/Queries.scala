@@ -283,20 +283,46 @@ object Queries {
     index.extend(lshBands(minhashSig(corpus)))
 
   /** One round of incremental dedup (the q_incr_dedup engine): probe the
-    * persisted band `index` with the batch's bands BROADCAST, verify
-    * candidates with exact Jaccard (shingle sets drawn from `shingleSrc`,
-    * which must cover both the batch and every indexed doc), keep the
-    * earliest verified duplicate per batch doc, then EXTEND the index
-    * with the batch's bands so the next round dedups against this batch
-    * too. The index read is checkpointed before the extend, so the
-    * emitted verdict is a consistent pre-extend snapshot.
+    * persisted band `index` with the batch's bands BROADCAST (plus
+    * batch-internal band collisions, so duplicates arriving in one batch
+    * see each other — round 9), verify candidates with exact Jaccard
+    * (shingle sets drawn from `shingleSrc`, which must cover both the
+    * batch and every indexed doc), keep the earliest verified duplicate
+    * per batch doc, then EXTEND the index with the batch's bands so the
+    * next round dedups against this batch too. The index read is
+    * checkpointed before the extend, so the emitted verdict is a
+    * consistent pre-extend snapshot.
     */
   private[graft] def incrDedupRound(index: TableRepo, batch: DataFrame,
       shingleSrc: DataFrame): DataFrame = {
+    val (verdict, bands) = incrNearVerdictAndBands(index, batch, shingleSrc)
+    index.extend(bands)
+    verdict
+  }
+
+  /** The streaming micro-batch building block for NEAR-dup
+    * ([[graft.streaming.StreamIncrNearDup]]): verified verdict + the
+    * batch's band rows against the PRE-batch index snapshot, all
+    * checkpointed so a replay recomputes identical frames; the CALLER
+    * owns the writes. `shingleSrc` must cover the batch and every
+    * indexed doc (streaming keeps a durable text repo for exactly this).
+    */
+  def incrNearVerdictAndBands(index: TableRepo, batch: DataFrame,
+      shingleSrc: DataFrame): (DataFrame, DataFrame) = {
     val bBands = Ckpt(lshBands(minhashSig(batch)).withColumnRenamed("doc_id", "batch_doc"))
-    val idxBands = Ckpt(index.getFullDf)
-    val cand = idxBands.join(broadcast(bBands), Seq("band", "bh"))
-      .select(col("batch_doc"), col("doc_id").as("dup_of")).distinct()
+    val idxBands = Ckpt(if (index.exists) index.getFullDf
+      else bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")).limit(0))
+    // candidates from the index PLUS batch-internal band collisions —
+    // two docs arriving in one batch must still see each other (the
+    // exact twin's first-occurrence window, in band form); earlier doc
+    // wins via the same min-dup_of rule either way
+    val candIdx = idxBands.join(broadcast(bBands), Seq("band", "bh"))
+      .select(col("batch_doc"), col("doc_id").as("dup_of"))
+    val candInt = bBands.as("a")
+      .join(bBands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.batch_doc") > col("b.batch_doc"))
+      .select(col("a.batch_doc").as("batch_doc"), col("b.batch_doc").as("dup_of"))
+    val cand = candIdx.unionByName(candInt).distinct()
     val sh = Ckpt(shingleSrc
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -304,15 +330,14 @@ object Queries {
         SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh")))
     val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
     val w = Window.partitionBy(col("batch_doc")).orderBy(col("dup_of"))
-    val verdict = cand.join(sh.as("x"), col("x.doc_id") === col("batch_doc"))
+    val verdict = Ckpt(cand.join(sh.as("x"), col("x.doc_id") === col("batch_doc"))
       .join(sh.as("y"), col("y.doc_id") === col("dup_of"))
       .withColumn("jaccard",
         inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
       .filter(col("jaccard") >= 0.4)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("batch_doc"), col("dup_of"), col("jaccard"))
-    index.extend(bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")))
-    verdict
+      .select(col("batch_doc"), col("dup_of"), col("jaccard")))
+    (verdict, bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")))
   }
 
   /** Seed an incremental EXACT-dedup fingerprint index with a corpus. */
@@ -1217,8 +1242,12 @@ object Queries {
          | sigb AS (SELECT doc_id, $hs FROM hb GROUP BY doc_id),
          | bc AS (${sqlBandSelectsFrom("sigc")}),
          | bb AS (${sqlBandSelectsFrom("sigb")}),
-         | cand AS (SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS dup_of
-         |   FROM bb b JOIN bc c ON b.band = c.band AND b.bh = c.bh),
+         | cand AS (SELECT DISTINCT batch_doc, dup_of FROM (
+         |   SELECT b.doc_id AS batch_doc, c.doc_id AS dup_of
+         |     FROM bb b JOIN bc c ON b.band = c.band AND b.bh = c.bh
+         |   UNION ALL
+         |   SELECT a.doc_id, b2.doc_id
+         |     FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id > b2.doc_id)),
          | sh AS (SELECT doc_id, list_distinct(list_transform($sqlShingles, g -> ${sqlHash32("g")})) AS sh FROM documents WHERE len($sqlToks) >= 3),
          | p AS (SELECT cand.batch_doc AS batch_doc, cand.dup_of AS dup_of,
          |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Queries
+import graft.repo.TableRepo
+
+/** Streaming NEAR-dup against a persisted MinHash/LSH band index — the
+  * near-dup twin of [[StreamIncrDedup]] (and the restart-safe form of
+  * the horizon-bounded [[StreamNearDup]]).
+  *
+  * Two durable repos travel with the stream:
+  *   - `bandIndex`: (doc_id, band, bh) rows, the candidate-generation
+  *     structure the batch rounds (`q_incr_dedup`) share;
+  *   - `textRepo`: (doc_id, text) of every ACCEPTED doc — the exact
+  *     Jaccard verification needs the indexed docs' shingle sets, which
+  *     bands alone cannot reconstruct. At 100 TB this is the corpus
+  *     store the pipeline owns anyway, not an extra copy.
+  *
+  * Three ledgered writes per micro-batch, ordered so every crash window
+  * replays to the identical verdict:
+  *   1. verdicts  → `<writerId>-verdicts` ledger;
+  *   2. batch texts → `<writerId>-texts` ledger;
+  *   3. batch bands → `<writerId>` ledger (the replay guard — LAST, so
+  *      an incomplete batch always recomputes).
+  * The verdict reads the band index BEFORE step 3 and shingles from
+  * `textRepo ∪ batch` deduplicated by doc_id, so a replay after step 2
+  * (batch texts already landed) still derives the same shingle sets —
+  * the union is idempotent. As in the exact twin, each repo's own
+  * ledger then drops whichever writes already landed.
+  */
+object StreamIncrNearDup {
+
+  /** `stream` must carry `doc_id` (long) and `text` (string). */
+  def start(
+      stream: DataFrame,
+      bandIndex: TableRepo,
+      textRepo: TableRepo,
+      verdictRepo: TableRepo,
+      checkpointDir: String,
+      writerId: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, bandIndex, textRepo, verdictRepo, writerId, batchId): Unit
+      }
+      .start()
+
+  /** One micro-batch (ordering contract above). Returns false when the
+    * batch was a replayed, fully-committed duplicate. Same checkpoint
+    * hygiene as the exact twin: the batch's barrier blocks are released
+    * once all three writes are durable.
+    */
+  def processBatch(batch: DataFrame, bandIndex: TableRepo, textRepo: TableRepo,
+      verdictRepo: TableRepo, writerId: String, batchId: Long): Boolean = {
+    val sc = batch.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try {
+      if (bandIndex.isBatchCommitted(writerId, batchId)) false
+      else {
+        val docs = batch.select("doc_id", "text")
+        val shingleSrc =
+          if (textRepo.exists) textRepo.getFullDf.select("doc_id", "text")
+            .unionByName(docs).dropDuplicates("doc_id")
+          else docs
+        val (verdict, bands) =
+          Queries.incrNearVerdictAndBands(bandIndex, docs, shingleSrc)
+        verdictRepo.extendExactlyOnce(verdict, s"$writerId-verdicts", batchId)
+        textRepo.extendExactlyOnce(docs, s"$writerId-texts", batchId)
+        bandIndex.extendExactlyOnce(bands, writerId, batchId)
+        true
+      }
+    } finally
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+import graft.repo.TableRepo
+
+/** Restart-safe streaming NEAR-dup against the persisted band index +
+  * text repo: the three-write ledger ordering of [[StreamIncrNearDup]]
+  * resolves every crash/replay window to exactly-once on all repos.
+  */
+class StreamIncrNearDupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val A = "the quick brown fox jumps over the lazy dog tonight"
+  private val ANear = A + " again" // high-jaccard near-dup of A
+  private val B = "completely different words about parquet footer statistics pruning"
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def mk(tag: String): (TableRepo, TableRepo, TableRepo) = (
+    new TableRepo(scratch(s"sind-$tag-bands"), spark),
+    new TableRepo(scratch(s"sind-$tag-texts"), spark),
+    new TableRepo(scratch(s"sind-$tag-verdicts"), spark))
+
+  test("micro-batches near-dedup against the durable index; replay is a no-op") {
+    val (bands, texts, verdicts) = mk("base")
+    assert(StreamIncrNearDup.processBatch(
+      docs((1L, A), (2L, B)), bands, texts, verdicts, "w", 0L))
+    assert(verdicts.count() == 0 && texts.count() == 2)
+    val bandCount = bands.count()
+    assert(bandCount == 8, s"2 docs x 4 bands, got $bandCount")
+    assert(StreamIncrNearDup.processBatch(
+      docs((7L, ANear)), bands, texts, verdicts, "w", 1L))
+    val got = verdicts.getFullDf.collect()
+      .map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("dup_of"))).toSet
+    assert(got == Set((7L, 1L)), s"got $got")
+    assert(texts.count() == 3 && bands.count() == 12)
+    // full replay after commit: inert everywhere
+    assert(!StreamIncrNearDup.processBatch(
+      docs((7L, ANear)), bands, texts, verdicts, "w", 1L))
+    assert(verdicts.count() == 1 && texts.count() == 3 && bands.count() == 12)
+  }
+
+  test("crash after verdict and text commits resolves exactly-once on all three repos") {
+    val (bands, texts, verdicts) = mk("crash")
+    StreamIncrNearDup.processBatch(docs((1L, A), (2L, B)), bands, texts, verdicts, "w", 0L)
+    // crashed attempt of batch 1: steps 1 (verdict) and 2 (texts) landed,
+    // step 3 (bands — the replay guard) did not
+    val b1 = docs((7L, ANear))
+    val shingleSrc = texts.getFullDf.select("doc_id", "text")
+      .unionByName(b1).dropDuplicates("doc_id")
+    val (v, _) = graft.ops.Queries.incrNearVerdictAndBands(bands, b1, shingleSrc)
+    verdicts.extendExactlyOnce(v, "w-verdicts", 1L)
+    texts.extendExactlyOnce(b1, "w-texts", 1L)
+    assert(verdicts.count() == 1 && texts.count() == 3 && bands.count() == 8)
+    // replay through the real code path: steps 1-2 no-op on their
+    // ledgers (the union'd shingle source makes the recompute identical
+    // even with the batch texts already landed), step 3 completes
+    assert(StreamIncrNearDup.processBatch(b1, bands, texts, verdicts, "w", 1L))
+    assert(verdicts.count() == 1, "verdict must not double-land")
+    assert(texts.count() == 3, "texts must not double-land")
+    assert(bands.count() == 12, "bands must land exactly once")
+    val got = verdicts.getFullDf.collect()
+      .map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("dup_of"))).toSet
+    assert(got == Set((7L, 1L)))
+  }
+
+  test("end-to-end stream, then the batch round drives the same index") {
+    val (bands, texts, verdicts) = mk("e2e")
+    val srcDir = scratch("sind-e2e-src")
+    docs((1L, A), (2L, B), (3L, ANear)).coalesce(1).write.json(srcDir)
+    val stream = spark.readStream.schema(docs((0L, "x")).schema).json(srcDir)
+    val q = StreamIncrNearDup.start(stream, bands, texts, verdicts,
+      scratch("sind-e2e-ckpt"), writerId = "s")
+    q.awaitTermination()
+    val got = verdicts.getFullDf.collect()
+      .map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("dup_of"))).toSet
+    assert(got == Set((3L, 1L)), s"got $got")
+    // the BATCH round continues against the stream-built index, using the
+    // stream's own text repo as the shingle source
+    val more = docs((9L, B + " now"))
+    val verdict = graft.ops.Queries.incrDedupRound(bands, more,
+      texts.getFullDf.select("doc_id", "text").unionByName(more))
+    assert(verdict.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9L, 2L)))
+  }
+}
