@@ -109,6 +109,40 @@ class ExactlyOnceAppendSpec extends SparkSuite {
     assertSameRows(repo.getFullDf.select("k", "g").orderBy("k"), df.orderBy("k"))
   }
 
+  test("exactly-once appends racing compact lose no batch (both orders)") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val repo = new TableRepo(scratch("eo-race-compact"), spark)
+    repo.extendExactlyOnce(batch(0, 100), "seed", 0L)
+    val rounds = 6
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (0 until rounds).foreach { r =>
+        val start = new CountDownLatch(1)
+        // odd rounds bias the append first, even rounds the compact —
+        // the write monitor must serialize BOTH interleavings, and the
+        // ledger commit (stage + manifest + renames + marker) must land
+        // entirely on one side of every version swap
+        val f1 = pool.submit(new Runnable { def run(): Unit = {
+          start.await(); if (r % 2 == 1) Thread.sleep(5)
+          repo.extendExactlyOnce(batch(1000 + 10 * r, 1000 + 10 * r + 10), "w", r.toLong): Unit
+        } })
+        val f2 = pool.submit(new Runnable { def run(): Unit = {
+          start.await(); if (r % 2 == 0) Thread.sleep(5)
+          repo.compact(targetRecordsPerFile = 40)
+        } })
+        start.countDown()
+        f1.get(120, TimeUnit.SECONDS); f2.get(120, TimeUnit.SECONDS): Unit
+      }
+    } finally pool.shutdownNow()
+    assert(repo.count() == 100 + 10 * rounds, "a ledgered batch was lost to a version swap")
+    assert(repo.getFullDf.select("k").distinct().count() == 100 + 10 * rounds)
+    (0 until rounds).foreach(r => assert(repo.isBatchCommitted("w", r.toLong)))
+    // and every batch replays as a no-op after the dust settles
+    (0 until rounds).foreach(r =>
+      assert(!repo.extendExactlyOnce(batch(1000 + 10 * r, 1000 + 10 * r + 10), "w", r.toLong)))
+    assert(repo.count() == 100 + 10 * rounds)
+  }
+
   test("RepoSink exactlyOnce end-to-end: restart from the checkpoint re-lands nothing") {
     val repo = new TableRepo(scratch("eo-sink"), spark)
     val srcDir = scratch("eo-sink-src")
