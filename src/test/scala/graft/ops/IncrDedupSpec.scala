@@ -32,13 +32,19 @@ class IncrDedupSpec extends SparkSuite {
     assert(r2(0).getDouble(2) >= 0.4)
   }
 
-  test("the verdict is a pre-extend snapshot: a batch never matches itself") {
+  test("duplicates arriving in ONE batch see each other; the earlier doc wins") {
+    // round-9 contract change: the round emits batch-internal band
+    // collisions too (the exact twin's first-occurrence window, in band
+    // form) — without it, a streaming micro-batch containing both copies
+    // would admit both forever (StreamIncrNearDup surfaces this).
     val index = new TableRepo(scratch("incr-self"), spark)
     Queries.incrDedupSeed(index, Seq((0L, "seed text unlike anything else here")).toDF("doc_id", "text"))
-    // two near-identical docs in the SAME batch: the round must not pair
-    // them with each other (self-dedup is the upstream q_dedup_* job)
     val batch = Seq((11L, base), (12L, base.replace("dog", "cat"))).toDF("doc_id", "text")
     val r = Queries.incrDedupRound(index, batch, batch).collect()
-    assert(r.isEmpty, s"same-batch pairs must not be emitted: ${r.toSeq}")
+    assert(r.length == 1 && r(0).getLong(0) == 12L && r(0).getLong(1) == 11L,
+      s"the later same-batch doc must be flagged against the earlier one: ${r.toSeq}")
+    // the one-sided (a.doc_id > b.doc_id) candidate join means the
+    // EARLIER doc is never flagged — keep-first, exactly like the
+    // upstream q_dedup_* jobs and the exact twin
   }
 }
