@@ -300,6 +300,18 @@ object Queries {
     verdict
   }
 
+  /** incrDedupRound with the footer-pruned probe — the LSH face of
+    * `q_incr_dedup_pruned`'s layout/cost knob: the band index is
+    * clustered by bh and only footer-intersecting files are scanned.
+    * Identical verdict semantics (the oracle replays the same SQL).
+    */
+  private[graft] def incrDedupRoundPruned(index: TableRepo, batch: DataFrame,
+      shingleSrc: DataFrame): DataFrame = {
+    val (verdict, bands) = incrNearVerdictAndBands(index, batch, shingleSrc, pruned = true)
+    index.extend(bands)
+    verdict
+  }
+
   /** The streaming micro-batch building block for NEAR-dup
     * ([[graft.streaming.StreamIncrNearDup]]): verified verdict + the
     * batch's band rows against the PRE-batch index snapshot, all
@@ -308,10 +320,18 @@ object Queries {
     * indexed doc (streaming keeps a durable text repo for exactly this).
     */
   def incrNearVerdictAndBands(index: TableRepo, batch: DataFrame,
-      shingleSrc: DataFrame): (DataFrame, DataFrame) = {
+      shingleSrc: DataFrame, pruned: Boolean = false): (DataFrame, DataFrame) = {
     val bBands = Ckpt(lshBands(minhashSig(batch)).withColumnRenamed("doc_id", "batch_doc"))
-    val idxBands = Ckpt(if (index.exists) index.getFullDf
-      else bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")).limit(0))
+    // pruned probe: the index is CLUSTERED by bh, so readWhereIn scans
+    // only files whose footer bh-range intersects the batch's band
+    // hashes — a bh-only superset of the (band, bh) match (the same bh
+    // under a different band position is rare and the join filters it),
+    // correct by construction and O(batch) files at a large index
+    val idxBands = Ckpt(
+      if (!index.exists)
+        bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")).limit(0)
+      else if (pruned) index.readWhereIn(bBands.select(col("bh")), "bh")
+      else index.getFullDf)
     // candidates from the index PLUS batch-internal band collisions —
     // two docs arriving in one batch must still see each other (the
     // exact twin's first-occurrence window, in band form); earlier doc
@@ -1259,6 +1279,42 @@ object Queries {
       val index = new TableRepo(freshRoot("q_incr_dedup"), s)
       incrDedupSeed(index, docs.filter(col("doc_id") % 2 === 0))
       incrDedupRound(index, docs.filter(col("doc_id") % 2 === 1), docs)
+    },
+
+    // ---- B2/A9: incremental LSH near-dup, footer-pruned band probe ----
+    // The LSH face of q_incr_dedup_pruned: the band index is CLUSTERED
+    // by bh, the probe reads only footer-intersecting files (a bh-only
+    // superset of the (band, bh) match — the join filters the rest), so
+    // at a 100 TB index the probe follows the batch. Identical verdict
+    // SQL shape as q_incr_dedup on a different corpus split.
+    Q("q_incr_dedup_lsh_pruned", Some {
+      val hs = sqlMinhashSelects
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         | newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2),
+         | hc AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM (SELECT doc_id, unnest($sqlShingles) AS tok FROM corp WHERE len($sqlToks) >= 3)),
+         | hb AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM (SELECT doc_id, unnest($sqlShingles) AS tok FROM newb WHERE len($sqlToks) >= 3)),
+         | sigc AS (SELECT doc_id, $hs FROM hc GROUP BY doc_id),
+         | sigb AS (SELECT doc_id, $hs FROM hb GROUP BY doc_id),
+         | bc AS (${sqlBandSelectsFrom("sigc")}),
+         | bb AS (${sqlBandSelectsFrom("sigb")}),
+         | cand AS (SELECT DISTINCT batch_doc, dup_of FROM (
+         |   SELECT b.doc_id AS batch_doc, c.doc_id AS dup_of
+         |     FROM bb b JOIN bc c ON b.band = c.band AND b.bh = c.bh
+         |   UNION ALL
+         |   SELECT a.doc_id, b2.doc_id
+         |     FROM bb a JOIN bb b2 ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id > b2.doc_id)),
+         | sh AS (SELECT doc_id, list_distinct(list_transform($sqlShingles, g -> ${sqlHash32("g")})) AS sh FROM documents WHERE len($sqlToks) >= 3),
+         | p AS (SELECT cand.batch_doc AS batch_doc, cand.dup_of AS dup_of,
+         |   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+         |   FROM cand JOIN sh x ON x.doc_id = cand.batch_doc JOIN sh y ON y.doc_id = cand.dup_of)
+         | SELECT batch_doc, dup_of, jaccard FROM p WHERE jaccard >= 0.4
+         | QUALIFY row_number() OVER (PARTITION BY batch_doc ORDER BY dup_of) = 1""".stripMargin.replaceAll("\n", "")
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val index = new TableRepo(freshRoot("q_incr_dedup_lsh_pruned"), s,
+        maxRecordsPerFile = 2000, clusterCols = Seq("bh"))
+      incrDedupSeed(index, docs.filter(col("doc_id") % 4 === 0))
+      incrDedupRoundPruned(index, docs.filter(col("doc_id") % 4 === 2), docs)
     },
 
     // ---- B3: brute-force top-k cosine --------------------------------

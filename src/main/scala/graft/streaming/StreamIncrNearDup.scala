@@ -32,7 +32,10 @@ import graft.repo.TableRepo
   */
 object StreamIncrNearDup {
 
-  /** `stream` must carry `doc_id` (long) and `text` (string). */
+  /** `stream` must carry `doc_id` (long) and `text` (string).
+    * `pruned = true` routes the band probe through the footer-pruned
+    * `readWhereIn` path — pair it with a `bandIndex` clustered by `bh`.
+    */
   def start(
       stream: DataFrame,
       bandIndex: TableRepo,
@@ -40,12 +43,13 @@ object StreamIncrNearDup {
       verdictRepo: TableRepo,
       checkpointDir: String,
       writerId: String,
+      pruned: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, bandIndex, textRepo, verdictRepo, writerId, batchId): Unit
+        processBatch(batch, bandIndex, textRepo, verdictRepo, writerId, batchId, pruned): Unit
       }
       .start()
 
@@ -55,7 +59,8 @@ object StreamIncrNearDup {
     * once all three writes are durable.
     */
   def processBatch(batch: DataFrame, bandIndex: TableRepo, textRepo: TableRepo,
-      verdictRepo: TableRepo, writerId: String, batchId: Long): Boolean = {
+      verdictRepo: TableRepo, writerId: String, batchId: Long,
+      pruned: Boolean = false): Boolean = {
     val sc = batch.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     try {
@@ -67,7 +72,7 @@ object StreamIncrNearDup {
             .unionByName(docs).dropDuplicates("doc_id")
           else docs
         val (verdict, bands) =
-          Queries.incrNearVerdictAndBands(bandIndex, docs, shingleSrc)
+          Queries.incrNearVerdictAndBands(bandIndex, docs, shingleSrc, pruned)
         verdictRepo.extendExactlyOnce(verdict, s"$writerId-verdicts", batchId)
         textRepo.extendExactlyOnce(docs, s"$writerId-texts", batchId)
         bandIndex.extendExactlyOnce(bands, writerId, batchId)

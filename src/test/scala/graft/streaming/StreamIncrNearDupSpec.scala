@@ -67,13 +67,16 @@ class StreamIncrNearDupSpec extends SparkSuite {
     assert(got == Set((7L, 1L)))
   }
 
-  test("end-to-end stream, then the batch round drives the same index") {
-    val (bands, texts, verdicts) = mk("e2e")
+  test("end-to-end stream with the pruned band probe, then the batch round drives the same index") {
+    val bands = new TableRepo(scratch("sind-e2e-bands"), spark,
+      maxRecordsPerFile = 2, clusterCols = Seq("bh"))
+    val texts = new TableRepo(scratch("sind-e2e-texts"), spark)
+    val verdicts = new TableRepo(scratch("sind-e2e-verdicts"), spark)
     val srcDir = scratch("sind-e2e-src")
     docs((1L, A), (2L, B), (3L, ANear)).coalesce(1).write.json(srcDir)
     val stream = spark.readStream.schema(docs((0L, "x")).schema).json(srcDir)
     val q = StreamIncrNearDup.start(stream, bands, texts, verdicts,
-      scratch("sind-e2e-ckpt"), writerId = "s")
+      scratch("sind-e2e-ckpt"), writerId = "s", pruned = true)
     q.awaitTermination()
     val got = verdicts.getFullDf.collect()
       .map(r => (r.getAs[Long]("batch_doc"), r.getAs[Long]("dup_of"))).toSet
