@@ -13,10 +13,12 @@ import graft.repo.TableRepo
   * Two durable repos travel with the stream:
   *   - `bandIndex`: (doc_id, band, bh) rows, the candidate-generation
   *     structure the batch rounds (`q_incr_dedup`) share;
-  *   - `textRepo`: (doc_id, text) of every ACCEPTED doc — the exact
-  *     Jaccard verification needs the indexed docs' shingle sets, which
-  *     bands alone cannot reconstruct. At 100 TB this is the corpus
-  *     store the pipeline owns anyway, not an extra copy.
+  *   - `textRepo`: (doc_id, text) of EVERY ingested doc, duplicates
+  *     included — the index keeps duplicates' bands too (matching the
+  *     batch rounds), so a future candidate may verify against a doc
+  *     that was itself flagged, and exact Jaccard needs its shingle
+  *     set. At 100 TB this is the corpus store the pipeline owns
+  *     anyway, not an extra copy.
   *
   * Three ledgered writes per micro-batch, ordered so every crash window
   * replays to the identical verdict:
