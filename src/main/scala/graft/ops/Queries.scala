@@ -278,25 +278,42 @@ object Queries {
       TextFns.MinhashBands.map(idx =>
         concat_ws("_", idx.map(i => col(s"mh$i")): _*)): _*)).as(Seq("band", "bh")))
 
-  /** Seed an incremental-dedup band index with a corpus (doc_id, text). */
-  private[graft] def incrDedupSeed(index: TableRepo, corpus: DataFrame): Unit =
+  /** Hashed sorted 3-shingle sets for exact-Jaccard verification. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
+
+  /** Seed an incremental-dedup band index AND its companion text repo
+    * with a corpus (doc_id, text). The text repo holds EVERY ingested
+    * doc (duplicates included — the index keeps their bands too) and is
+    * what the verify stage reads, candidate-pruned, each round; cluster
+    * it by `doc_id` so that read skips non-candidate files.
+    */
+  private[graft] def incrDedupSeed(index: TableRepo, textRepo: TableRepo,
+      corpus: DataFrame): Unit = {
     index.extend(lshBands(minhashSig(corpus)))
+    textRepo.extend(corpus.select(col("doc_id"), col("text")))
+  }
 
   /** One round of incremental dedup (the q_incr_dedup engine): probe the
     * persisted band `index` with the batch's bands BROADCAST (plus
     * batch-internal band collisions, so duplicates arriving in one batch
     * see each other — round 9), verify candidates with exact Jaccard
-    * (shingle sets drawn from `shingleSrc`, which must cover both the
-    * batch and every indexed doc), keep the earliest verified duplicate
-    * per batch doc, then EXTEND the index with the batch's bands so the
-    * next round dedups against this batch too. The index read is
+    * (batch-side shingles from the batch itself, dup_of-side shingles
+    * from a candidate-pruned `textRepo` read — round 10), keep the
+    * earliest verified duplicate per batch doc, then EXTEND the index
+    * with the batch's bands and the text repo with the batch's texts so
+    * the next round dedups against this batch too. The index read is
     * checkpointed before the extend, so the emitted verdict is a
     * consistent pre-extend snapshot.
     */
-  private[graft] def incrDedupRound(index: TableRepo, batch: DataFrame,
-      shingleSrc: DataFrame): DataFrame = {
-    val (verdict, bands) = incrNearVerdictAndBands(index, batch, shingleSrc)
+  private[graft] def incrDedupRound(index: TableRepo, textRepo: TableRepo,
+      batch: DataFrame): DataFrame = {
+    val (verdict, bands) = incrNearVerdictAndBands(index, batch, textRepo)
     index.extend(bands)
+    textRepo.extend(batch.select(col("doc_id"), col("text")))
     verdict
   }
 
@@ -305,22 +322,22 @@ object Queries {
     * clustered by bh and only footer-intersecting files are scanned.
     * Identical verdict semantics (the oracle replays the same SQL).
     */
-  private[graft] def incrDedupRoundPruned(index: TableRepo, batch: DataFrame,
-      shingleSrc: DataFrame): DataFrame = {
-    val (verdict, bands) = incrNearVerdictAndBands(index, batch, shingleSrc, pruned = true)
+  private[graft] def incrDedupRoundPruned(index: TableRepo, textRepo: TableRepo,
+      batch: DataFrame): DataFrame = {
+    val (verdict, bands) = incrNearVerdictAndBands(index, batch, textRepo, pruned = true)
     index.extend(bands)
+    textRepo.extend(batch.select(col("doc_id"), col("text")))
     verdict
   }
 
-  /** The streaming micro-batch building block for NEAR-dup
-    * ([[graft.streaming.StreamIncrNearDup]]): verified verdict + the
-    * batch's band rows against the PRE-batch index snapshot, all
-    * checkpointed so a replay recomputes identical frames; the CALLER
-    * owns the writes. `shingleSrc` must cover the batch and every
-    * indexed doc (streaming keeps a durable text repo for exactly this).
+  /** Candidate generation shared by the verdict and the prune study:
+    * batch bands (checkpointed), the index probe (full-scan or
+    * footer-pruned), and the deduplicated candidate pair set
+    * (checkpointed — it feeds both the verify joins and the pruned
+    * text-read needle collection).
     */
-  def incrNearVerdictAndBands(index: TableRepo, batch: DataFrame,
-      shingleSrc: DataFrame, pruned: Boolean = false): (DataFrame, DataFrame) = {
+  private[graft] def incrNearCandAndBands(index: TableRepo, batch: DataFrame,
+      pruned: Boolean): (DataFrame, DataFrame) = {
     val bBands = Ckpt(lshBands(minhashSig(batch)).withColumnRenamed("doc_id", "batch_doc"))
     // pruned probe: the index is CLUSTERED by bh, so readWhereIn scans
     // only files whose footer bh-range intersects the batch's band
@@ -342,16 +359,45 @@ object Queries {
       .join(bBands.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.batch_doc") > col("b.batch_doc"))
       .select(col("a.batch_doc").as("batch_doc"), col("b.batch_doc").as("dup_of"))
-    val cand = candIdx.unionByName(candInt).distinct()
-    val sh = Ckpt(shingleSrc
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh")))
+    (Ckpt(candIdx.unionByName(candInt).distinct()), bBands)
+  }
+
+  /** The streaming micro-batch building block for NEAR-dup
+    * ([[graft.streaming.StreamIncrNearDup]]): verified verdict + the
+    * batch's band rows against the PRE-batch index snapshot, all
+    * checkpointed so a replay recomputes identical frames; the CALLER
+    * owns the writes (including the post-round text/band extends).
+    *
+    * The exact-Jaccard verify is CANDIDATE-PRUNED (round 10): batch-side
+    * shingle sets come from the batch itself, and the dup_of side reads
+    * ONLY candidate docs from `textRepo` via the footer-pruned
+    * [[TableRepo.readWhereIn]] — the verify's scan cost follows the
+    * candidate count, not the corpus size (round 9 re-shingled the whole
+    * corpus every round, which a 100 TB corpus cannot afford; the same
+    * pruning discipline as the reference's key-intersection upsert,
+    * core.py:121-130). Cluster `textRepo` by `doc_id` so the pruned read
+    * skips files; an unclustered repo degrades to a full scan of the
+    * text repo with identical results. A dup_of that is itself a batch
+    * doc (batch-internal collision) verifies against the batch's own
+    * shingles, so replays with the batch texts already landed still
+    * derive identical sets (texts are identical — the union dedup is
+    * value-deterministic).
+    */
+  def incrNearVerdictAndBands(index: TableRepo, batch: DataFrame,
+      textRepo: TableRepo, pruned: Boolean = false): (DataFrame, DataFrame) = {
+    val docs = Ckpt(batch.select(col("doc_id"), col("text")))
+    val (cand, bBands) = incrNearCandAndBands(index, docs, pruned)
+    val batchSh = Ckpt(shingleSets(docs))
+    val dupIds = cand.select(col("dup_of").as("doc_id")).distinct()
+    val dupTexts =
+      if (textRepo.exists) textRepo.readWhereIn(dupIds, "doc_id").select(col("doc_id"), col("text"))
+      else docs.limit(0)
+    val dupSh = Ckpt(batchSh.join(dupIds, Seq("doc_id"), "left_semi")
+      .unionByName(shingleSets(dupTexts)).dropDuplicates("doc_id"))
     val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
     val w = Window.partitionBy(col("batch_doc")).orderBy(col("dup_of"))
-    val verdict = Ckpt(cand.join(sh.as("x"), col("x.doc_id") === col("batch_doc"))
-      .join(sh.as("y"), col("y.doc_id") === col("dup_of"))
+    val verdict = Ckpt(cand.join(batchSh.as("x"), col("x.doc_id") === col("batch_doc"))
+      .join(dupSh.as("y"), col("y.doc_id") === col("dup_of"))
       .withColumn("jaccard",
         inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
       .filter(col("jaccard") >= 0.4)
