@@ -15,8 +15,41 @@ import org.apache.spark.sql.DataFrame
 object Ckpt {
   @volatile private var disabled = false
 
+  private val tracker =
+    new ThreadLocal[java.util.ArrayList[org.apache.spark.rdd.RDD[_]]]
+
   def apply(df: DataFrame): DataFrame =
-    if (disabled) df else df.localCheckpoint(eager = true)
+    if (disabled) df
+    else {
+      val ck = df.localCheckpoint(eager = true)
+      Option(tracker.get()).foreach { buf =>
+        ck.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(buf.add)
+      }
+      ck
+    }
+
+  /** Run `body` recording every checkpoint block it creates on THIS
+    * thread, then unpersist exactly those — never a concurrent query's
+    * cached RDDs, which a global `getPersistentRDDs` before/after diff
+    * would sweep up (the hazard [[graft.repo.TableRepo]]'s own staged-RDD
+    * comment rules out). The streaming micro-batch drivers wrap each
+    * batch in this so the per-batch barriers (batch fingerprints, index
+    * snapshot, verdict) are reclaimed EAGERLY once the batch's writes are
+    * durable, instead of bleeding executor storage until driver GC.
+    * Reentrant: an inner scope releases only its own blocks.
+    */
+  private[graft] def scoped[T](body: => T): T = {
+    val prev = tracker.get()
+    val buf = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]
+    tracker.set(buf)
+    try body
+    finally {
+      if (prev == null) tracker.remove() else tracker.set(prev)
+      buf.forEach(r => { r.unpersist(blocking = false): Unit })
+    }
+  }
 
   /** Run `body` with checkpoint barriers off — plan construction only;
     * executing multi-consumer plans built this way recomputes shared

@@ -36,10 +36,20 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with ns timestamps surfaced as µs longs (see class doc). */
+  /** events with timestamps surfaced as µs longs, whatever the physical
+    * parquet type: ns-as-long (legacy generator + `nanosAsLong`),
+    * timestamp[us] (read as TIMESTAMP_NTZ), or a zoned timestamp. The
+    * session runs in UTC, so the NTZ→LTZ cast is identity and matches
+    * DuckDB's `epoch_us(ts)` on the same file.
+    */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val ev = t(spark, dir, "events")
+    val tsUs = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts").cast(TimestampType))
+    }
+    ev.withColumn("ts_us", tsUs)
   }
 
   private val orderCols =
@@ -293,8 +303,13 @@ object Queries {
     */
   private[graft] def incrDedupSeed(index: TableRepo, textRepo: TableRepo,
       corpus: DataFrame): Unit = {
-    index.extend(lshBands(minhashSig(corpus)))
+    // texts FIRST, bands second: a crash between the writes must never
+    // leave indexed bands with no companion text — that would silently
+    // drop candidates at the verify join forever after. An orphan text
+    // row (the reverse window) is harmless; the streaming twin orders
+    // its ledgered writes the same way.
     textRepo.extend(corpus.select(col("doc_id"), col("text")))
+    index.extend(lshBands(minhashSig(corpus)))
   }
 
   /** One round of incremental dedup (the q_incr_dedup engine): probe the
@@ -312,8 +327,8 @@ object Queries {
   private[graft] def incrDedupRound(index: TableRepo, textRepo: TableRepo,
       batch: DataFrame): DataFrame = {
     val (verdict, bands) = incrNearVerdictAndBands(index, batch, textRepo)
-    index.extend(bands)
     textRepo.extend(batch.select(col("doc_id"), col("text")))
+    index.extend(bands)
     verdict
   }
 
@@ -325,8 +340,8 @@ object Queries {
   private[graft] def incrDedupRoundPruned(index: TableRepo, textRepo: TableRepo,
       batch: DataFrame): DataFrame = {
     val (verdict, bands) = incrNearVerdictAndBands(index, batch, textRepo, pruned = true)
-    index.extend(bands)
     textRepo.extend(batch.select(col("doc_id"), col("text")))
+    index.extend(bands)
     verdict
   }
 
@@ -392,8 +407,13 @@ object Queries {
     val dupTexts =
       if (textRepo.exists) textRepo.readWhereIn(dupIds, "doc_id").select(col("doc_id"), col("text"))
       else docs.limit(0)
+    // batch-side shingles win DETERMINISTICALLY: the repo-side read is
+    // anti-joined against the batch's doc_ids, so a doc_id re-ingested
+    // with different text cannot make the jaccard plan-dependent (a
+    // dropDuplicates here would pick an arbitrary copy per key)
     val dupSh = Ckpt(batchSh.join(dupIds, Seq("doc_id"), "left_semi")
-      .unionByName(shingleSets(dupTexts)).dropDuplicates("doc_id"))
+      .unionByName(shingleSets(dupTexts)
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")))
     val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
     val w = Window.partitionBy(col("batch_doc")).orderBy(col("dup_of"))
     val verdict = Ckpt(cand.join(batchSh.as("x"), col("x.doc_id") === col("batch_doc"))
@@ -1323,8 +1343,10 @@ object Queries {
     }) { (s, d) =>
       val docs = t(s, d, "documents")
       val index = new TableRepo(freshRoot("q_incr_dedup"), s)
-      incrDedupSeed(index, docs.filter(col("doc_id") % 2 === 0))
-      incrDedupRound(index, docs.filter(col("doc_id") % 2 === 1), docs)
+      val textRepo = new TableRepo(freshRoot("q_incr_dedup_texts"), s,
+        maxRecordsPerFile = 2000, clusterCols = Seq("doc_id"))
+      incrDedupSeed(index, textRepo, docs.filter(col("doc_id") % 2 === 0))
+      incrDedupRound(index, textRepo, docs.filter(col("doc_id") % 2 === 1))
     },
 
     // ---- B2/A9: incremental LSH near-dup, footer-pruned band probe ----
@@ -1359,8 +1381,10 @@ object Queries {
       val docs = t(s, d, "documents")
       val index = new TableRepo(freshRoot("q_incr_dedup_lsh_pruned"), s,
         maxRecordsPerFile = 2000, clusterCols = Seq("bh"))
-      incrDedupSeed(index, docs.filter(col("doc_id") % 4 === 0))
-      incrDedupRoundPruned(index, docs.filter(col("doc_id") % 4 === 2), docs)
+      val textRepo = new TableRepo(freshRoot("q_incr_dedup_lsh_pruned_texts"), s,
+        maxRecordsPerFile = 2000, clusterCols = Seq("doc_id"))
+      incrDedupSeed(index, textRepo, docs.filter(col("doc_id") % 4 === 0))
+      incrDedupRoundPruned(index, textRepo, docs.filter(col("doc_id") % 4 === 2))
     },
 
     // ---- B3: brute-force top-k cosine --------------------------------
@@ -1424,6 +1448,19 @@ object Queries {
         .withColumn("sim", VectorFns.dot(col("embedding"), col("c_emb")) / (col("e_nrm") * col("c_nrm")))
         .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
         .select(col("vec_id"), col("centroid_id"), col("sim"))
+    },
+
+    // ---- IVF training: pinned-seed Lloyd k-means ----------------------
+    // The trained counterpart of q_ivf_assign's first-8-vectors seed:
+    // k=8, 3 Lloyd iterations, per-position means rounded to 6 decimals
+    // so both engines iterate from identical centroid literals (the only
+    // order-dependent float step is quantized away — see graft.ops.Ivf).
+    // Output = trained centroid components + final cluster sizes. Each
+    // iteration is one broadcast-centroids linear scan; the update
+    // groupBy has k x dim cardinality — nothing scales with the corpus
+    // but the scan count (iters, a constant).
+    Q("q_ivf_train", Some(Ivf.oracleSql(8, 3, sqlCosine))) { (s, d) =>
+      Ivf.trainResult(t(s, d, "embeddings"), 8, 3)
     },
 
     // ---- cluster-balanced diverse sampling (corpus selection) ---------

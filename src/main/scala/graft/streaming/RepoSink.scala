@@ -26,8 +26,11 @@ object RepoSink {
     * `exactlyOnce = true` to route appends through the repo's
     * per-(writer, batch) commit ledger ([[TableRepo.extendExactlyOnce]]),
     * which makes the replay a no-op. `writerId` names the ledger; it
-    * defaults to the checkpoint dir's leaf name and must be stable across
-    * restarts (it is the identity the ledger dedupes on).
+    * defaults to the checkpoint dir's leaf name plus a hash of the FULL
+    * normalized path — two streams whose checkpoint paths merely share a
+    * leaf (`a/ckpt`, `b/ckpt`) must not share a ledger, or the second
+    * stream's batches would be dropped as replays. It must be stable
+    * across restarts (it is the identity the ledger dedupes on).
     */
   def start(
       stream: DataFrame,
@@ -37,7 +40,15 @@ object RepoSink {
       trigger: Trigger = Trigger.AvailableNow(),
       exactlyOnce: Boolean = false,
       writerId: String = ""): StreamingQuery = {
-    val wid = if (writerId.nonEmpty) writerId else new java.io.File(checkpointDir).getName
+    val wid =
+      if (writerId.nonEmpty) writerId
+      else {
+        val norm = new java.io.File(checkpointDir).getCanonicalPath
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(norm.getBytes("UTF-8"))
+        val h = md.take(4).map(b => f"$b%02x").mkString
+        s"${new java.io.File(norm).getName}-$h"
+      }
     val writer: DataStreamWriter[org.apache.spark.sql.Row] = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.Queries
+import graft.ops.{Ckpt, Queries}
 import graft.repo.TableRepo
 
 /** Streaming incremental exact dedup against a PERSISTED fingerprint
@@ -64,15 +64,13 @@ object StreamIncrDedup {
     * (batch fingerprints, index snapshot, verdict) are localCheckpoint
     * blocks that ContextCleaner only reclaims on driver GC — over
     * thousands of micro-batches that async backlog bleeds executor
-    * storage, so the blocks this batch created are dropped EAGERLY once
-    * both writes are durable (foreachBatch runs one batch at a time per
-    * query, so the before/after persistent-RDD diff is this batch's own).
+    * storage, so the blocks THIS batch created are tracked explicitly
+    * ([[graft.ops.Ckpt.scoped]]) and dropped eagerly once both writes are
+    * durable — never a concurrent query's cached RDDs.
     */
   def processBatch(batch: DataFrame, index: TableRepo, verdictRepo: TableRepo,
-      writerId: String, batchId: Long, pruned: Boolean = false): Boolean = {
-    val sc = batch.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    try {
+      writerId: String, batchId: Long, pruned: Boolean = false): Boolean =
+    Ckpt.scoped {
       if (index.isBatchCommitted(writerId, batchId)) {
         // step 2 is durable, and step 1 always precedes it: nothing to do
         false
@@ -82,9 +80,5 @@ object StreamIncrDedup {
         index.extendExactlyOnce(survivors, writerId, batchId)
         true
       }
-    } finally
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!before.contains(id)) rdd.unpersist(blocking = false)
-      }
-  }
+    }
 }

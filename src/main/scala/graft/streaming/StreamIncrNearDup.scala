@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.Queries
+import graft.ops.{Ckpt, Queries}
 import graft.repo.TableRepo
 
 /** Streaming NEAR-dup against a persisted MinHash/LSH band index — the
@@ -26,11 +26,14 @@ import graft.repo.TableRepo
   *   2. batch texts → `<writerId>-texts` ledger;
   *   3. batch bands → `<writerId>` ledger (the replay guard — LAST, so
   *      an incomplete batch always recomputes).
-  * The verdict reads the band index BEFORE step 3 and shingles from
-  * `textRepo ∪ batch` deduplicated by doc_id, so a replay after step 2
-  * (batch texts already landed) still derives the same shingle sets —
-  * the union is idempotent. As in the exact twin, each repo's own
-  * ledger then drops whichever writes already landed.
+  * The verify is CANDIDATE-PRUNED: batch-side shingles come from the
+  * batch itself and the dup_of side reads ONLY candidate docs from
+  * `textRepo` via the footer-pruned `readWhereIn` — per-batch verify
+  * cost follows the candidate count, not the corpus size, so cluster
+  * `textRepo` by `doc_id`. Batch-side shingles win deterministically
+  * over the repo copy, so a replay after step 2 (batch texts already
+  * landed) still derives identical shingle sets. As in the exact twin,
+  * each repo's own ledger then drops whichever writes already landed.
   */
 object StreamIncrNearDup {
 
@@ -62,27 +65,17 @@ object StreamIncrNearDup {
     */
   def processBatch(batch: DataFrame, bandIndex: TableRepo, textRepo: TableRepo,
       verdictRepo: TableRepo, writerId: String, batchId: Long,
-      pruned: Boolean = false): Boolean = {
-    val sc = batch.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    try {
+      pruned: Boolean = false): Boolean =
+    Ckpt.scoped {
       if (bandIndex.isBatchCommitted(writerId, batchId)) false
       else {
         val docs = batch.select("doc_id", "text")
-        val shingleSrc =
-          if (textRepo.exists) textRepo.getFullDf.select("doc_id", "text")
-            .unionByName(docs).dropDuplicates("doc_id")
-          else docs
         val (verdict, bands) =
-          Queries.incrNearVerdictAndBands(bandIndex, docs, shingleSrc, pruned)
+          Queries.incrNearVerdictAndBands(bandIndex, docs, textRepo, pruned)
         verdictRepo.extendExactlyOnce(verdict, s"$writerId-verdicts", batchId)
         textRepo.extendExactlyOnce(docs, s"$writerId-texts", batchId)
         bandIndex.extendExactlyOnce(bands, writerId, batchId)
         true
       }
-    } finally
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!before.contains(id)) rdd.unpersist(blocking = false)
-      }
-  }
+    }
 }

@@ -13,7 +13,7 @@ class EventWindowsSpec extends SparkSuite {
   private lazy val events = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select($"event_type", $"value", expr("ts div 1000").as("ts_us"))
+      .select($"event_type", $"value", expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
   }
 
   private def key(r: org.apache.spark.sql.Row) =

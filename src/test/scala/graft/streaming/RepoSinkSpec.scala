@@ -18,14 +18,14 @@ class RepoSinkSpec extends SparkSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(s"$src/events.parquet"))
     val batch = spark.read.parquet(s"$src/events.parquet")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts2", expr("cast(ts as timestamp)"))
     val expected = batch
       .groupBy(date_trunc("hour", col("ts2")).as("h"), col("event_type"))
       .count().collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
     val stream = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(src)
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts2", expr("cast(ts as timestamp)"))
       .withWatermark("ts2", "1 hour")
       .groupBy(window(col("ts2"), "1 hour"), col("event_type"))
       .count()
@@ -112,5 +112,26 @@ class RepoSinkSpec extends SparkSuite {
     q.stop()
     assert(repo.count() == 2)
     assert(repo.getFullDf.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("two exactly-once sinks with same-leaf checkpoint dirs do not share a ledger") {
+    // the default writerId hashes the FULL normalized checkpoint path;
+    // a leaf-name-only identity would make stream B's batch 0 look like
+    // a replay of stream A's batch 0 and silently drop it
+    val repo = new TableRepo(scratch("samelleaf-repo"), spark)
+    val srcA = scratch("samelleaf-a-src"); val srcB = scratch("samelleaf-b-src")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(srcA)
+    Seq((2L, "b")).toDF("id", "v").write.parquet(srcB)
+    val ckA = scratch("samelleaf-a") + "/ckpt"
+    val ckB = scratch("samelleaf-b") + "/ckpt"
+    def run(src: String, ck: String): Unit = {
+      val st = spark.readStream.schema("id LONG, v STRING").parquet(src)
+      val q = RepoSink.start(st, repo, ck, exactlyOnce = true)
+      q.processAllAvailable(); q.stop()
+    }
+    run(srcA, ckA)
+    run(srcB, ckB)
+    assert(repo.count() == 2,
+      "stream B's batch was dropped as a replay of stream A's (shared ledger)")
   }
 }

@@ -14,7 +14,7 @@ class SessionizeSpec extends SparkSuite {
   private lazy val events = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"))
+      .select($"user_id", $"event_id", expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
       .as[Sessionize.Event]
   }
 

@@ -49,9 +49,7 @@ class StreamIncrNearDupSpec extends SparkSuite {
     // crashed attempt of batch 1: steps 1 (verdict) and 2 (texts) landed,
     // step 3 (bands — the replay guard) did not
     val b1 = docs((7L, ANear))
-    val shingleSrc = texts.getFullDf.select("doc_id", "text")
-      .unionByName(b1).dropDuplicates("doc_id")
-    val (v, _) = graft.ops.Queries.incrNearVerdictAndBands(bands, b1, shingleSrc)
+    val (v, _) = graft.ops.Queries.incrNearVerdictAndBands(bands, b1, texts)
     verdicts.extendExactlyOnce(v, "w-verdicts", 1L)
     texts.extendExactlyOnce(b1, "w-texts", 1L)
     assert(verdicts.count() == 1 && texts.count() == 3 && bands.count() == 8)
@@ -84,8 +82,7 @@ class StreamIncrNearDupSpec extends SparkSuite {
     // the BATCH round continues against the stream-built index, using the
     // stream's own text repo as the shingle source
     val more = docs((9L, B + " now"))
-    val verdict = graft.ops.Queries.incrDedupRound(bands, more,
-      texts.getFullDf.select("doc_id", "text").unionByName(more))
+    val verdict = graft.ops.Queries.incrDedupRound(bands, texts, more)
     assert(verdict.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9L, 2L)))
   }
 }

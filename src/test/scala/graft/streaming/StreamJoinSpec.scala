@@ -17,7 +17,7 @@ class StreamJoinSpec extends SparkSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
   }
 
   test("streamed interval join equals the batch interval join") {
