@@ -227,6 +227,16 @@ class TableRepo(
     */
   private def commitNewVersion(write: String => Unit): Unit = {
     val prior = committedVersions
+    // SEAL the outgoing current dir's reader schema before the swap: a
+    // time-travel read of the grace version must see the schema its data
+    // was written under, not whatever the sidecar later evolves to. The
+    // sidecar still holds that schema here — the evolution backfill pins
+    // the widened schema only AFTER its rewrite commits (resolveSchema),
+    // so a pre-evolution snapshot is sealed pre-evolution (the
+    // reference's contract, tests/test_diff_cols.py:15-30). A seal left
+    // by a crashed rewrite is overwritten at the next successful commit
+    // and never read while the dir is still current.
+    sealSchema(dataPath)
     fs.mkdirs(new Path(root))
     var next = prior.lastOption.getOrElse(-1) + 1
     var claimed = false
@@ -266,12 +276,23 @@ class TableRepo(
     * `priorVersions` (the plain `data` dir counted as the oldest).
     */
   private def dropOldSnapshots(priorVersions: Seq[Int], keep: Int): Unit = {
+    // never delete a version dir a pending exactly-once manifest still
+    // pins: the crashed batch's landed files live ONLY there until the
+    // replay moves them forward — deleting it would silently land a
+    // partial batch. The dir is GC'd at a later commit, once the replay
+    // has consumed the manifest.
+    val pinned = pendingLedgerManifests().map(_._1).toSet
     val chain: Seq[Int] =
       (if (fs.exists(new Path(s"$root/data"))) Seq(-1) else Nil) ++ priorVersions
     chain.dropRight(keep).foreach { v =>
-      if (v == -1) fs.delete(new Path(s"$root/data"), true)
+      val dir = if (v == -1) s"$root/data" else s"$root/data-v$v"
+      if (pinned.contains(dir))
+        org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+          s"keeping superseded $dir: a pending exactly-once manifest pins it " +
+            "(crashed batch awaiting replay)")
+      else if (v == -1) fs.delete(new Path(dir), true)
       else {
-        fs.delete(new Path(s"$root/data-v$v"), true)
+        fs.delete(new Path(dir), true)
         fs.delete(new Path(s"$root/_graft_claim-v$v"), false)
       }
     }
@@ -339,6 +360,31 @@ class TableRepo(
     val out = fs.create(new Path(schemaPath), true)
     try out.write(st.json.getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Freeze the current reader schema inside `dir` (underscore-prefixed —
+    * invisible to data scans). Written when the dir is superseded.
+    */
+  private def sealSchema(dir: String): Unit =
+    pinnedSchema.foreach { p =>
+      if (fs.exists(new Path(dir))) {
+        val out = fs.create(new Path(s"$dir/_GRAFT_SCHEMA.json"), true)
+        try out.write(p.json.getBytes("UTF-8"))
+        finally out.close()
+      }
+    }
+
+  /** The schema `dir` was sealed with, if any (absent on dirs superseded
+    * before sealing existed, and on the live current dir).
+    */
+  private def sealedSchema(dir: String): Option[StructType] = {
+    val p = new Path(s"$dir/_GRAFT_SCHEMA.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType])
+      finally in.close()
+    }
   }
 
   /** Project `df` onto `target`: cast pinned columns, null-backfill missing
@@ -917,11 +963,12 @@ class TableRepo(
       case Some(p) => spark.read.schema(p)
       case None    => spark.read.option("mergeSchema", "true")
     }
-    val pend = pendingDeleteSet()
+    val pend = invisibleFiles()
     if (pend.isEmpty) rd.parquet(dataPath)
     else
-      // a crashed pruned merge left replaced-but-undeleted files: exclude
-      // them (basePath keeps dir-encoded partition values visible)
+      // a crashed pruned merge left replaced-but-undeleted files, or a
+      // crashed exactly-once batch left a landed prefix: exclude both
+      // (basePath keeps dir-encoded partition values visible)
       rd.option("basePath", dataPath)
         .parquet(listParquetFiles(dataPath).filterNot(pend.contains): _*)
   }
@@ -939,9 +986,10 @@ class TableRepo(
         val withH = StructType(p.fields ++
           grpHelpers.map { case (c, h) => StructField(h, p(c).dataType) } ++
           bucketColName.map(b => StructField(b, StringType)))
-        // same pending-delete exclusion as readRaw: a crashed pruned
-        // merge's doomed files must be invisible to layout reads too
-        val pend = pendingDeleteSet()
+        // same invisible-file exclusion as readRaw: a crashed pruned
+        // merge's doomed files and a crashed exactly-once batch's landed
+        // prefix must be invisible to layout reads too
+        val pend = invisibleFiles()
         val rd = spark.read.schema(withH)
         val base =
           if (pend.isEmpty) rd.parquet(dataPath)
@@ -981,10 +1029,12 @@ class TableRepo(
   /** Time-travel read: the table AS OF committed snapshot `version`
     * (Delta-style `VERSION AS OF`, bounded by the retention above —
     * `snapshotRetention` grace versions, default 1, trimmable early via
-    * [[vacuum]]). Same pinned-schema scan and harmonization as
-    * [[getFullDf]], so a caller can diff the current state against the
-    * pre-rewrite snapshot — audit a compact/replaceAll/backfill — without
-    * either read touching the other's files. Grace snapshots are sealed
+    * [[vacuum]]). Grace versions read under their SEALED per-version
+    * schema (see below) — a pre-evolution snapshot genuinely lacks later
+    * columns; the current version reads like [[getFullDf]]. A caller can
+    * diff the current state against the pre-rewrite snapshot — audit a
+    * compact/replaceAll/backfill — without either read touching the
+    * other's files. Grace snapshots are sealed
     * (full rewrites land in fresh dirs); only the CURRENT version can
     * carry a crashed pruned-merge's pending deletes, so the exclusion is
     * applied exactly when `version` resolves to it.
@@ -994,16 +1044,26 @@ class TableRepo(
     require(vs.contains(version),
       s"no committed snapshot data-v$version under $root (on disk: ${vs.mkString(", ")})")
     val path = s"$root/data-v$version"
-    val rd = pinnedSchema match {
+    // PER-VERSION schema: a sealed (grace) snapshot reads under the
+    // schema it was superseded with, so time travel across an evolution
+    // backfill shows pre-evolution data WITHOUT the later columns (the
+    // reference's contract, tests/test_diff_cols.py:15-30). The live
+    // current version reads under the live pinned schema; unsealed old
+    // dirs (pre-sealing layouts) fall back to it too.
+    val schemaAt =
+      if (path == dataPath) pinnedSchema
+      else sealedSchema(path).orElse(pinnedSchema)
+    val rd = schemaAt match {
       case Some(p) => spark.read.schema(p)
       case None    => spark.read.option("mergeSchema", "true")
     }
-    val pend = if (path == dataPath) pendingDeleteSet() else Set.empty[String]
+    val pend =
+      if (path == dataPath) invisibleFiles() else pendingLandedFiles(path)
     val base =
       if (pend.isEmpty) rd.parquet(path)
       else rd.option("basePath", path)
         .parquet(listParquetFiles(path).filterNot(pend.contains): _*)
-    pinnedSchema match {
+    schemaAt match {
       case Some(p) => harmonize(base, p)
       case None    => base.drop(helperCols: _*)
     }
@@ -1079,9 +1139,51 @@ class TableRepo(
     * pruned merge already replaced (pending-delete manifest).
     */
   def paths: Seq[String] = {
-    val pend = pendingDeleteSet()
+    val pend = invisibleFiles()
     listParquetFiles(dataPath).filterNot(pend.contains)
   }
+
+  /** Every pending exactly-once manifest across this repo's writers:
+    * (pinned target dir, staged-file relative paths). Driver-metadata
+    * scale — one list per writer dir, empty outside crash windows. A
+    * manifest deleted by a concurrent committer mid-scan is skipped.
+    */
+  private def pendingLedgerManifests(): Seq[(String, Seq[String])] = {
+    val lroot = new Path(s"$root/_graft_ledger")
+    if (!fs.exists(lroot)) return Nil
+    fs.listStatus(lroot).toSeq.filter(_.isDirectory).flatMap { w =>
+      Option(fs.listStatus(w.getPath)).getOrElse(Array.empty).toSeq
+        .filter(_.getPath.getName.endsWith(".pending"))
+        .flatMap { m =>
+          try Some(readManifestAt(m.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        }
+    }
+  }
+
+  /** Qualified paths (under `target`) of files a crashed exactly-once
+    * batch already renamed in — the landed PREFIX of an UNCOMMITTED
+    * batch. Readers exclude them (read-committed: a batch is visible only
+    * once its ledger marker exists), and that exclusion is what keeps a
+    * data-PRESERVING full rewrite (compact, schema backfill) from
+    * carrying the prefix into the new version — replay moves the
+    * originals back from the grace dir and re-lands the whole batch,
+    * which would otherwise double those rows.
+    */
+  private def pendingLandedFiles(target: String): Set[String] = {
+    val tq = fs.makeQualified(new Path(target)).toString
+    pendingLedgerManifests().iterator
+      .filter(_._1 == target)
+      .flatMap(_._2.map(rel => s"$tq/$rel"))
+      .toSet
+  }
+
+  /** Files every reader of the CURRENT version must skip: a crashed
+    * pruned-merge's doomed files plus a crashed exactly-once batch's
+    * landed prefix.
+    */
+  private def invisibleFiles(): Set[String] =
+    pendingDeleteSet() ++ pendingLandedFiles(dataPath)
 
   /** Recursive .parquet listing under `base` (no pending-delete filter). */
   private def listParquetFiles(base: String): Seq[String] = {
@@ -1158,9 +1260,12 @@ class TableRepo(
   //      and the names carry the staging job's uuid, so they collide
   //      with nothing;
   //   4. a COMMIT marker (`_graft_ledger/<w>/<b>`) makes future replays
-  //      no-ops; staging leftovers are dropped and markers more than
-  //      `LedgerKeep` batches behind are pruned (the streaming engine
-  //      only ever replays batches since its last checkpoint).
+  //      no-ops; staging leftovers are dropped and the writer's
+  //      high-water mark (`_hwm-<b>`) subsumes + trims every marker at or
+  //      below it — the ledger holds O(1) entries per writer, and
+  //      `isBatchCommitted` answers from the hwm for trimmed ids (the
+  //      streaming engine only replays batches since its last checkpoint,
+  //      with monotonic batchIds).
   // Recovery is FORWARD: a replay that finds the manifest skips staging
   // and re-runs the renames (an already-moved file is simply absent from
   // staging — a no-op). If a concurrent full rewrite superseded the
@@ -1173,8 +1278,6 @@ class TableRepo(
   // crash window may observe a PREFIX of the batch (renames are
   // per-file); recovery always resolves to exactly-once, never twice.
 
-  private val LedgerKeep = 1000L
-
   private def ledgerDir(writerId: String): Path = {
     require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\\'),
       s"writerId must be a plain name: '$writerId'")
@@ -1184,9 +1287,30 @@ class TableRepo(
   private def batchStaging(writerId: String, batchId: Long): String =
     s"$root/_graft_staging/$writerId-$batchId"
 
-  /** Has `batchId` from `writerId` been durably committed? */
+  /** Has `batchId` from `writerId` been durably committed? Either its
+    * own marker exists, or it sits at/below the writer's high-water mark
+    * (`_hwm-<n>`) — the trimmed prefix. BatchIds are monotonic per writer
+    * (the streaming engine's contract the ledger is built for); a writer
+    * replaying ids out of order below a later hwm would see them reported
+    * committed.
+    */
   def isBatchCommitted(writerId: String, batchId: Long): Boolean =
-    fs.exists(new Path(ledgerDir(writerId), batchId.toString))
+    batchId <= ledgerHwm(writerId) ||
+      fs.exists(new Path(ledgerDir(writerId), batchId.toString))
+
+  /** Highest batchId whose marker prefix was trimmed: max over `_hwm-<n>`
+    * files (two can coexist for the tiny window between writing the new
+    * one and deleting the old — max wins; there is never a window with
+    * neither once one exists).
+    */
+  private def ledgerHwm(writerId: String): Long = {
+    val dir = ledgerDir(writerId)
+    if (!fs.exists(dir)) -1L
+    else Option(fs.listStatus(dir)).getOrElse(Array.empty).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_hwm-"))
+      .map(_.stripPrefix("_hwm-").toLong)
+      .maxOption.getOrElse(-1L)
+  }
 
   /** Steps 1–2 of the protocol: stage the batch and pin its manifest.
     * Package-visible so crash-window states are constructible in specs.
@@ -1214,8 +1338,11 @@ class TableRepo(
     out.close()
   }
 
-  private def readBatchManifest(writerId: String, batchId: Long): (String, Seq[String]) = {
-    val in = fs.open(manifestPath(writerId, batchId))
+  private def readBatchManifest(writerId: String, batchId: Long): (String, Seq[String]) =
+    readManifestAt(manifestPath(writerId, batchId))
+
+  private def readManifestAt(p: Path): (String, Seq[String]) = {
+    val in = fs.open(p)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
@@ -1239,7 +1366,7 @@ class TableRepo(
     replayPendingDeletes()
     val marker = new Path(ledgerDir(writerId), batchId.toString)
     val staging = batchStaging(writerId, batchId)
-    if (fs.exists(marker)) {
+    if (isBatchCommitted(writerId, batchId)) {
       fs.delete(new Path(staging), true) // leftover of a crashed duplicate attempt
       false
     } else {
@@ -1276,12 +1403,22 @@ class TableRepo(
       fs.create(marker, true).close()
       fs.delete(manifestPath(writerId, batchId), false)
       fs.delete(new Path(staging), true)
-      Option(fs.listStatus(ledgerDir(writerId))).getOrElse(Array.empty)
-        .filter { s =>
-          val n = s.getPath.getName
-          n.forall(_.isDigit) && n.toLong < batchId - LedgerKeep
-        }
-        .foreach(s => fs.delete(s.getPath, false))
+      // advance the high-water mark and trim the prefix: batchIds are
+      // monotonic per writer, so one _hwm-<n> file subsumes every marker
+      // <= n — the ledger stays O(1) per writer instead of a marker per
+      // batch forever. Crash order is safe: the marker above is the
+      // commit point; a crash before the new hwm lands leaves the marker,
+      // a crash mid-trim leaves markers the hwm already covers.
+      if (batchId > ledgerHwm(writerId)) {
+        fs.create(new Path(ledgerDir(writerId), s"_hwm-$batchId"), true).close()
+        Option(fs.listStatus(ledgerDir(writerId))).getOrElse(Array.empty)
+          .filter { s =>
+            val n = s.getPath.getName
+            (n.startsWith("_hwm-") && n.stripPrefix("_hwm-").toLong < batchId) ||
+              (n.nonEmpty && n.forall(_.isDigit) && n.toLong <= batchId)
+          }
+          .foreach(s => fs.delete(s.getPath, false))
+      }
       true
     }
   }

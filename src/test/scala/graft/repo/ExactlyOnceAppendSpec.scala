@@ -160,4 +160,64 @@ class ExactlyOnceAppendSpec extends SparkSuite {
     assert(repo.count() == 20)
     assert(repo.isBatchCommitted("sink", 0L))
   }
+
+  /** Build the crash window: batch staged + manifest pinned + ONE staged
+    * file already renamed into the current version dir, marker absent.
+    * Returns nothing — the repo is left mid-crash.
+    */
+  private def crashMidRename(repo: TableRepo, lo: Int, hi: Int, batchId: Long): Unit = {
+    repo.stageBatchOnly(batch(lo, hi), "w", batchId)
+    val staging = new Path(s"${repo.root}/_graft_staging/w-$batchId")
+    val staged = {
+      val it = fs.listFiles(staging, true)
+      val b = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) b += f.getPath }
+      b.toSeq
+    }
+    assert(staged.size >= 2, s"need multiple staged files, got ${staged.size}")
+    val moved = staged.head
+    val rel = moved.toString.stripPrefix(fs.makeQualified(staging).toString + "/")
+    assert(fs.rename(moved, new Path(s"${repo.root}/data/$rel")))
+  }
+
+  test("crash window spanning a COMPACT: the half-landed batch is not doubled") {
+    val repo = new TableRepo(scratch("eo-compact"), spark, maxRecordsPerFile = 3)
+    repo.extendExactlyOnce(batch(0, 5), "w", 0L)
+    crashMidRename(repo, 5, 17, 1L)
+    assert(repo.count() == 5, "an uncommitted batch's landed prefix must be invisible")
+    // the data-PRESERVING rewrite must not carry the landed file into the
+    // new version — replay pulls it back from the grace dir and re-lands
+    // the whole batch, which would double those rows
+    repo.compact(targetRecordsPerFile = 4)
+    assert(repo.count() == 5, "compact must not surface the uncommitted prefix")
+    assert(repo.extendExactlyOnce(batch(5, 17), "w", 1L))
+    assert(repo.count() == 17)
+    assert(repo.getFullDf.select("k").distinct().count() == 17, "no doubled rows")
+  }
+
+  test("vacuum keeps a grace version a pending manifest still pins; replay lands the full batch") {
+    val repo = new TableRepo(scratch("eo-vacuum"), spark,
+      maxRecordsPerFile = 3, snapshotRetention = 2)
+    repo.extendExactlyOnce(batch(0, 5), "w", 0L)
+    crashMidRename(repo, 5, 17, 1L)
+    repo.compact(targetRecordsPerFile = 4) // plain data dir becomes grace, still pinned
+    repo.vacuum(keepLast = 1)              // must NOT delete the pinned grace dir
+    assert(repo.extendExactlyOnce(batch(5, 17), "w", 1L),
+      "replay must land the batch after vacuum")
+    assert(repo.count() == 17, "vacuum deleted a pinned grace version: partial batch")
+    assert(repo.getFullDf.select("k").distinct().count() == 17)
+  }
+
+  test("ledger stays O(1): 100 batches leave only the high-water mark; trimmed replays no-op") {
+    val repo = new TableRepo(scratch("eo-trim"), spark)
+    val df = batch(0, 3)
+    (0 until 100).foreach(b => assert(repo.extendExactlyOnce(df, "w", b.toLong)))
+    val entries = fs.listStatus(new Path(s"${repo.root}/_graft_ledger/w"))
+      .map(_.getPath.getName).toSeq
+    assert(entries.size <= 2, s"ledger must not grow with batch count: $entries")
+    (0 until 100).foreach(b => assert(repo.isBatchCommitted("w", b.toLong)))
+    assert(!repo.extendExactlyOnce(df, "w", 0L), "a trimmed batch must replay as a no-op")
+    assert(!repo.extendExactlyOnce(df, "w", 57L), "a trimmed batch must replay as a no-op")
+    assert(repo.count() == 300)
+  }
 }

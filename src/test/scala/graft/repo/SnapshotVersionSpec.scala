@@ -82,6 +82,29 @@ class SnapshotVersionSpec extends SparkSuite {
     assert(repo.getDfAt(1).collect().map(_.getString(1)).toSeq == Seq("c"))
   }
 
+  test("time travel across an evolution backfill keeps the per-version schema " +
+      "(diff_cols.py:15-30)") {
+    val repo = new TableRepo(scratch("snap-evo"), spark,
+      keyCols = Seq("id"), allowSchemaExtension = true)
+    repo.extend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    repo.compact(targetRecordsPerFile = 10) // -> v0, sealed pre-evolution
+    val pre = repo.snapshotVersions.last
+    // evolution: the new column triggers a widening backfill rewrite -> v1
+    repo.extend(Seq((3L, "c", 9L)).toDF("id", "v", "w"))
+    assert(repo.getFullDf.columns.toSeq == Seq("id", "v", "w"))
+    assert(repo.snapshotVersions.size == 2)
+    // the pre-evolution snapshot genuinely LACKS the widened column —
+    // harmonizing history to today's schema would fake a null column
+    // into data that never had it
+    assert(repo.getDfAt(pre).columns.toSeq == Seq("id", "v"),
+      s"pre-evolution snapshot must not show the later column")
+    assert(repo.getDfAt(pre).count() == 2)
+    // the post-evolution (current) version carries it, null-backfilled
+    val cur = repo.snapshotVersions.last
+    assert(repo.getDfAt(cur).columns.toSeq == Seq("id", "v", "w"))
+    assert(repo.getDfAt(cur).where($"w".isNull).count() == 2)
+  }
+
   test("snapshotDiff emits only the changed subset, null-safely") {
     val repo = new TableRepo(scratch("snap-diff"), spark, keyCols = Seq("id"))
     repo.extend(Seq((1L, "a")).toDF("id", "v"))
