@@ -3,84 +3,62 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.Queries
+import graft.functions.TextFns
 import graft.repo.TableRepo
 
-/** PRUNE study — measured evidence for the candidate-pruned exact-Jaccard
-  * verify in the incremental near-dup family (round 10's refactor): the
-  * verify's text-repo scan must track the CANDIDATE COUNT, not the corpus
-  * size. Seeds a band index (bh-clustered) and companion text repo
-  * (doc_id-clustered) with most of `documents`, then drives the remaining
-  * docs through `incrDedupRoundPruned` in N batches; per batch it records
-  * the candidate pairs, distinct dup_of needles, and the files/bytes the
-  * pruned `readWhereIn` text read touches vs the text repo's total. The
-  * batch rounds (`q_incr_dedup`, `q_incr_dedup_lsh_pruned`) and the
-  * streaming twin ([[graft.streaming.StreamIncrNearDup]]) share this
-  * engine ([[Queries.incrNearVerdictAndBands]]), so one measurement
-  * covers both paths.
+/** Footer-prune effectiveness study for the incremental-dedup index
+  * probe ([[graft.repo.TableRepo.readWhereIn]]): seeds a fingerprint
+  * index CLUSTERED by fp from each given corpus dir, probes it with the
+  * SAME fixed batch (derived from the first dir), and reports total vs
+  * scanned file counts. The scale claim on file in SCALE.md: with the
+  * batch held fixed, a 10× index grows `files_total` 10× while
+  * `files_scanned` stays bounded by the batch's distinct fingerprints —
+  * the probe's scan cost follows the BATCH, not the index. The full-scan
+  * probe (`q_incr_dedup_exact`'s shape) reads `files_total` by
+  * construction; the gap between the two columns is the 100 TB argument.
   *
-  * Usage: runMain graft.PruneStudy [sfDir] [nBatches]
-  * Emits a markdown table (for SCALE.md) + one JSON summary line.
+  * The interesting regime is needles ≪ files (a micro-batch probing a
+  * big index): uniform md5 fingerprints hit ≈ min(needles, files)
+  * distinct file ranges, so with needles ≥ files every file is touched
+  * no matter the layout — which is also why the full-scan twin is FINE
+  * until the index outgrows the batch by orders of magnitude.
+  *
+  * Usage: runMain graft.PruneStudy [batchDir] [indexDir1,...] [batchSize] [recsPerFile]
   */
 object PruneStudy {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nBatches = if (args.length > 1) args(1).toInt else 20
+    val batchDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val indexDirs = (if (args.length > 1) args(1)
+      else s"$batchDir,/root/repo/target/sf1").split(",").toSeq
+    val batchSize = if (args.length > 2) args(2).toInt else 16
+    val recsPerFile = if (args.length > 3) args(3).toLong else 500L
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val root = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/scratch") +
-      s"/prunestudy-${ProcessHandle.current().pid()}"
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val index = new TableRepo(s"$root/bands", spark,
-      maxRecordsPerFile = 2000, clusterCols = Seq("bh"))
-    val texts = new TableRepo(s"$root/texts", spark,
-      maxRecordsPerFile = 200, clusterCols = Seq("doc_id"))
+    // fixed probe batch: the first `batchSize` documents of the batch corpus
+    val batch = spark.read.parquet(s"$batchDir/documents.parquet")
+      .orderBy(col("doc_id")).limit(batchSize)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val batchN = batch.count()
 
-    // seed = 80% of the corpus; batches = the rest in nBatches slices
-    val seed = docs.filter(col("doc_id") % 100 < 80)
-    Queries.incrDedupSeed(index, texts, seed)
-
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(root), spark.sparkContext.hadoopConfiguration)
-    def bytesOf(paths: Seq[String]): Long =
-      paths.map(p => fs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).sum
-
-    println("| batch | batch docs | candidates | needles | corpus docs | repo files | files scanned | repo MB | MB scanned | scan frac |")
-    println("|---|---|---|---|---|---|---|---|---|---|")
-    var maxFrac = 0.0
-    val rows = (0 until nBatches).map { i =>
-      val slice = 80 + (20 * i) / nBatches
-      val hi = 80 + (20 * (i + 1)) / nBatches
-      val batch = docs.filter(col("doc_id") % 100 >= slice && col("doc_id") % 100 < hi)
-      val bDocs = batch.count()
-      val (cand, _) = Queries.incrNearCandAndBands(index, batch, pruned = true)
-      val dupIds = cand.select(col("dup_of").as("doc_id")).distinct()
-      val nCand = cand.count()
-      val nNeedle = dupIds.count()
-      val repoFiles = texts.paths
-      val scanFiles = texts.prunedFilesFor(dupIds, "doc_id")
-      val repoB = bytesOf(repoFiles)
-      val scanB = bytesOf(scanFiles)
-      val corpusN = texts.count()
-      val frac = if (repoB == 0) 0.0 else scanB.toDouble / repoB
-      maxFrac = math.max(maxFrac, frac)
-      println(f"| $i | $bDocs | $nCand | $nNeedle | $corpusN | ${repoFiles.size} | ${scanFiles.size} | ${repoB / 1e6}%.2f | ${scanB / 1e6}%.2f | $frac%.3f |")
-      // run the real round so the next batch dedups against this one too
-      Queries.incrDedupRoundPruned(index, texts, batch).count()
-      (nCand, nNeedle, scanB, repoB)
+    indexDirs.foreach { dir =>
+      val root = s"target/scratch/prune-study-${System.nanoTime()}"
+      val index = new TableRepo(root, spark,
+        maxRecordsPerFile = recsPerFile, clusterCols = Seq("fp"))
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      index.extend(corpus.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")))
+      val total = index.nFiles
+      val scanned = index.prunedFilesFor(batch.select(col("fp")), "fp").size
+      val hits = index.readWhereIn(batch.select(col("fp")), "fp").count()
+      println(s"""{"index_dir":"$dir","batch_fps":$batchN,"files_total":$total,""" +
+        s""""files_scanned":$scanned,"scan_frac":${scanned.toDouble / total},"hits":$hits}""")
+      index.purge()
     }
-    val totScan = rows.map(_._3).sum
-    val totRepo = rows.map(_._4).max
-    println(s"""{"study":"prune","sf_dir":"$dir","batches":$nBatches,""" +
-      s""""max_scan_frac":$maxFrac,"total_scanned_bytes":$totScan,""" +
-      s""""final_repo_bytes":$totRepo}""")
     spark.stop()
   }
 }

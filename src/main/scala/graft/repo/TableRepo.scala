@@ -63,8 +63,9 @@ class TableRepo(
     val snapshotRetention: Int = 1
 ) {
   require(snapshotRetention >= 1, "snapshotRetention keeps at least the one grace version")
-  require(zOrderCols.isEmpty || zOrderCols.length == 2,
-    "zOrderCols interleaves exactly two numeric columns")
+  require(zOrderCols.isEmpty || (zOrderCols.length >= 2 && zOrderCols.length <= 6),
+    "zOrderCols interleaves 2 to 6 numeric columns (64/k bits per dimension; " +
+      "beyond ~4 the resolution is usually too coarse to prune well)")
   require(zOrderCols.isEmpty || clusterCols.isEmpty,
     "zOrderCols and clusterCols are alternative clustering policies")
 
@@ -133,15 +134,14 @@ class TableRepo(
   private val zColName = "__graft_z__"
 
   /** Attach the clustering sort key: the cluster columns themselves, or —
-    * for z-order — the Morton interleave of both dimensions, so files
-    * cover compact 2-D boxes (a lexicographic sort clusters only the
+    * for z-order — the Morton interleave of all k dimensions, so files
+    * cover compact k-D boxes (a lexicographic sort clusters only the
     * leading column). The code column exists only inside the write plan;
     * dropped before the write, it never reaches disk.
     */
   private def clusterKeyed(df: DataFrame): (DataFrame, Seq[String]) =
     if (zOrderCols.nonEmpty)
-      (df.withColumn(zColName, ZOrder.code(col(zOrderCols.head), col(zOrderCols(1)))),
-        Seq(zColName))
+      (df.withColumn(zColName, ZOrder.codeK(zOrderCols.map(col))), Seq(zColName))
     else (df, clusterCols)
 
   private def clustered(df: DataFrame): DataFrame =

@@ -38,6 +38,30 @@ object ZOrder {
   def code(a: Column, b: Column): Column =
     GraftSql.column(ZOrderExpr(
       GraftSql.expression(a.cast("long")), GraftSql.expression(b.cast("long"))))
+
+  /** k-D Morton code (k = 2..6): interleave the low 64/k bits of each
+    * column, dimension d at bit positions i*k + d. The 2-D case routes
+    * through the native [[ZOrderExpr]] fast path; higher k composes
+    * built-in shift/and/or functions — every term is codegen'd, so the
+    * write path stays inside whole-stage codegen either way. Precision
+    * drops with k (32/21/16/12/10 bits per dimension): values wider than
+    * 64/k bits alias in the top bits, which weakens clustering but never
+    * correctness (the z-code is a SORT key only). Beyond ~4 columns the
+    * per-dimension resolution is usually too coarse to prune well —
+    * prefer partitioning on the extra columns instead.
+    */
+  def codeK(cols: Seq[Column]): Column = {
+    val k = cols.size
+    require(k >= 2 && k <= 6, s"z-order interleaves 2..6 columns, got $k")
+    if (k == 2) code(cols.head, cols(1))
+    else {
+      import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+      val bitsPer = 64 / k
+      val terms = for { d <- 0 until k; i <- 0 until bitsPer } yield
+        shiftleft(shiftright(cols(d).cast("long"), i).bitwiseAND(lit(1L)), i * k + d)
+      terms.reduce(_.bitwiseOR(_))
+    }
+  }
 }
 
 case class ZOrderExpr(left: Expression, right: Expression) extends BinaryExpression {

@@ -62,6 +62,44 @@ class ZOrderPruneSpec extends SparkSuite {
     assert(touches(bs, (0L, 24L), (0L, 99L)) < bs.size)
   }
 
+  test("3-D z-order files cover compact 3-D boxes; each dimension prunes") {
+    // 32x32x32 grid, 21 bits per dimension (k=3 path: composed shifts)
+    val g3 = spark.range(32768).select(col("id"),
+      (col("id") % 32).as("x"),
+      ((col("id") / 32) % 32).cast("long").as("y"),
+      (col("id") / 1024).cast("long").as("z"))
+    val repo = new TableRepo(scratch("zorder3"), spark,
+      maxRecordsPerFile = 2048, zOrderCols = Seq("x", "y", "z"))
+    repo.extend(g3)
+    val bs = FileStats.columnRanges(spark, repo.paths, Seq("x", "y", "z")).map { case (p, m) =>
+      def rng(c: String): (Long, Long) = m(c) match {
+        case Some((lo, hi)) => (lo.asInstanceOf[Number].longValue, hi.asInstanceOf[Number].longValue)
+        case None           => fail(s"file $p has no usable stats for $c")
+      }
+      (rng("x"), rng("y"), rng("z"))
+    }
+    assert(bs.size >= 8, s"expected ~16 rolled files, got ${bs.size}")
+    // the 8x8x8 corner octant (1.6% of rows) is one contiguous Morton
+    // range: it must touch a small fraction of the files
+    val corner = bs.count { case ((xlo, _), (ylo, _), (zlo, _)) =>
+      xlo <= 7 && ylo <= 7 && zlo <= 7 }
+    val cornerHit = bs.count { case ((xlo, xhi), (ylo, yhi), (zlo, zhi)) =>
+      !(xhi < 0 || xlo > 7 || yhi < 0 || ylo > 7 || zhi < 0 || zlo > 7) }
+    assert(cornerHit <= math.max(2, bs.size / 4),
+      s"corner octant touches $cornerHit of ${bs.size} 3-D z-order files ($corner contain it)")
+    // every dimension individually prunes something (each owns interleaved bits)
+    for ((dim, get) <- Seq[(String, ((Long, Long), (Long, Long), (Long, Long)) => (Long, Long))](
+        ("x", (a, _, _) => a), ("y", (_, b, _) => b), ("z", (_, _, c) => c))) {
+      val slab = bs.count { b => val (lo, hi) = get.tupled(b); !(hi < 0 || lo > 7) }
+      assert(slab < bs.size, s"$dim-slab touches all ${bs.size} files")
+    }
+    // and results are unchanged
+    val pred = col("x") <= 7 && col("y") <= 7 && col("z") <= 7
+    assertSameRows(
+      repo.getFullDf.filter(pred).select(col("id")).orderBy(col("id")),
+      g3.filter(pred).select(col("id")).orderBy(col("id")))
+  }
+
   test("clustering never changes query results") {
     val repo = new TableRepo(scratch("zorder-rows"), spark,
       maxRecordsPerFile = 1000, zOrderCols = Seq("x", "y"))
