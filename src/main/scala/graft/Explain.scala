@@ -35,7 +35,9 @@ object Explain {
         "q_strip_dup_spans", "q_diverse_sample", "q_time_travel", "q_snapshot_diff",
         "q_incr_dedup", "q_chunk_docs", "q_winnow", "q_semdedup",
         "q_incr_dedup_exact", "q_zorder_prune", "q_incr_dedup_pruned",
-        "q_incr_dedup_lsh_pruned")
+        "q_incr_dedup_lsh_pruned",
+        // round 11
+        "q_ivf_train")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

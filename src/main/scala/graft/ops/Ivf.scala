@@ -86,7 +86,7 @@ object Ivf {
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
     cent.select(col("centroid_id"), posexplode(col("c_emb")))
       .select(col("centroid_id"), col("pos").cast("long").as("pos"), col("col").as("c_val"))
-      .join(sizes, Seq("centroid_id"))
+      .join(broadcast(sizes), Seq("centroid_id"))
       .select(col("centroid_id"), col("pos"), col("c_val"), col("n"))
   }
 
