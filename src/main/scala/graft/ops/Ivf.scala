@@ -90,11 +90,12 @@ object Ivf {
       .select(col("centroid_id"), col("pos"), col("c_val"), col("n"))
   }
 
-  /** The DuckDB oracle for [[trainResult]]: the same pinned Lloyd,
-    * unrolled. `cosine(a, b)` must be the caller's `sqlCosine` (in-order
-    * DOUBLE[] inner products — bitwise equal to the Spark side).
+  /** The shared Lloyd CTE chain (c0, a0, c1, …, c<iters>, afin) — the
+    * DuckDB replay of [[train]] plus the final full assignment.
+    * `cosine(a, b)` must be the caller's `sqlCosine` (in-order DOUBLE[]
+    * inner products — bitwise equal to the Spark side).
     */
-  def oracleSql(k: Int, iters: Int, cosine: (String, String) => String): String = {
+  private def lloydCtes(k: Int, iters: Int, cosine: (String, String) => String): String = {
     def assignSql(cTbl: String, out: String) =
       s"""$out AS (SELECT vec_id, centroid_id, embedding FROM (
          |  SELECT e.vec_id AS vec_id, e.embedding AS embedding, c.centroid_id AS centroid_id,
@@ -110,16 +111,75 @@ object Ivf {
     val steps = (0 until iters).flatMap { i =>
       Seq(assignSql(s"c$i", s"a$i"), updateSql(s"a$i", s"c${i + 1}"))
     }
-    val cFinal = s"c$iters"
-    (s"""WITH c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_emb
-        | FROM embeddings WHERE vec_id < $k),
-        | ${steps.mkString(",\n ")},
-        | ${assignSql(cFinal, "afin")},
+    s"""c0 AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS c_emb
+       | FROM embeddings WHERE vec_id < $k),
+       | ${steps.mkString(",\n ")},
+       | ${assignSql(s"c$iters", "afin")}""".stripMargin
+  }
+
+  /** The DuckDB oracle for [[trainResult]]. */
+  def oracleSql(k: Int, iters: Int, cosine: (String, String) => String): String =
+    (s"""WITH ${lloydCtes(k, iters, cosine)},
         | sizes AS (SELECT centroid_id, count(*) AS n FROM afin GROUP BY centroid_id)
         | SELECT c.centroid_id AS centroid_id,
         |   CAST(generate_subscripts(c.c_emb, 1) - 1 AS BIGINT) AS pos,
         |   unnest(c.c_emb) AS c_val, sizes.n AS n
-        | FROM $cFinal c JOIN sizes ON sizes.centroid_id = c.centroid_id""")
+        | FROM c$iters c JOIN sizes ON sizes.centroid_id = c.centroid_id""")
       .stripMargin.replaceAll("\n", "")
+
+  /** Trained-IVF ANN top-k (the q_ivf_probe engine): train pinned-seed
+    * centroids, assign the corpus once, then answer each query from the
+    * members of its `nprobe` nearest clusters only — the classic IVF
+    * trade ([[graft.RecallStudy]] measures recall 0.30/0.50 at nprobe
+    * 1/2 on sf0.1). Scale shape: queries×centroids is a broadcast
+    * cross of two tiny frames; the candidate join touches ~nprobe/k of
+    * the corpus (at rest, cluster-partition the assignment table and
+    * this becomes partition pruning); the per-query top-k window gets a
+    * partial WindowGroupLimit.
+    */
+  def probeTopK(embs: DataFrame, k: Int, iters: Int, nprobe: Int,
+      maxQueryId: Long, topK: Int): DataFrame = {
+    val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
+    val cent = Ckpt(train(e, k, iters))
+    val asg = assign(e, cent)
+    val q = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        VectorFns.norm2(col("embedding")).as("q_nrm"))
+    val c = cent.select(col("centroid_id"), col("c_emb"),
+      sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val qc = broadcast(q).crossJoin(broadcast(c))
+      .withColumn("csim",
+        VectorFns.dotHof(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    broadcast(qc)
+      .join(asg.select(col("vec_id").as("n_id"), col("centroid_id"),
+        col("embedding").as("n_emb")), Seq("centroid_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", VectorFns.dot(col("q_emb"), col("n_emb")) /
+        (col("q_nrm") * VectorFns.norm2(col("n_emb"))))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+      .select(col("q_id"), col("n_id"), col("sim"))
   }
+
+  /** The DuckDB oracle for [[probeTopK]]. */
+  def probeOracleSql(k: Int, iters: Int, nprobe: Int, maxQueryId: Long,
+      topK: Int, cosine: (String, String) => String): String =
+    (s"""WITH ${lloydCtes(k, iters, cosine)},
+        | q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < $maxQueryId),
+        | qc AS (SELECT q_id, centroid_id FROM (
+        |   SELECT q.q_id AS q_id, c.centroid_id AS centroid_id,
+        |     row_number() OVER (PARTITION BY q.q_id
+        |       ORDER BY ${cosine("q.q_emb", "c.c_emb")} DESC, c.centroid_id) AS rn
+        |   FROM q CROSS JOIN c$iters c) WHERE rn <= $nprobe),
+        | cand AS (SELECT qc.q_id AS q_id, a.vec_id AS n_id, a.embedding AS n_emb
+        |   FROM qc JOIN afin a ON a.centroid_id = qc.centroid_id AND a.vec_id <> qc.q_id),
+        | p AS (SELECT cand.q_id AS q_id, cand.n_id AS n_id,
+        |     ${cosine("qe.embedding", "cand.n_emb")} AS sim
+        |   FROM cand JOIN embeddings qe ON qe.vec_id = cand.q_id)
+        | SELECT q_id, n_id, sim FROM p
+        | QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) <= $topK""")
+      .stripMargin.replaceAll("\n", "")
 }

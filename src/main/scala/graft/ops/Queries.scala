@@ -1463,6 +1463,16 @@ object Queries {
       Ivf.trainResult(t(s, d, "embeddings"), 8, 3)
     },
 
+    // ---- trained-IVF ANN probe ----------------------------------------
+    // The retrieval face of q_ivf_train: answer each query from its
+    // nprobe=2 nearest trained clusters only (RecallStudy: recall@5
+    // 0.50 at half the corpus untouched on sf0.1; nprobe scales recall
+    // smoothly toward exhaustive). Same query/top-k protocol as
+    // q_topk_cosine so the two are directly comparable.
+    Q("q_ivf_probe", Some(Ivf.probeOracleSql(8, 3, 2, 5L, 10, sqlCosine))) { (s, d) =>
+      Ivf.probeTopK(t(s, d, "embeddings"), 8, 3, 2, 5L, 10)
+    },
+
     // ---- cluster-balanced diverse sampling (corpus selection) ---------
     // The selection step of SemDeDup (Abbas et al. '23) / DsDm-style
     // cluster-balanced corpus curation: assign every embedding to its
