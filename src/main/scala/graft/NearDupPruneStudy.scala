@@ -19,13 +19,18 @@ import graft.repo.TableRepo
   * engine ([[Queries.incrNearVerdictAndBands]]), so one measurement
   * covers both paths.
   *
-  * Usage: runMain graft.NearDupPruneStudy [sfDir] [nBatches]
+  * Usage: runMain graft.NearDupPruneStudy [sfDir] [nBatches] [batch|stream]
   * Emits a markdown table (for SCALE.md) + one JSON summary line.
   */
 object NearDupPruneStudy {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = if (args.length > 1) args(1).toInt else 20
+    // "batch" drives rounds through incrDedupRoundPruned (the q_incr_dedup
+    // engines); "stream" drives the SAME batches through
+    // StreamIncrNearDup.processBatch (ledgered three-write micro-batch),
+    // proving the candidate-pruned verify holds on the streaming path too
+    val mode = if (args.length > 2) args(2) else "batch"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -42,6 +47,7 @@ object NearDupPruneStudy {
       maxRecordsPerFile = 2000, clusterCols = Seq("bh"))
     val texts = new TableRepo(s"$root/texts", spark,
       maxRecordsPerFile = 200, clusterCols = Seq("doc_id"))
+    val verdicts = new TableRepo(s"$root/verdicts", spark)
 
     // seed = the first 80% of doc_ids; batches = CONTIGUOUS id slices of
     // the rest — the realistic ingest shape (new docs get new increasing
@@ -49,10 +55,17 @@ object NearDupPruneStudy {
     // id range and stays prunable. A modulo split would make every
     // appended file span the whole id domain and defeat footer pruning —
     // a layout lesson, not an engine property.
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    val cut = (maxId + 1) * 8 / 10
-    val batchW = math.max(1L, ((maxId + 1) - cut) / nBatches)
-    val seed = docs.filter(col("doc_id") < cut)
+    // rank-based slicing (id domains can be sparse — the ScaleUp corpus
+    // shifts replica ids): seed = first 80% of docs by id order, batches
+    // = equal contiguous-id slices of the rest
+    val ranked = docs.withColumn("__r",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))).cast("long") - 1)
+      .localCheckpoint(true)
+    val nDocs = ranked.count()
+    val seedN = nDocs * 8 / 10
+    val batchW = math.max(1L, (nDocs - seedN) / nBatches)
+    val seed = ranked.filter(col("__r") < seedN).drop("__r")
     Queries.incrDedupSeed(index, texts, seed)
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -64,9 +77,9 @@ object NearDupPruneStudy {
     println("|---|---|---|---|---|---|---|---|---|---|")
     var maxFrac = 0.0
     val rows = (0 until nBatches).map { i =>
-      val lo = cut + batchW * i
-      val hi = if (i == nBatches - 1) maxId + 1 else cut + batchW * (i + 1)
-      val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val lo = seedN + batchW * i
+      val hi = if (i == nBatches - 1) nDocs else seedN + batchW * (i + 1)
+      val batch = ranked.filter(col("__r") >= lo && col("__r") < hi).drop("__r")
       val bDocs = batch.count()
       val (cand, _) = Queries.incrNearCandAndBands(index, batch, pruned = true)
       val dupIds = cand.select(col("dup_of").as("doc_id")).distinct()
@@ -81,7 +94,11 @@ object NearDupPruneStudy {
       maxFrac = math.max(maxFrac, frac)
       println(f"| $i | $bDocs | $nCand | $nNeedle | $corpusN | ${repoFiles.size} | ${scanFiles.size} | ${repoB / 1e6}%.2f | ${scanB / 1e6}%.2f | $frac%.3f |")
       // run the real round so the next batch dedups against this one too
-      Queries.incrDedupRoundPruned(index, texts, batch).count()
+      if (mode == "stream")
+        graft.streaming.StreamIncrNearDup.processBatch(
+          batch, index, texts, verdicts, "study", i.toLong, pruned = true)
+      else
+        Queries.incrDedupRoundPruned(index, texts, batch).count()
       // the operational knob: periodic compaction re-clusters appended
       // text files into disjoint doc_id ranges, keeping the pruned read
       // sharp as the repo grows (watch the frac drop after each compact)
@@ -90,7 +107,7 @@ object NearDupPruneStudy {
     }
     val totScan = rows.map(_._3).sum
     val totRepo = rows.map(_._4).max
-    println(s"""{"study":"prune","sf_dir":"$dir","batches":$nBatches,""" +
+    println(s"""{"study":"prune","sf_dir":"$dir","mode":"$mode","batches":$nBatches,""" +
       s""""max_scan_frac":$maxFrac,"total_scanned_bytes":$totScan,""" +
       s""""final_repo_bytes":$totRepo}""")
     spark.stop()
