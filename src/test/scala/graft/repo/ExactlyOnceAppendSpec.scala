@@ -177,7 +177,8 @@ class ExactlyOnceAppendSpec extends SparkSuite {
     assert(staged.size >= 2, s"need multiple staged files, got ${staged.size}")
     val moved = staged.head
     val rel = moved.toString.stripPrefix(fs.makeQualified(staging).toString + "/")
-    assert(fs.rename(moved, new Path(s"${repo.root}/data/$rel")))
+    val cur = repo.snapshotVersions.lastOption.map(v => s"data-v$v").getOrElse("data")
+    assert(fs.rename(moved, new Path(s"${repo.root}/$cur/$rel")))
   }
 
   test("crash window spanning a COMPACT: the half-landed batch is not doubled") {
@@ -206,6 +207,56 @@ class ExactlyOnceAppendSpec extends SparkSuite {
       "replay must land the batch after vacuum")
     assert(repo.count() == 17, "vacuum deleted a pinned grace version: partial batch")
     assert(repo.getFullDf.select("k").distinct().count() == 17)
+  }
+
+  test("seeded crash/compact/vacuum gauntlet resolves every batch exactly once") {
+    // random walk over the whole protocol surface, respecting the
+    // streaming engine's contract (a crashed batch is replayed before the
+    // next batchId is attempted — hwm subsumption depends on in-order
+    // commits): each batch either commits cleanly, crashes after staging,
+    // or crashes mid-rename; compact (data-preserving rewrite) and
+    // vacuum fire randomly both inside and outside the crash windows.
+    // Every ledger bug fixed this round (rewrite carrying a landed
+    // prefix, vacuum deleting a pinned grace dir, hwm over-trim) fails
+    // this test.
+    val rng = new scala.util.Random(1117)
+    val repo = new TableRepo(scratch("eo-gauntlet"), spark,
+      maxRecordsPerFile = 3, snapshotRetention = 2)
+    var nextRow = 0
+    var expected = 0
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    def maybeRewrite(): Unit = {
+      if (rng.nextInt(3) == 0) repo.compact(targetRecordsPerFile = 5 + rng.nextInt(10))
+      if (rng.nextInt(4) == 0) repo.vacuum()
+    }
+    for (b <- 0 until 12) {
+      val lo = nextRow; val hi = nextRow + 4 + rng.nextInt(6); nextRow = hi
+      expected += hi - lo
+      ranges += ((lo, hi, b.toLong))
+      rng.nextInt(3) match {
+        case 0 =>
+          assert(repo.extendExactlyOnce(batch(lo, hi), "w", b.toLong))
+        case 1 => // crash after staging; a rewrite may land before the replay
+          repo.stageBatchOnly(batch(lo, hi), "w", b.toLong)
+          maybeRewrite()
+          assert(repo.extendExactlyOnce(batch(lo, hi), "w", b.toLong),
+            s"replay of staged-crash batch $b must land it")
+        case 2 => // crash mid-rename; a rewrite may land before the replay
+          crashMidRename(repo, lo, hi, b.toLong)
+          maybeRewrite()
+          assert(repo.extendExactlyOnce(batch(lo, hi), "w", b.toLong),
+            s"replay of mid-rename-crash batch $b must land it")
+      }
+      maybeRewrite()
+    }
+    // full replay of the whole history: every batch is a no-op
+    ranges.foreach { case (lo, hi, id) =>
+      assert(!repo.extendExactlyOnce(batch(lo, hi), "w", id),
+        s"batch $id replayed after commit must no-op")
+    }
+    assert(repo.count() == expected, "row count drifted from the model")
+    assert(repo.getFullDf.select("k").distinct().count() == expected,
+      "duplicate or missing keys after the gauntlet")
   }
 
   test("ledger stays O(1): 100 batches leave only the high-water mark; trimmed replays no-op") {
