@@ -65,6 +65,60 @@ class StreamIncrNearDupSpec extends SparkSuite {
     assert(got == Set((7L, 1L)))
   }
 
+  test("seeded three-write crash gauntlet matches a clean serial run") {
+    // random crash prefixes of the verdicts -> texts -> bands protocol,
+    // with compactions of either durable repo landing inside the crash
+    // windows, all replayed through the real processBatch; a CLEAN twin
+    // runs the same batches serially and the two must converge to
+    // identical verdicts and repo counts (replay determinism + the
+    // read-committed ledger guarantees).
+    val rng = new scala.util.Random(90210)
+    val (bD, tD, vD) = mk("gauntlet-dirty")
+    val (bC, tC, vC) = mk("gauntlet-clean")
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var nextId = 0L
+    def mkBatch(): Seq[(Long, String)] = (0 until 4).map { _ =>
+      val id = nextId; nextId += 1
+      val t =
+        if (texts.nonEmpty && rng.nextInt(3) == 0) {
+          // near-dup of an earlier doc: one token appended
+          val (_, base) = texts(rng.nextInt(texts.size))
+          base + " " + vocab(rng.nextInt(vocab.length))
+        } else
+          (0 until 10).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ") + s" uid$id"
+      texts += ((id, t))
+      (id, t)
+    }
+    for (b <- 0 until 8) {
+      val rows = mkBatch()
+      val batch = docs(rows: _*)
+      assert(StreamIncrNearDup.processBatch(batch, bC, tC, vC, "w", b.toLong))
+      rng.nextInt(3) match {
+        case 0 => ()
+        case 1 => // crash after the verdict write
+          val (v, _) = graft.ops.Queries.incrNearVerdictAndBands(bD, batch.select("doc_id", "text"), tD)
+          vD.extendExactlyOnce(v, "w-verdicts", b.toLong): Unit
+          if (rng.nextBoolean()) tD.compact(targetRecordsPerFile = 3)
+        case 2 => // crash after verdict + texts
+          val (v, _) = graft.ops.Queries.incrNearVerdictAndBands(bD, batch.select("doc_id", "text"), tD)
+          vD.extendExactlyOnce(v, "w-verdicts", b.toLong): Unit
+          tD.extendExactlyOnce(batch.select("doc_id", "text"), "w-texts", b.toLong): Unit
+          if (rng.nextBoolean()) bD.compact(targetRecordsPerFile = 8)
+      }
+      assert(StreamIncrNearDup.processBatch(batch, bD, tD, vD, "w", b.toLong))
+      assert(!StreamIncrNearDup.processBatch(batch, bD, tD, vD, "w", b.toLong),
+        s"committed batch $b must replay as a no-op")
+    }
+    def verdictSet(r: TableRepo) = r.getFullDf.collect()
+      .map(x => (x.getAs[Long]("batch_doc"), x.getAs[Long]("dup_of"))).toSet
+    assert(verdictSet(vD) == verdictSet(vC), "dirty and clean runs must emit identical verdicts")
+    assert(tD.count() == tC.count() && bD.count() == bC.count(),
+      s"repo counts diverged: texts ${tD.count()}/${tC.count()} bands ${bD.count()}/${bC.count()}")
+    assert(tD.count() == texts.size, "every ingested doc exactly once")
+  }
+
   test("end-to-end stream with the pruned band probe, then the batch round drives the same index") {
     val bands = new TableRepo(scratch("sind-e2e-bands"), spark,
       maxRecordsPerFile = 2, clusterCols = Seq("bh"))
