@@ -37,7 +37,20 @@ import graft.repo.TableRepo
   */
 object StreamIncrDedup {
 
-  /** `stream` must carry `doc_id` (long) and `text` (string). */
+  /** `stream` must carry `doc_id` (long) and `text` (string).
+    *
+    * `compactEvery > 0` compacts the index every that-many committed
+    * batches (after the commit, outside the ledger protocol — the
+    * crash-gauntlet-proven safe point): per-micro-batch appends
+    * otherwise accrete one small file per batch, and at streaming
+    * cadence that is the classic small-file problem — a year of
+    * 1-minute batches is ~5×10⁵ files whose footers every pruned probe
+    * must consult. Compaction re-clusters them into
+    * `compactTargetRecords`-row files (restoring the fp/bh footer
+    * ranges the pruned probe skips on); a compaction that crashes is
+    * invisible (snapshot-isolated) and is simply retried at the next
+    * trigger point.
+    */
   def start(
       stream: DataFrame,
       index: TableRepo,
@@ -45,12 +58,16 @@ object StreamIncrDedup {
       checkpointDir: String,
       writerId: String,
       pruned: Boolean = false,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0,
+      compactTargetRecords: Long = 1000000L): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, index, verdictRepo, writerId, batchId, pruned): Unit
+        val ran = processBatch(batch, index, verdictRepo, writerId, batchId, pruned)
+        if (ran && compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          index.compact(compactTargetRecords)
       }
       .start()
 

@@ -40,6 +40,16 @@ object StreamIncrNearDup {
   /** `stream` must carry `doc_id` (long) and `text` (string).
     * `pruned = true` routes the band probe through the footer-pruned
     * `readWhereIn` path — pair it with a `bandIndex` clustered by `bh`.
+    *
+    * `compactEvery > 0` compacts the band index AND the text repo every
+    * that-many committed batches (after the commit, outside the ledger
+    * protocol — the crash-gauntlet-proven safe point): per-micro-batch
+    * appends otherwise accrete one small file per batch per repo, and
+    * compaction is also what keeps the candidate-pruned verify sharp —
+    * it re-clusters the text repo into disjoint doc_id ranges, so the
+    * needle read stays a strict file subset as the corpus grows (the
+    * NearDupPruneStudy cadence). A crashed compaction is invisible
+    * (snapshot-isolated) and retried at the next trigger point.
     */
   def start(
       stream: DataFrame,
@@ -49,12 +59,18 @@ object StreamIncrNearDup {
       checkpointDir: String,
       writerId: String,
       pruned: Boolean = false,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0,
+      compactTargetRecords: Long = 1000000L): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, bandIndex, textRepo, verdictRepo, writerId, batchId, pruned): Unit
+        val ran = processBatch(batch, bandIndex, textRepo, verdictRepo, writerId, batchId, pruned)
+        if (ran && compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
+          bandIndex.compact(compactTargetRecords)
+          textRepo.compact(compactTargetRecords)
+        }
       }
       .start()
 

@@ -119,6 +119,45 @@ class StreamIncrNearDupSpec extends SparkSuite {
     assert(tD.count() == texts.size, "every ingested doc exactly once")
   }
 
+  test("compactEvery bounds repo file counts mid-stream without changing results") {
+    val bands = new TableRepo(scratch("sind-cpt-bands"), spark,
+      maxRecordsPerFile = 2, clusterCols = Seq("bh"))
+    val texts = new TableRepo(scratch("sind-cpt-texts"), spark,
+      maxRecordsPerFile = 2, clusterCols = Seq("doc_id"))
+    val verdicts = new TableRepo(scratch("sind-cpt-verdicts"), spark)
+    val srcDir = scratch("sind-cpt-src")
+    new java.io.File(srcDir).mkdirs()
+    val rows = (0 until 4).map { i =>
+      Seq((10L * i + 1, A + s" tail$i"), (10L * i + 2, B + s" tail$i"))
+    }
+    rows.zipWithIndex.foreach { case (rs, i) =>
+      val lines = rs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, s"f$i.json"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    }
+    // maxFilesPerTrigger=1 -> four micro-batches under AvailableNow;
+    // compactEvery=2 fires after batches 1 and 3
+    val stream = spark.readStream.schema(docs((0L, "x")).schema)
+      .option("maxFilesPerTrigger", 1).json(srcDir)
+    val q = StreamIncrNearDup.start(stream, bands, texts, verdicts,
+      scratch("sind-cpt-ckpt"), writerId = "c", pruned = true,
+      compactEvery = 2, compactTargetRecords = 1000L)
+    q.awaitTermination()
+    assert(texts.count() == 8 && bands.count() == 32, "compaction must not drop rows")
+    // 4 appended micro-batches at 2-row files would leave >= 8 files per
+    // repo; the post-batch-3 compaction folds everything into ~1
+    assert(texts.nFiles <= 3, s"texts not compacted: ${texts.nFiles} files")
+    assert(bands.nFiles <= 3, s"bands not compacted: ${bands.nFiles} files")
+    // identical verdicts to an uncompacted twin driven batch-by-batch
+    val (b2, t2, v2) = mk("cpt-twin")
+    rows.zipWithIndex.foreach { case (rs, i) =>
+      StreamIncrNearDup.processBatch(docs(rs: _*), b2, t2, v2, "c", i.toLong, pruned = true)
+    }
+    def vs(r: TableRepo) = r.getFullDf.collect()
+      .map(x => (x.getAs[Long]("batch_doc"), x.getAs[Long]("dup_of"))).toSet
+    assert(vs(verdicts) == vs(v2))
+  }
+
   test("end-to-end stream with the pruned band probe, then the batch round drives the same index") {
     val bands = new TableRepo(scratch("sind-e2e-bands"), spark,
       maxRecordsPerFile = 2, clusterCols = Seq("bh"))
