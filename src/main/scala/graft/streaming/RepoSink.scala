@@ -32,6 +32,12 @@ object RepoSink {
     * stream's batches would be dropped as replays. It must be stable
     * across restarts (it is the identity the ledger dedupes on).
     */
+  /** `compactEvery > 0` compacts the repo every that-many micro-batches
+    * (after the batch's write lands — for the exactly-once path, after
+    * the ledger commit): per-batch appends otherwise accrete one small
+    * file per batch at streaming cadence. Snapshot-isolated, so a
+    * compaction that crashes is invisible and simply retried later.
+    */
   def start(
       stream: DataFrame,
       repo: TableRepo,
@@ -39,7 +45,9 @@ object RepoSink {
       replace: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
       exactlyOnce: Boolean = false,
-      writerId: String = ""): StreamingQuery = {
+      writerId: String = "",
+      compactEvery: Int = 0,
+      compactTargetRecords: Long = 1000000L): StreamingQuery = {
     val wid =
       if (writerId.nonEmpty) writerId
       else {
@@ -56,6 +64,8 @@ object RepoSink {
         if (replace) repo.replaceRecords(batch)
         else if (exactlyOnce) { repo.extendExactlyOnce(batch, wid, batchId): Unit }
         else repo.extend(batch)
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+          repo.compact(compactTargetRecords)
       }
     writer.start()
   }

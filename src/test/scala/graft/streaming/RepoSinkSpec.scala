@@ -114,6 +114,32 @@ class RepoSinkSpec extends SparkSuite {
     assert(repo.getFullDf.columns.toSeq == Seq("id", "v"))
   }
 
+  test("compactEvery folds per-batch small files; rows and replays unaffected") {
+    val repo = new TableRepo(scratch("cpt-repo"), spark, maxRecordsPerFile = 2)
+    val drop = scratch("cpt-src")
+    new java.io.File(drop).mkdirs()
+    (0 until 4).foreach { i =>
+      val lines = (0 until 6).map(j => s"""{"id":${i * 10 + j},"v":"r$i"}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(drop, s"f$i.jsonl"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8")): Unit
+    }
+    def stream = spark.readStream.schema("id LONG, v STRING")
+      .option("maxFilesPerTrigger", 1).json(drop)
+    val ckpt = scratch("cpt-ckpt")
+    val q = RepoSink.start(stream, repo, ckpt, exactlyOnce = true,
+      compactEvery = 2, compactTargetRecords = 100L)
+    q.processAllAvailable(); q.stop()
+    assert(repo.count() == 24, "compaction must not drop or duplicate rows")
+    // 4 batches at 2-row files would leave >= 12 files; the batch-3
+    // compaction folds everything into ~1
+    assert(repo.nFiles <= 3, s"not compacted: ${repo.nFiles} files")
+    // restart on the same checkpoint: ledger makes the replay a no-op
+    val q2 = RepoSink.start(stream, repo, ckpt, exactlyOnce = true,
+      compactEvery = 2, compactTargetRecords = 100L)
+    q2.processAllAvailable(); q2.stop()
+    assert(repo.count() == 24)
+  }
+
   test("two exactly-once sinks with same-leaf checkpoint dirs do not share a ledger") {
     // the default writerId hashes the FULL normalized checkpoint path;
     // a leaf-name-only identity would make stream B's batch 0 look like
