@@ -1656,6 +1656,77 @@ object Queries {
     },
 
     // ---- token counting (whitespace + BPE-ish regex) ------------------
+    // ---- B4/pretraining: sequence packing ----------------------------
+    // Streaming bin-packing of documents into fixed token-budget bins
+    // (the pretraining batch-prep step): docs in doc_id order, bin =
+    // floor(prev-cumulative-tokens / capacity) — each bin fills to the
+    // budget and the doc that crosses the boundary starts the next one.
+    // SCOPED PER SOURCE so the cumulative window parallelizes across
+    // sources (a single global ordering would serialize the corpus
+    // through one task at 100 TB; per-shard packing is what a loader
+    // does anyway). Capacity 512 whitespace tokens.
+    Q("q_seq_pack", Some(
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+         | c AS (SELECT doc_id, source, n_tokens,
+         |   CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM t)
+         | SELECT source, prev // 512 AS bin, count(*) AS n_docs,
+         |   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         | FROM c GROUP BY source, bin""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin", expr("prev div 512"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    },
+
+    // ---- B3/storage: int8 scalar quantization of embeddings -----------
+    // Per-dimension affine int8 quantization (the 4x storage lever for a
+    // 100 TB embedding store) with a built-in reconstruction audit:
+    // qv = round((v - min_d) * 255 / (max_d - min_d)) - 128, output =
+    // per-dimension range, distinct quantization levels used, and the
+    // max absolute dequantization error. All arithmetic in double on
+    // both engines (bitwise-equal), and the audit aggregates (max, count
+    // distinct) are order-independent, so the oracle hash-matches.
+    // Plan shape: posexplode -> per-pos min/max (map-side partial agg to
+    // dim rows) -> broadcast the dim-row stats back -> second partial
+    // agg; nothing shuffles at corpus scale.
+    Q("q_sq_quantize", Some(
+      s"""WITH x AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         |     CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         | st AS (SELECT pos, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY pos),
+         | q AS (SELECT x.pos AS pos, st.vmin AS vmin, st.vmax AS vmax, x.v AS v,
+         |   CASE WHEN st.vmax = st.vmin THEN 0
+         |        ELSE CAST(round((x.v - st.vmin) * 255.0 / (st.vmax - st.vmin)) AS BIGINT) - 128 END AS qv
+         |   FROM x JOIN st ON st.pos = x.pos),
+         | dq AS (SELECT pos, vmin, vmax, qv, v,
+         |   CASE WHEN vmax = vmin THEN vmin ELSE vmin + (qv + 128) * (vmax - vmin) / 255.0 END AS deq
+         |   FROM q)
+         | SELECT pos, vmin, vmax, count(DISTINCT qv) AS n_levels,
+         |   max(abs(deq - v)) AS max_abs_err
+         | FROM dq GROUP BY pos, vmin, vmax""".stripMargin.replaceAll("\n", "")
+    )) { (s, d) =>
+      val x = t(s, d, "embeddings").select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("pos").cast(LongType).as("pos"), col("col").cast(DoubleType).as("v"))
+      val st = x.groupBy(col("pos")).agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      x.join(broadcast(st), Seq("pos"))
+        .withColumn("qv", when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(round((col("v") - col("vmin")) * 255.0 / (col("vmax") - col("vmin")))
+            .cast(LongType) - 128))
+        .withColumn("deq", when(col("vmax") === col("vmin"), col("vmin"))
+          .otherwise(col("vmin") + (col("qv") + 128) * (col("vmax") - col("vmin")) / 255.0))
+        .groupBy(col("pos"), col("vmin"), col("vmax"))
+        .agg(countDistinct(col("qv")).as("n_levels"),
+          max(abs(col("deq") - col("v"))).as("max_abs_err"))
+    },
+
     Q("q_token_count", Some(
       s"""SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
          | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
