@@ -52,14 +52,26 @@ object Bench {
     // checkpoint floor costs at this SF.
     val consecutive = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("consecutive")
     val noCkpt = sys.env.get("SPARK_GRAFT_BENCH_NOCKPT").contains("1")
-    def runOnce(qi: Int, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    def runOnce(qi: Int, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        timed: Boolean = true): Unit = {
       val t0 = System.nanoTime()
       try {
         if (noCkpt) graft.ops.Ckpt.withDisabled(fn(spark, sfDir).count())
         else fn(spark, sfDir).count()
       } catch { case e: Throwable => fails(qi) = fails(qi).orElse(Some(e)) }
-      times(qi) += (System.nanoTime() - t0) / 1e9
+      if (timed) times(qi) += (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    // One UNTIMED warm rep per query before any timed sweep: the first
+    // execution of a query pays its codegen compile, broadcast-thread and
+    // shuffle-service warmup — r11's official artifact carried 5-10x
+    // first-rep inflation (q_minhash_est [11.98, 2.65, 1.62]) that three
+    // clean re-runs at the same HEAD didn't reproduce. Paying one extra
+    // sweep keeps the MEDIAN honest with only 3 timed reps.
+    val warmRep = !sys.env.get("SPARK_GRAFT_BENCH_NOWARM").contains("1")
+    if (warmRep) {
+      queryList.zipWithIndex.foreach { case ((_, fn), qi) => runOnce(qi, fn, timed = false) }
+      System.gc()
     }
     if (consecutive)
       queryList.zipWithIndex.foreach { case ((_, fn), qi) =>
@@ -89,7 +101,7 @@ object Bench {
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)
     val mode = (if (consecutive) "consecutive" else "roundrobin") +
-      (if (noCkpt) "+nockpt" else "")
+      (if (warmRep) "+warm" else "") + (if (noCkpt) "+nockpt" else "")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so

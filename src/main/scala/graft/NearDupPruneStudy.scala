@@ -106,10 +106,14 @@ object NearDupPruneStudy {
       (nCand, nNeedle, scanB, repoB)
     }
     val totScan = rows.map(_._3).sum
-    val totRepo = rows.map(_._4).max
+    // final = after the LAST batch (post any compaction); peak = max over
+    // batches — the scan-fraction evidence normalizes against per-batch
+    // sizes, so reporting both keeps the summary honest about compaction.
+    val finalRepo = rows.last._4
+    val peakRepo = rows.map(_._4).max
     println(s"""{"study":"prune","sf_dir":"$dir","mode":"$mode","batches":$nBatches,""" +
       s""""max_scan_frac":$maxFrac,"total_scanned_bytes":$totScan,""" +
-      s""""final_repo_bytes":$totRepo}""")
+      s""""final_repo_bytes":$finalRepo,"peak_repo_bytes":$peakRepo}""")
     spark.stop()
   }
 }

@@ -39,6 +39,14 @@ object Ckpt {
     * snapshot, verdict) are reclaimed EAGERLY once the batch's writes are
     * durable, instead of bleeding executor storage until driver GC.
     * Reentrant: an inner scope releases only its own blocks.
+    *
+    * ESCAPE HAZARD: every block created inside the scope is unpersisted
+    * on exit, so any DataFrame checkpointed in here must be fully
+    * materialized (written/collected/counted-to-completion) BEFORE the
+    * scope closes and must not escape it — a lazily-consumed frame
+    * returned from the body would recompute (or fail) against
+    * unpersisted blocks. Today's callers return Booleans/Units; keep it
+    * that way or materialize first.
     */
   private[graft] def scoped[T](body: => T): T = {
     val prev = tracker.get()

@@ -1046,10 +1046,13 @@ class TableRepo(
     val path = s"$root/data-v$version"
     // PER-VERSION schema: a sealed (grace) snapshot reads under the
     // schema it was superseded with, so time travel across an evolution
-    // backfill shows pre-evolution data WITHOUT the later columns (the
-    // reference's contract, tests/test_diff_cols.py:15-30). The live
-    // current version reads under the live pinned schema; unsealed old
-    // dirs (pre-sealing layouts) fall back to it too.
+    // backfill shows pre-evolution data WITHOUT the later columns. This
+    // is a Delta-style design choice layered on top of the reference's
+    // evolution contract (core.py:405-421 rewrites all data on extension
+    // — the reference has no snapshots, so it never faces the question);
+    // sealing keeps getDfAt consistent with what that version's readers
+    // saw. The live current version reads under the live pinned schema;
+    // unsealed old dirs (pre-sealing layouts) fall back to it too.
     val schemaAt =
       if (path == dataPath) pinnedSchema
       else sealedSchema(path).orElse(pinnedSchema)
@@ -1284,6 +1287,13 @@ class TableRepo(
     new Path(s"$root/_graft_ledger/$writerId")
   }
 
+  /** Does a commit ledger already exist under `writerId` for this repo?
+    * Sink-side writer-identity resolution uses this to keep resuming an
+    * existing ledger rather than silently starting a fresh identity
+    * (which would replay the crash-window batch the ledger guards).
+    */
+  def hasLedger(writerId: String): Boolean = fs.exists(ledgerDir(writerId))
+
   private def batchStaging(writerId: String, batchId: Long): String =
     s"$root/_graft_staging/$writerId-$batchId"
 
@@ -1367,6 +1377,20 @@ class TableRepo(
     val marker = new Path(ledgerDir(writerId), batchId.toString)
     val staging = batchStaging(writerId, batchId)
     if (isBatchCommitted(writerId, batchId)) {
+      // Observable contract check: a batchId STRICTLY below the hwm with
+      // no marker is subsumed by the monotonic-batchId trim — the
+      // streaming engine only ever replays the single batch at the hwm
+      // (the crash-window batch, a legitimate no-op); anything older is
+      // an out-of-order or gapped id whose data gets dropped here, so
+      // say so loudly instead of failing silent.
+      if (batchId < ledgerHwm(writerId) &&
+          !fs.exists(new Path(ledgerDir(writerId), batchId.toString)))
+        org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+          s"extendExactlyOnce($writerId, $batchId): batchId is below the " +
+            s"ledger high-water mark (${ledgerHwm(writerId)}) with no marker — " +
+            "treated as an already-committed replay and DROPPED. BatchIds must " +
+            "be monotonic per writer; an out-of-order or gapped id here is a " +
+            "caller contract violation.")
       fs.delete(new Path(staging), true) // leftover of a crashed duplicate attempt
       false
     } else {

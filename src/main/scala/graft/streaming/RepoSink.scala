@@ -31,6 +31,16 @@ object RepoSink {
     * leaf (`a/ckpt`, `b/ckpt`) must not share a ledger, or the second
     * stream's batches would be dropped as replays. It must be stable
     * across restarts (it is the identity the ledger dedupes on).
+    *
+    * MIGRATION (bare-leaf default, pre leaf+hash): if the repo already
+    * holds a ledger under the BARE leaf name, that identity is kept —
+    * switching a resuming stream to a new ledger id would replay the
+    * exact crash-window batch the ledger exists to dedupe (committed to
+    * the old ledger, not yet in the streaming checkpoint → lands twice)
+    * and orphan the old `_graft_ledger/<leaf>` dir. New streams (no
+    * bare-leaf ledger on disk) get the collision-safe leaf+hash id.
+    * Streams needing a specific identity should pass `writerId`
+    * explicitly.
     */
   /** `compactEvery > 0` compacts the repo every that-many micro-batches
     * (after the batch's write lands — for the exactly-once path, after
@@ -38,6 +48,25 @@ object RepoSink {
     * file per batch at streaming cadence. Snapshot-isolated, so a
     * compaction that crashes is invisible and simply retried later.
     */
+  /** Ledger-identity resolution (scaladoc above): explicit id wins; else
+    * an existing bare-leaf ledger on the repo is resumed (migration);
+    * else leaf + 4-byte path hash (collision-safe default).
+    */
+  private[streaming] def resolveWriterId(repo: TableRepo, checkpointDir: String,
+      explicit: String, exactlyOnce: Boolean = true): String =
+    if (explicit.nonEmpty) explicit
+    else {
+      val norm = new java.io.File(checkpointDir).getCanonicalPath
+      val leaf = new java.io.File(norm).getName
+      if (exactlyOnce && repo.hasLedger(leaf)) leaf
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(norm.getBytes("UTF-8"))
+        val h = md.take(4).map(b => f"$b%02x").mkString
+        s"$leaf-$h"
+      }
+    }
+
   def start(
       stream: DataFrame,
       repo: TableRepo,
@@ -48,15 +77,7 @@ object RepoSink {
       writerId: String = "",
       compactEvery: Int = 0,
       compactTargetRecords: Long = 1000000L): StreamingQuery = {
-    val wid =
-      if (writerId.nonEmpty) writerId
-      else {
-        val norm = new java.io.File(checkpointDir).getCanonicalPath
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(norm.getBytes("UTF-8"))
-        val h = md.take(4).map(b => f"$b%02x").mkString
-        s"${new java.io.File(norm).getName}-$h"
-      }
+    val wid = resolveWriterId(repo, checkpointDir, writerId, exactlyOnce)
     val writer: DataStreamWriter[org.apache.spark.sql.Row] = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -160,4 +160,29 @@ class RepoSinkSpec extends SparkSuite {
     assert(repo.count() == 2,
       "stream B's batch was dropped as a replay of stream A's (shared ledger)")
   }
+
+  test("default writerId resumes an existing bare-leaf ledger (migration)") {
+    // a repo written by a pre-leaf+hash stream carries _graft_ledger/<leaf>;
+    // resuming under a NEW identity would replay the crash-window batch the
+    // ledger guards (committed to the old ledger, absent from the streaming
+    // checkpoint) and land it twice — so the bare-leaf identity is kept
+    val repo = new TableRepo(scratch("widmig-repo"), spark)
+    val ck = scratch("widmig") + "/ckpt"
+    val leaf = "ckpt"
+    // fresh repo (no ledger): collision-safe leaf+hash default
+    val fresh = RepoSink.resolveWriterId(repo, ck, "")
+    assert(fresh.startsWith(leaf + "-") && fresh.length == leaf.length + 9, fresh)
+    // simulate the pre-migration stream: batch 0 committed under bare leaf
+    repo.extendExactlyOnce(Seq((1L, "a")).toDF("id", "v"), leaf, 0L)
+    assert(repo.hasLedger(leaf))
+    // same checkpoint dir now resolves to the EXISTING bare-leaf identity…
+    assert(RepoSink.resolveWriterId(repo, ck, "") == leaf)
+    // …so the crash-window replay of batch 0 is a no-op, not a double-land
+    val replayed = repo.extendExactlyOnce(
+      Seq((1L, "a")).toDF("id", "v"), RepoSink.resolveWriterId(repo, ck, ""), 0L)
+    assert(!replayed && repo.count() == 1)
+    // explicit writerId always wins; non-exactly-once paths keep leaf+hash
+    assert(RepoSink.resolveWriterId(repo, ck, "mine") == "mine")
+    assert(RepoSink.resolveWriterId(repo, ck, "", exactlyOnce = false) == fresh)
+  }
 }
