@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway diagnostic: per-query Spark job census (count + per-job wall
+  * time) for targeted perf work on the incremental-dedup family. Not part
+  * of the driver contract.
+  *
+  * Usage: runMain graft.JobProfile <queryName> [sfDir] [reps]
+  */
+object JobProfile {
+  def main(args: Array[String]): Unit = {
+    val qName = args.headOption.getOrElse("q_incr_dedup")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.Vector[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.put(js.jobId,
+          (js.time, js.stageInfos.lastOption.map(_.name).getOrElse("?")))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val (t0, desc) = jobs.getOrDefault(je.jobId, (je.time, "?"))
+        done.add((je.jobId, je.time - t0, desc))
+      }
+    })
+    val fn = SparkEntry.queries(qName)
+    for (r <- 1 to reps) {
+      done.clear()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      Thread.sleep(300) // let stragglers land
+      import scala.jdk.CollectionConverters._
+      val rows = done.asScala.toSeq.sortBy(_._1)
+      println(f"== rep $r  wall=$wall%.2fs  jobs=${rows.size}  jobMs=${rows.map(_._2).sum}")
+      rows.foreach { case (id, ms, desc) =>
+        println(f"  job $id%3d  $ms%6d ms  ${desc.take(90)}")
+      }
+    }
+    spark.stop()
+  }
+}

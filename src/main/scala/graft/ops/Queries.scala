@@ -247,20 +247,35 @@ object Queries {
   /** MinHash signature (4 hash functions) over 3-gram shingles; docs with
     * fewer than 3 tokens have no shingles and are excluded.
     */
-  private def minhashSig(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(TextFns.shinglesOf(col("toks"), 3))).as("tok"))
-      .withColumn("h", TextFns.hash32(col("tok")))
-    val aggs = TextFns.MinhashA.indices.map(i =>
-      min(TextFns.minhashOf(col("h"), i)).cast(LongType).as(s"mh$i"))
+  /** mh0..mhk from a hashed-shingle ARRAY column: array_min over the
+    * permuted hashes. min over the multiset of in-document shingle
+    * hashes == min over the exploded distinct rows (the r11 shape), so
+    * values are oracle-identical — but this form is per-row map work:
+    * no explode, no groupBy, NO SHUFFLE.
+    */
+  private def minhashCols(hs: Column): Seq[Column] =
+    TextFns.MinhashA.indices.map(i =>
+      array_min(transform(hs, h => TextFns.minhashOf(h, i))).cast(LongType).as(s"mh$i"))
+
+  private def minhashSig(docs: DataFrame): DataFrame =
     // eager checkpoint: the band construction projects the signature once
     // per band per self-join side (8 distinct subtrees — exchange reuse
     // connects none of them), so without the barrier every consumer
     // re-ran the whole tokenize/shingle/hash pipeline: the r8 plan audit
     // showed 12 corpus scans in q_minhash_est and 10 in q_lsh_verified
-    Ckpt(tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*))
+    Ckpt(minhashSigRaw(docs))
+
+  /** [[minhashSig]] without the checkpoint barrier — for SINGLE-consumer
+    * pipelines (the incremental-dedup seed writes the bands once), where
+    * a barrier would pay one materialization job for nothing.
+    */
+  private def minhashSigRaw(docs: DataFrame): DataFrame = {
+    val hs = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g)).as("hs"))
+    hs.select(col("doc_id") +: minhashCols(col("hs")): _*)
   }
 
   /** SQL fragment: the minhash signature select list (`mh0..mhk`). */
@@ -309,6 +324,10 @@ object Queries {
     // row (the reverse window) is harmless; the streaming twin orders
     // its ledgered writes the same way.
     textRepo.extend(corpus.select(col("doc_id"), col("text")))
+    // checkpointed signature even though the extend is the only consumer:
+    // the bh-clustered index extend range-partitions, whose SAMPLING pass
+    // is a second full evaluation of the input — off the barrier it would
+    // re-run the whole tokenize/minhash pipeline
     index.extend(lshBands(minhashSig(corpus)))
   }
 
@@ -345,6 +364,33 @@ object Queries {
     verdict
   }
 
+  /** One-pass per-batch base for the incremental near-dup round:
+    * (doc_id, text, sh, mh0..mhk) tokenized ONCE and checkpointed ONCE —
+    * texts, hashed sorted shingle sets (null when the doc has <3 tokens,
+    * matching the oracle's len(toks)>=3 filters; the minhash columns go
+    * null with it), and the array-form minhash signature. The r11 round
+    * materialized docs, the signature, the band rows, and the shingle
+    * sets as four separate checkpoints with three tokenize passes and a
+    * groupBy shuffle; every one of those is a cheap projection of this
+    * frame now.
+    */
+  private def nearBatchBase(batch: DataFrame): DataFrame = {
+    val withSh = batch
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        when(size(col("toks")) >= 3,
+          SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3),
+            g => TextFns.hash32(g)))).as("sh"))
+    Ckpt(withSh.select(
+      Seq(col("doc_id"), col("text"), col("sh")) ++ minhashCols(col("sh")): _*))
+  }
+
+  /** The batch's LSH band rows (batch_doc, band, bh) as a projection of
+    * [[nearBatchBase]] — no checkpoint of its own.
+    */
+  private def baseBands(base: DataFrame): DataFrame =
+    lshBands(base.filter(col("sh").isNotNull)).withColumnRenamed("doc_id", "batch_doc")
+
   /** Candidate generation shared by the verdict and the prune study:
     * batch bands (checkpointed), the index probe (full-scan or
     * footer-pruned), and the deduplicated candidate pair set
@@ -352,18 +398,25 @@ object Queries {
     * text-read needle collection).
     */
   private[graft] def incrNearCandAndBands(index: TableRepo, batch: DataFrame,
+      pruned: Boolean): (DataFrame, DataFrame) =
+    incrNearCandFromBase(index, nearBatchBase(batch), pruned)
+
+  private def incrNearCandFromBase(index: TableRepo, base: DataFrame,
       pruned: Boolean): (DataFrame, DataFrame) = {
-    val bBands = Ckpt(lshBands(minhashSig(batch)).withColumnRenamed("doc_id", "batch_doc"))
+    val bBands = baseBands(base)
     // pruned probe: the index is CLUSTERED by bh, so readWhereIn scans
     // only files whose footer bh-range intersects the batch's band
     // hashes — a bh-only superset of the (band, bh) match (the same bh
     // under a different band position is rare and the join filters it),
-    // correct by construction and O(batch) files at a large index
-    val idxBands = Ckpt(
+    // correct by construction and O(batch) files at a large index.
+    // No checkpoint of its own: its ONLY consumer is the eager `cand`
+    // checkpoint below, which materializes this read — and with it the
+    // pre-extend index snapshot — before any caller write can land.
+    val idxBands =
       if (!index.exists)
         bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")).limit(0)
       else if (pruned) index.readWhereIn(bBands.select(col("bh")), "bh")
-      else index.getFullDf)
+      else index.getFullDf
     // candidates from the index PLUS batch-internal band collisions —
     // two docs arriving in one batch must still see each other (the
     // exact twin's first-occurrence window, in band form); earlier doc
@@ -400,9 +453,10 @@ object Queries {
     */
   def incrNearVerdictAndBands(index: TableRepo, batch: DataFrame,
       textRepo: TableRepo, pruned: Boolean = false): (DataFrame, DataFrame) = {
-    val docs = Ckpt(batch.select(col("doc_id"), col("text")))
-    val (cand, bBands) = incrNearCandAndBands(index, docs, pruned)
-    val batchSh = Ckpt(shingleSets(docs))
+    val base = nearBatchBase(batch.select(col("doc_id"), col("text")))
+    val docs = base.select(col("doc_id"), col("text"))
+    val (cand, bBands) = incrNearCandFromBase(index, base, pruned)
+    val batchSh = base.filter(col("sh").isNotNull).select(col("doc_id"), col("sh"))
     val dupIds = cand.select(col("dup_of").as("doc_id")).distinct()
     val dupTexts =
       if (textRepo.exists) textRepo.readWhereIn(dupIds, "doc_id").select(col("doc_id"), col("text"))
@@ -410,10 +464,12 @@ object Queries {
     // batch-side shingles win DETERMINISTICALLY: the repo-side read is
     // anti-joined against the batch's doc_ids, so a doc_id re-ingested
     // with different text cannot make the jaccard plan-dependent (a
-    // dropDuplicates here would pick an arbitrary copy per key)
-    val dupSh = Ckpt(batchSh.join(dupIds, Seq("doc_id"), "left_semi")
+    // dropDuplicates here would pick an arbitrary copy per key).
+    // Not checkpointed: consumed exactly once, by the eager verdict
+    // checkpoint below — which also pins the pre-extend text snapshot.
+    val dupSh = batchSh.join(dupIds, Seq("doc_id"), "left_semi")
       .unionByName(shingleSets(dupTexts)
-        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     val inter = SetOps.intersectCount(col("x.sh"), col("y.sh"))
     val w = Window.partitionBy(col("batch_doc")).orderBy(col("dup_of"))
     val verdict = Ckpt(cand.join(batchSh.as("x"), col("x.doc_id") === col("batch_doc"))
@@ -1471,6 +1527,27 @@ object Queries {
     // q_topk_cosine so the two are directly comparable.
     Q("q_ivf_probe", Some(Ivf.probeOracleSql(8, 3, 2, 5L, 10, sqlCosine))) { (s, d) =>
       Ivf.probeTopK(t(s, d, "embeddings"), 8, 3, 2, 5L, 10)
+    },
+
+    // ---- persisted-IVF ANN serving (IvfRepo) --------------------------
+    // The SERVING face of the same index: train once, persist centroids +
+    // a centroid_id-DIRECTORY-partitioned assignment repo, then answer
+    // probes from a PartitionFilters-pruned read of only the probed
+    // clusters — no in-query training, no unprobed-corpus touch (the
+    // q_incr_dedup_pruned persisted-index discipline applied to ANN).
+    // Same (k, iters, nprobe, topK) and the same oracle as q_ivf_probe:
+    // the two paths are value-identical by construction, so one green row
+    // each proves both the math and the at-rest layout.
+    Q("q_ivf_probe_repo", Some(Ivf.probeOracleSql(8, 3, 2, 5L, 10, sqlCosine))) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val centRepo = new TableRepo(freshRoot("q_ivf_probe_repo_cent"), s)
+      val asgRepo = new TableRepo(freshRoot("q_ivf_probe_repo_asg"), s,
+        groupCols = Seq("centroid_id"))
+      IvfRepo.build(e, 8, 3, centRepo, asgRepo)
+      IvfRepo.probe(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        centRepo, asgRepo, 2, 10)
     },
 
     // ---- cluster-balanced diverse sampling (corpus selection) ---------

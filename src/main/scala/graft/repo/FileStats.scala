@@ -41,6 +41,13 @@ object FileStats {
     if (files.isEmpty) return Nil
     val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val cols = columns.toIndexedSeq
+    // Small file lists read their footers on the DRIVER: a metadata-only
+    // footer open is ~ms-scale, so below this threshold the Spark job's
+    // scheduling overhead exceeds the whole read (and the incremental
+    // dedup probes pay that overhead once per round). Large lists — the
+    // 100k-file case the distribution exists for — still fan out.
+    if (files.size <= 32)
+      return files.map(f => (f, rangesOf(conf.value, f, cols)))
     val slices = math.max(1, math.min(files.size, 64))
     spark.sparkContext.parallelize(files, slices)
       .map(f => (f, rangesOf(conf.value, f, cols)))

@@ -344,13 +344,36 @@ class TableRepo(
 
   // ------------------------------------------------------------- schema
 
-  /** Pinned schema: fixed > sidecar > none (core.py:388-404). */
+  /** Deep-nullable normalization. Spark's file sources force every read
+    * column nullable (nested element/value nullability included), so a
+    * pinned schema carrying `containsNull=false` — e.g. pinned from a
+    * first extend whose in-memory frame had non-null array elements —
+    * would make harmonize's cast unresolvable (array<float,false> cannot
+    * be cast FROM array<float,true>). Normalizing at the pin choke point
+    * makes the pin describe what a read can actually produce.
+    */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(deepNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(deepNullable(m.keyType), deepNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def deepNullable(st: StructType): StructType =
+    deepNullable(st: DataType).asInstanceOf[StructType]
+
+  /** Pinned schema: fixed > sidecar > none (core.py:388-404). Always
+    * deep-nullable (see [[deepNullable]] — covers legacy sidecars too).
+    */
   def pinnedSchema: Option[StructType] =
-    fixedSchema.orElse {
+    fixedSchema.map(deepNullable).orElse {
       val p = new Path(schemaPath)
       if (fs.exists(p)) {
         val in = fs.open(p)
-        try Some(DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType])
+        try Some(deepNullable(
+          DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType]))
         finally in.close()
       } else None
     }
@@ -382,7 +405,8 @@ class TableRepo(
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType])
+      try Some(deepNullable(
+        DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType]))
       finally in.close()
     }
   }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.repo.TableRepo
+
+/** The persisted-IVF serving contract: a probe against the at-rest index
+  * must (1) answer value-identically to the in-query [[Ivf.probeTopK]]
+  * path, and (2) scan ONLY the probed clusters' directories — the
+  * partition-pruning property the 100 TB story depends on. q_ivf_probe_repo
+  * oracles the end-to-end math; this spec proves the file-subset claim.
+  */
+class IvfRepoSpec extends SparkSuite {
+
+  // deterministic synthetic embeddings: 4 well-separated direction
+  // clusters in 8-d so k-means converges to a stable, probe-friendly index
+  private def embs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val c = i % 4
+      val base = Array.fill(8)(0.05f * ((i * 7 + 3) % 5))
+      base(c * 2) = 1.0f + 0.01f * (i % 11)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def builtRepos(tag: String, e: DataFrame): (TableRepo, TableRepo) = {
+    val cent = new TableRepo(scratch(s"ivf-cent-$tag"), spark)
+    val asg = new TableRepo(scratch(s"ivf-asg-$tag"), spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(e, 4, 2, cent, asg)
+    (cent, asg)
+  }
+
+  test("repo probe is value-identical to the in-query probeTopK path") {
+    val e = embs(200)
+    val (cent, asg) = builtRepos("parity", e)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assertSameRows(
+      IvfRepo.probe(queries, cent, asg, 2, 10).orderBy("q_id", "n_id"),
+      Ivf.probeTopK(e, 4, 2, 2, 5L, 10).orderBy("q_id", "n_id"))
+  }
+
+  test("candidate scan partition-prunes to the probed centroid directories") {
+    val e = embs(400)
+    val (_, asg) = builtRepos("prune", e)
+    val allIds = asg.getFullDf.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(allIds.size == 4, s"expected 4 populated clusters, got $allIds")
+    val probed = allIds.take(2)
+    val cand = IvfRepo.candidates(asg, probed)
+    cand.collect()
+
+    val planStr = cand.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"), s"no PartitionFilters in:\n$planStr")
+    assert(planStr.contains("centroid_id"), "prune must target the partition column")
+
+    def scanOf(p: org.apache.spark.sql.execution.SparkPlan): Option[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => scanOf(a.executedPlan)
+        case f: FileSourceScanExec    => Some(f)
+        case other => other.children.view.flatMap(scanOf).headOption
+      }
+    val scan = scanOf(cand.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in the candidate plan"))
+    val scannedFiles = scan.metrics("numFiles").value
+    val probedDirFiles = asg.paths.count(p => probed.exists(id => p.contains(s"centroid_id=$id")))
+    val totalFiles = asg.paths.size
+    assert(scannedFiles == probedDirFiles,
+      s"scan must touch exactly the probed dirs' files: scanned=$scannedFiles probed=$probedDirFiles")
+    assert(scannedFiles < totalFiles,
+      s"pruning must skip the unprobed dirs: scanned=$scannedFiles total=$totalFiles")
+
+    // and the pruned scan equals the full-scan filter exactly
+    assertSameRows(
+      cand.orderBy("n_id"),
+      asg.getFullDf.filter(col("centroid_id").isin(probed: _*))
+        .select(col("vec_id").as("n_id"), col("centroid_id"), col("embedding").as("n_emb"))
+        .orderBy("n_id"))
+  }
+
+  test("probe touches no unprobed-cluster files end to end") {
+    val e = embs(300)
+    val (cent, asg) = builtRepos("e2e", e)
+    val queries = e.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val out = IvfRepo.probe(queries, cent, asg, 1, 5)
+    val rows = out.collect()
+    assert(rows.length == 5, s"topK=5 for one query, got ${rows.length}")
+    // nprobe=1: every neighbour must come from ONE cluster
+    val asgMap = asg.getFullDf.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = rows.map(r => asgMap(r.getLong(1))).distinct
+    assert(clusters.length == 1, s"nprobe=1 neighbours spanned clusters $clusters")
+  }
+}
