@@ -172,30 +172,37 @@ object RecallStudy {
       }
     }
 
-    // trained-IVF probe recall (the q_ivf_train index): assign the corpus
-    // to pinned-seed Lloyd centroids (k=8, 3 iters), then for each query
-    // probe its nearest 1 or 2 centroids and take the clusters' members
-    // as candidates — the classic IVF nprobe trade: probe-1 misses
-    // neighbors that fall just across a Voronoi boundary, probe-2 buys
-    // most of them back for ~2x the candidate volume.
-    val centT = graft.ops.Ivf.train(base.select(col("vec_id"), col("embedding")), 8, 3)
-      .localCheckpoint(true)
-    val asg = graft.ops.Ivf.assign(base.select(col("vec_id"), col("embedding")), centT)
-      .select(col("vec_id"), col("centroid_id")).localCheckpoint(true)
-    val cW = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val qCent = broadcast(qSide)
-      .crossJoin(broadcast(centT.select(col("centroid_id"), col("c_emb"),
-        sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("cn"))))
-      .withColumn("csim", VectorFns.dotHof(col("qe"), col("c_emb")) / (col("qn") * col("cn")))
-      .withColumn("__rn", row_number().over(cW))
-      .localCheckpoint(true)
-    for (p <- Seq(1, 2)) {
-      val probes = qCent.filter(col("__rn") <= p).select(col("q_id"), col("centroid_id"))
-      val cand = broadcast(probes)
-        .join(asg.select(col("vec_id").as("n_id"), col("centroid_id")), Seq("centroid_id"))
-        .filter(col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"))
-      report("ivf_trained", 8, p, cand)
+    // trained-IVF probe recall (the q_ivf_train / IvfRepo index): assign
+    // the corpus to pinned-seed Lloyd centroids, then for each query probe
+    // its nearest `nprobe` centroids and take the clusters' members as
+    // candidates — the classic IVF trade: fewer probes miss neighbors that
+    // fall just across a Voronoi boundary, more probes buy them back for
+    // ~nprobe/k of the corpus each. The OPERATING-POINT SWEEP the serving
+    // path needs: k (centroid count) ∈ {8, 32, √n} × nprobe ∈ {1,2,4,8}.
+    // In the emitted rows "bits" carries k and "depth" carries nprobe;
+    // mean_cand_per_q is the scan fraction paid (×n). SCALE.md digests
+    // the sweep into "which (k, nprobe) reaches ≥0.9 recall@5".
+    val sqrtN = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+    for (kk <- Seq(8, 32, sqrtN).distinct) {
+      val centT = graft.ops.Ivf.train(base.select(col("vec_id"), col("embedding")), kk, 3)
+        .localCheckpoint(true)
+      val asg = graft.ops.Ivf.assign(base.select(col("vec_id"), col("embedding")), centT)
+        .select(col("vec_id"), col("centroid_id")).localCheckpoint(true)
+      val cW = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+      val qCent = broadcast(qSide)
+        .crossJoin(broadcast(centT.select(col("centroid_id"), col("c_emb"),
+          sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("cn"))))
+        .withColumn("csim", VectorFns.dotHof(col("qe"), col("c_emb")) / (col("qn") * col("cn")))
+        .withColumn("__rn", row_number().over(cW))
+        .localCheckpoint(true)
+      for (p <- Seq(1, 2, 4, 8).filter(_ <= kk)) {
+        val probes = qCent.filter(col("__rn") <= p).select(col("q_id"), col("centroid_id"))
+        val cand = broadcast(probes)
+          .join(asg.select(col("vec_id").as("n_id"), col("centroid_id")), Seq("centroid_id"))
+          .filter(col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"))
+        report("ivf_trained", kk, p, cand)
+      }
     }
     spark.stop()
   }
