@@ -37,7 +37,9 @@ object Explain {
         "q_incr_dedup_exact", "q_zorder_prune", "q_incr_dedup_pruned",
         "q_incr_dedup_lsh_pruned",
         // round 11
-        "q_ivf_train")
+        "q_ivf_train", "q_ivf_probe", "q_seq_pack", "q_sq_quantize",
+        // round 12
+        "q_ivf_probe_repo")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
