@@ -46,6 +46,19 @@ object IvfRepo {
     asgRepo.extend(Ivf.assign(e, cent))
   }
 
+  /** Index ingestion without retraining: assign a NEW batch of vectors
+    * against the PERSISTED centroids and extend the assignment repo —
+    * each appended row lands in its cluster's directory, so later probes
+    * see it at the same pruned cost. Centroid drift under sustained
+    * ingestion is handled by periodic [[build]] into fresh roots (the
+    * IVF analog of the dedup family's re-cluster compaction); between
+    * rebuilds, recall degrades only as far as the data distribution
+    * drifts from the trained Voronoi cells.
+    */
+  def append(newVecs: DataFrame, centRepo: TableRepo, asgRepo: TableRepo): Unit =
+    asgRepo.extend(
+      Ivf.assign(newVecs.select(col("vec_id"), col("embedding")), centRepo.getFullDf))
+
   /** The partition-pruned candidate scan: assignment rows of the probed
     * clusters only. Exposed so specs can assert the PartitionFilters /
     * file-subset property directly on the scan.

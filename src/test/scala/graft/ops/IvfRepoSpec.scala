@@ -83,6 +83,28 @@ class IvfRepoSpec extends SparkSuite {
         .orderBy("n_id"))
   }
 
+  test("append assigns new vectors against the persisted centroids — no retrain") {
+    val e = embs(200)
+    val head = e.filter(col("vec_id") < 150)
+    val tail = e.filter(col("vec_id") >= 150)
+    val cent = new TableRepo(scratch("ivf-cent-app"), spark)
+    val asg = new TableRepo(scratch("ivf-asg-app"), spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(head, 4, 2, cent, asg)
+    IvfRepo.append(tail, cent, asg)
+    // the repo now holds exactly the full corpus assigned against the
+    // HEAD-trained centroids (append never re-trains)
+    assertSameRows(
+      asg.getFullDf.select("vec_id", "centroid_id").orderBy("vec_id"),
+      Ivf.assign(e, cent.getFullDf).select("vec_id", "centroid_id").orderBy("vec_id"))
+    // and probes see appended vectors at the same pruned cost: vec 151 is
+    // vec 3's near-twin by construction (same direction cluster), so a
+    // post-append probe must surface appended ids among the neighbours
+    val queries = e.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val neigh = IvfRepo.probe(queries, cent, asg, 2, 20).collect().map(_.getLong(1)).toSet
+    assert(neigh.exists(_ >= 150L), s"no appended vector among neighbours: $neigh")
+  }
+
   test("probe touches no unprobed-cluster files end to end") {
     val e = embs(300)
     val (cent, asg) = builtRepos("e2e", e)
