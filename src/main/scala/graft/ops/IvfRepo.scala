@@ -46,6 +46,27 @@ object IvfRepo {
     asgRepo.extend(Ivf.assign(e, cent))
   }
 
+  /** Retrain and swap the index IN PLACE: `replaceAll` lands the new
+    * centroids and assignments as fresh snapshot VERSIONS, so a probe
+    * planned against the old index keeps scanning intact files
+    * (TableRepo's grace-version contract) and no fresh roots are needed —
+    * the periodic answer to centroid drift under [[append]] ingestion.
+    *
+    * Assignments are swapped FIRST, centroids second: a probe landing
+    * between the two writes plans from the OLD centroids, whose ids are
+    * a valid key space of the new assignment table whenever k is
+    * unchanged (the common drift-rebuild). A k-changing rebuild has no
+    * cross-table atomicity — TableRepo versions are per-table — so serve
+    * it from fresh roots or fence probes for the swap instant.
+    */
+  def rebuild(embs: DataFrame, k: Int, iters: Int,
+      centRepo: TableRepo, asgRepo: TableRepo): Unit = {
+    val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
+    val cent = Ckpt(Ivf.train(e, k, iters))
+    asgRepo.replaceAll(Ivf.assign(e, cent))
+    centRepo.replaceAll(cent)
+  }
+
   /** Index ingestion without retraining: assign a NEW batch of vectors
     * against the PERSISTED centroids and extend the assignment repo —
     * each appended row lands in its cluster's directory, so later probes

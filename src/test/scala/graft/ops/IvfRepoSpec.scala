@@ -105,6 +105,24 @@ class IvfRepoSpec extends SparkSuite {
     assert(neigh.exists(_ >= 150L), s"no appended vector among neighbours: $neigh")
   }
 
+  test("rebuild retrains over the full corpus and swaps snapshot versions in place") {
+    val e = embs(200)
+    val head = e.filter(col("vec_id") < 120)
+    val cent = new TableRepo(scratch("ivf-cent-rb"), spark)
+    val asg = new TableRepo(scratch("ivf-asg-rb"), spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(head, 4, 2, cent, asg)
+    val headVersions = asg.snapshotVersions.size
+    IvfRepo.rebuild(e, 4, 2, cent, asg)
+    assert(asg.snapshotVersions.size > headVersions, "rebuild must land a new snapshot version")
+    assert(asg.count() == 200, s"rebuilt assignment covers the full corpus, got ${asg.count()}")
+    // post-rebuild probes equal the in-query path trained on the SAME data
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assertSameRows(
+      IvfRepo.probe(queries, cent, asg, 2, 10).orderBy("q_id", "n_id"),
+      Ivf.probeTopK(e, 4, 2, 2, 5L, 10).orderBy("q_id", "n_id"))
+  }
+
   test("probe touches no unprobed-cluster files end to end") {
     val e = embs(300)
     val (cent, asg) = builtRepos("e2e", e)
