@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ivf, IvfRepo}
+import graft.repo.TableRepo
+
+/** SERVE-cost study for the persisted-IVF path: q_ivf_probe_repo pays the
+  * whole build (train + assignment write) inside the query, so its bench
+  * time says nothing about what a probe costs once the index EXISTS —
+  * the number a serving story actually needs. This builds once at
+  * k ≈ √n, then times probe-only executions and reports the at-rest
+  * evidence: files/bytes under the probed directories vs the whole
+  * assignment repo (directory listing — the same bytes a cluster scan
+  * would read), alongside the brute-force top-k wall time on the same
+  * queries for scale.
+  *
+  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps]
+  * Emits one JSON line per nprobe in {1, 2, 4}.
+  */
+object IvfServeStudy {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQ = if (args.length > 1) args(1).toInt else 100
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/scratch") +
+      s"/ivfserve-${ProcessHandle.current().pid()}"
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = embs.count()
+    val k = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+    val cent = new TableRepo(s"$root/cent", spark)
+    val asg = new TableRepo(s"$root/asg", spark, groupCols = Seq("centroid_id"))
+
+    val tBuild0 = System.nanoTime()
+    IvfRepo.build(embs, k, 3, cent, asg)
+    val buildS = (System.nanoTime() - tBuild0) / 1e9
+
+    val queries = embs.orderBy(col("vec_id")).limit(nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint(true)
+
+    // brute-force reference: one broadcast-queries pass over the corpus
+    def bruteOnce(): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      broadcast(queries)
+        .join(embs.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+          col("n_id") =!= col("q_id"))
+        .withColumn("sim", graft.functions.VectorFns.cosine(col("q_emb"), col("n_emb")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .count()
+    }
+    val bruteS = (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); bruteOnce(); (System.nanoTime() - t0) / 1e9
+    }.min
+
+    def sizeOf(p: String): Long = new java.io.File(p.stripPrefix("file:")).length
+    val allPaths = asg.paths
+    val totalBytes = allPaths.map(sizeOf).sum
+
+    for (nprobe <- Seq(1, 2, 4)) {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        IvfRepo.probe(queries, cent, asg, nprobe, 5).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // at-rest evidence: which directories the union of these probes
+      // touches (per-query it is nprobe dirs; the union over the sample
+      // bounds the one-shot batch-probe read) — recomputed here exactly
+      // as IvfRepo.probe selects them
+      val perQuery: Map[Long, Seq[Long]] = {
+        val c = cent.getFullDf.select(col("centroid_id"), col("c_emb"))
+        import org.apache.spark.sql.expressions.Window
+        val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+        queries.crossJoin(broadcast(c))
+          .withColumn("csim", graft.functions.VectorFns
+            .dotHof(col("q_emb"), col("c_emb")) /
+            (graft.functions.VectorFns.norm2(col("q_emb")) *
+              sqrt(graft.functions.VectorFns.dotHof(col("c_emb"), col("c_emb")))))
+          .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+          .select(col("q_id"), col("centroid_id")).collect()
+          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+      }
+      val probedIds = perQuery.values.flatten.toSet
+      val dirBytes: Map[Long, Long] = probedIds.map(id =>
+        id -> allPaths.filter(_.contains(s"centroid_id=$id/")).map(sizeOf).sum).toMap
+      // a SINGLE query's probe reads only its own nprobe directories —
+      // the serve-latency scan cost; the batch rows above are the union
+      val perQueryFrac = perQuery.values
+        .map(ids => ids.map(dirBytes).sum.toDouble / totalBytes)
+      val meanPerQueryFrac = perQueryFrac.sum / perQueryFrac.size
+      val probedFiles = allPaths.filter(p => probedIds.exists(id => p.contains(s"centroid_id=$id/")))
+      val probedBytes = probedFiles.map(sizeOf).sum
+      println(s"""{"study":"ivf_serve","dir":"$dir","n":$n,"k":$k,"nprobe":$nprobe,""" +
+        s""""queries":$nQ,"build_s":${f"$buildS%.2f"},"probe_s_min":${f"${times.min}%.2f"},""" +
+        s""""brute_s_min":${f"$bruteS%.2f"},"probed_dirs":${probedIds.size},""" +
+        s""""probed_files":${probedFiles.size},"total_files":${allPaths.size},""" +
+        s""""probed_bytes":$probedBytes,"total_bytes":$totalBytes,""" +
+        s""""union_scan_frac":${f"${probedBytes.toDouble / totalBytes}%.4f"},""" +
+        s""""mean_per_query_scan_frac":${f"$meanPerQueryFrac%.4f"}}""")
+    }
+    spark.stop()
+  }
+}
