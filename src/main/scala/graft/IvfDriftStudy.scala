@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.ops.{Ivf, IvfRepo}
+import graft.repo.TableRepo
+
+/** Drift study for the persisted-IVF serving lifecycle: [[IvfRepo.append]]
+  * assigns new vectors against FROZEN centroids, so recall degrades only
+  * as far as ingestion drifts away from the trained Voronoi cells
+  * (`IvfRepo.append` doc) — this study puts a NUMBER on that claim and on
+  * what [[IvfRepo.rebuild]] recovers, so a user knows when to schedule the
+  * rebuild.
+  *
+  * Protocol (fully deterministic — pinned splits, no RNG):
+  *   - train on the first half of the corpus (by `vec_id`), k = √n_base;
+  *   - append the second half in `batches` slices, each shifted by a
+  *     GROWING deterministic offset (`i·delta` added to the first 4
+  *     dimensions) — simulated distribution drift, since the synthetic
+  *     corpus is i.i.d. and unshifted appends would show nothing;
+  *   - after each append, probe `nQ` queries drawn from THAT batch
+  *     (drifted region — where degradation concentrates) against
+  *     brute-force cosine truth over the same corpus state, BOTH ways:
+  *     `recall_frozen` (the persisted index: stale centroids + appended
+  *     assignments) and `recall_fresh` (throwaway centroids retrained on
+  *     the current corpus at the same k/iters). The GAP between the two
+  *     is the cost of serving on frozen centroids — absolute recall
+  *     moves with the data (drifted vectors are mutually similar), so
+  *     only the paired difference isolates drift;
+  *   - after the last batch, [[IvfRepo.rebuild]] in place and re-probe:
+  *     the repo path must land EXACTLY on the last `recall_fresh`
+  *     (training is deterministic) — a self-check that rebuild serves
+  *     the retrained index, asserted here.
+  *
+  * Also reports, per step, the max-cluster assignment fraction and the
+  * mean per-query CANDIDATE fraction under both centroid sets: drifted
+  * appends pile into the few cells nearest the drift direction, so the
+  * frozen index's probes scan an ever-growing share of the corpus — at
+  * strong drift the probe degenerates toward brute force over the
+  * drifted region, which can even RAISE recall while voiding the
+  * nprobe/k pruning contract. Drift's primary casualty is serve COST,
+  * not recall, and the at-rest max-cluster fraction (readable from
+  * directory sizes, no probes needed) is the rebuild TRIGGER a pipeline
+  * can monitor cheaply.
+  *
+  * Usage: runMain graft.IvfDriftStudy [sfDir] [batches] [nQ] [delta]
+  * Emits one JSON line per step (append_1..B, then rebuild).
+  */
+object IvfDriftStudy {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batches = if (args.length > 1) args(1).toInt else 4
+    val nQ = if (args.length > 2) args(2).toInt else 50
+    val delta = if (args.length > 3) args(3).toDouble else 0.25
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/scratch") +
+      s"/ivfdrift-${ProcessHandle.current().pid()}"
+    // re-key to contiguous ranks: the ScaleUp stress dirs offset replica
+    // vec_ids by r·1e8, which would break the id-window base/slice split
+    // below (a global window is fine in a measurement harness)
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("orig_id"), col("embedding"))
+      .withColumn("vec_id",
+        row_number().over(Window.orderBy(col("orig_id"))).cast("long") - 1)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val n = embs.count()
+    val nBase = n / 2
+    val k = math.max(8, math.round(math.sqrt(nBase.toDouble)).toInt).toInt
+    val nprobe = 2
+
+    def shifted(df: DataFrame, off: Double): DataFrame =
+      df.withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i < 4, x + lit(off)).otherwise(x).cast("float")))
+
+    val base = embs.filter(col("vec_id") < nBase).localCheckpoint(true)
+    val cent = new TableRepo(s"$root/cent", spark)
+    val asg = new TableRepo(s"$root/asg", spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(base, k, 3, cent, asg)
+
+    // corpusNow tracks the repo's logical content for the brute-force truth
+    var corpusNow = base
+    val sliceN = (n - nBase) / batches
+
+    def bruteTop5(queries: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      broadcast(queries)
+        .join(corpusNow.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+          col("n_id") =!= col("q_id"))
+        .withColumn("sim", VectorFns.cosine(col("q_emb"), col("n_emb")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .select(col("q_id"), col("n_id")).localCheckpoint(true)
+    }
+
+    def recallOf(got: DataFrame, truth: DataFrame): Double =
+      got.join(truth, Seq("q_id", "n_id"), "left_semi").count().toDouble / truth.count()
+
+    // the in-memory twin of IvfRepo.probe, for the throwaway fresh index:
+    // same nearest-nprobe centroid selection, same candidate join on
+    // centroid_id, same tie-break — minus the at-rest repos
+    def probeMem(queries: DataFrame, centDf: DataFrame, asgDf: DataFrame): DataFrame = {
+      val c = centDf.select(col("centroid_id"), col("c_emb"),
+        sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
+      val q = queries.select(col("q_id"), col("q_emb"),
+        VectorFns.norm2(col("q_emb")).as("q_nrm"))
+      val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+      val qc = broadcast(q).crossJoin(broadcast(c))
+        .withColumn("csim",
+          VectorFns.dotHof(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+      broadcast(qc)
+        .join(asgDf.select(col("vec_id").as("n_id"), col("centroid_id"),
+          col("embedding").as("n_emb")), Seq("centroid_id"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("sim", VectorFns.dot(col("q_emb"), col("n_emb")) /
+          (col("q_nrm") * VectorFns.norm2(col("n_emb"))))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 5)
+        .select(col("q_id"), col("n_id"))
+    }
+
+    def maxClusterFrac(): Double = {
+      val sizes = asg.getFullDf.groupBy(col("centroid_id")).count()
+        .agg(max(col("count")).as("mx"), sum(col("count")).as("tot")).head()
+      sizes.getLong(0).toDouble / sizes.getLong(1)
+    }
+
+    // mean per-query CANDIDATE fraction: what share of the corpus a
+    // query's nprobe probed clusters hold — the serve-COST face of drift
+    // (recall alone misleads: overgrown clusters degenerate the probe
+    // toward brute force over the drifted region, "gaining" recall while
+    // voiding the nprobe/k pruning contract)
+    def candFrac(queries: DataFrame, centDf: DataFrame, asgDf: DataFrame): Double = {
+      val sizes = asgDf.groupBy(col("centroid_id")).count()
+      val c = centDf.select(col("centroid_id"), col("c_emb"),
+        sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
+      val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+      val tot = asgDf.count().toDouble
+      val perQ = broadcast(queries.select(col("q_id"), col("q_emb"),
+          VectorFns.norm2(col("q_emb")).as("q_nrm")))
+        .crossJoin(broadcast(c))
+        .withColumn("csim",
+          VectorFns.dotHof(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+        .join(broadcast(sizes), Seq("centroid_id"))
+        .groupBy(col("q_id")).agg(sum(col("count")).as("cand"))
+        .agg(avg(col("cand"))).head().getDouble(0)
+      perQ / tot
+    }
+
+    var lastQueries: DataFrame = null
+    var lastFresh = 0.0
+    for (i <- 1 to batches) {
+      val lo = nBase + (i - 1) * sliceN
+      val hi = if (i == batches) n else nBase + i.toLong * sliceN
+      val slice = shifted(
+        embs.filter(col("vec_id") >= lo && col("vec_id") < hi), i * delta)
+        .localCheckpoint(true)
+      IvfRepo.append(slice, cent, asg)
+      corpusNow = corpusNow.unionByName(slice).localCheckpoint(true)
+      lastQueries = slice.orderBy(col("vec_id")).limit(nQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .localCheckpoint(true)
+      val truth = bruteTop5(lastQueries)
+      val frozen = recallOf(
+        IvfRepo.probe(lastQueries, cent, asg, nprobe, 5).select(col("q_id"), col("n_id")),
+        truth)
+      val freshCent = Ivf.train(corpusNow, k, 3).localCheckpoint(true)
+      val freshAsg = Ivf.assign(corpusNow, freshCent).localCheckpoint(true)
+      lastFresh = recallOf(probeMem(lastQueries, freshCent, freshAsg), truth)
+      val fcF = candFrac(lastQueries, cent.getFullDf, asg.getFullDf)
+      val fcR = candFrac(lastQueries, freshCent, freshAsg)
+      println(s"""{"study":"ivf_drift","dir":"$dir","step":"append_$i","n":${nBase + i * sliceN},""" +
+        s""""k":$k,"nprobe":$nprobe,"drift_off":${i * delta},""" +
+        s""""recall_frozen":${f"$frozen%.4f"},"recall_fresh":${f"$lastFresh%.4f"},""" +
+        s""""gap":${f"${lastFresh - frozen}%.4f"},"max_cluster_frac":${f"${maxClusterFrac()}%.4f"},""" +
+        s""""cand_frac_frozen":${f"$fcF%.4f"},"cand_frac_fresh":${f"$fcR%.4f"}}""")
+    }
+
+    IvfRepo.rebuild(corpusNow, k, 3, cent, asg)
+    val truth = bruteTop5(lastQueries)
+    val r = recallOf(
+      IvfRepo.probe(lastQueries, cent, asg, nprobe, 5).select(col("q_id"), col("n_id")),
+      truth)
+    val fcPost = candFrac(lastQueries, cent.getFullDf, asg.getFullDf)
+    println(s"""{"study":"ivf_drift","dir":"$dir","step":"rebuild","n":$n,""" +
+      s""""k":$k,"nprobe":$nprobe,"drift_off":${batches * delta},""" +
+      s""""recall_frozen":${f"$r%.4f"},"recall_fresh":${f"$lastFresh%.4f"},""" +
+      s""""gap":${f"${lastFresh - r}%.4f"},"max_cluster_frac":${f"${maxClusterFrac()}%.4f"},""" +
+      s""""cand_frac_frozen":${f"$fcPost%.4f"},"cand_frac_fresh":${f"$fcPost%.4f"}}""")
+    assert(math.abs(r - lastFresh) < 1e-9,
+      s"rebuild must serve the retrained index exactly: repo=$r fresh=$lastFresh")
+    spark.stop()
+  }
+}
