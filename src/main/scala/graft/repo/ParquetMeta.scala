@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 
 /** Parquet-footer key/value metadata, embedded IN the data files.
   *
@@ -47,7 +47,11 @@ object ParquetMeta {
     }
     val tmp = new Path(path.getParent, s".${path.getName}.kvtmp")
     val fs = path.getFileSystem(conf)
-    val w = new ParquetFileWriter(conf, schema, tmp, ParquetFileWriter.Mode.OVERWRITE)
+    // row-group size / padding are irrelevant here: the writer only
+    // appendFile()s existing row groups verbatim
+    val w = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE,
+      org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong, 0)
     w.start()
     w.appendFile(in)
     w.end((existing ++ extra).asJava)

@@ -60,7 +60,7 @@ object Sessionize {
           // arm the timeout up to ~2 ms early and could split a session
           // whose closing event arrives inside that window
           state.setTimeoutTimestamp(
-            math.max((s.lastUs + gapUs + 999) / 1000, state.getCurrentWatermarkMs + 1))
+            math.max((s.lastUs + gapUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
       }
       out.result().iterator
     }

@@ -129,7 +129,7 @@ object StreamEmbDedup {
             occ.foreach { o =>
               state.update(o)
               state.setTimeoutTimestamp(
-                math.max(o.ts_us / 1000L + horizonMs, state.getCurrentWatermarkMs + 1L))
+                math.max(o.ts_us / 1000L + horizonMs, state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator
           }

@@ -142,7 +142,7 @@ object StreamNearDup {
               // event-time eviction at occupant + horizon; never behind
               // the current watermark (Spark rejects a stale timeout)
               state.setTimeoutTimestamp(
-                math.max(o.ts_us / 1000L + horizonMs, state.getCurrentWatermarkMs + 1L))
+                math.max(o.ts_us / 1000L + horizonMs, state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator
           }
