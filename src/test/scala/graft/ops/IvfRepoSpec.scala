@@ -123,6 +123,32 @@ class IvfRepoSpec extends SparkSuite {
       Ivf.probeTopK(e, 4, 2, 2, 5L, 10).orderBy("q_id", "n_id"))
   }
 
+  test("a probe planned before a rebuild answers from the grace version") {
+    // substantiates IvfRepo.rebuild's swap contract: a probe whose candidate
+    // scan was planned against the OLD index must complete with the OLD
+    // answer after replaceAll lands the new snapshot versions, because the
+    // superseded version survives as TableRepo's grace version
+    val e = embs(200)
+    val (cent, asg) = builtRepos("grace", e)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val expected = IvfRepo.probe(queries, cent, asg, 2, 10).collect().toSeq
+    // plan (file indexes resolved, centroid phase executed) but don't collect
+    val planned = IvfRepo.probe(queries, cent, asg, 2, 10)
+    // grow the corpus and swap the index in place — new centroids, new
+    // assignment table, same k
+    IvfRepo.rebuild(e.union(embs(260).filter(col("vec_id") >= 200)), 4, 2, cent, asg)
+    assert(planned.collect().toSeq.sortBy(_.getLong(1)) ==
+      expected.sortBy(_.getLong(1)),
+      "pre-swap probe plan must keep answering from the grace version's files")
+    // and a probe planned AFTER the swap serves the rebuilt corpus: the
+    // appended near-twins (vec_id >= 200 share direction clusters by
+    // construction) must be reachable among the neighbours
+    val fresh = IvfRepo.probe(queries, cent, asg, 2, 20).collect()
+      .map(_.getLong(1)).toSet
+    assert(fresh.exists(_ >= 200L), s"post-rebuild probe missed appended ids: $fresh")
+  }
+
   test("probe touches no unprobed-cluster files end to end") {
     val e = embs(300)
     val (cent, asg) = builtRepos("e2e", e)
