@@ -80,6 +80,29 @@ object IvfRepo {
     asgRepo.extend(
       Ivf.assign(newVecs.select(col("vec_id"), col("embedding")), centRepo.getFullDf))
 
+  /** Streaming face of [[append]]: every micro-batch of (vec_id,
+    * embedding) is assigned against the PERSISTED centroids and appended
+    * into the assignment repo exactly-once through its commit ledger
+    * ([[graft.streaming.RepoSink]] — crash-window replays are dropped, and
+    * `compactEvery` keeps per-batch small files folded at streaming
+    * cadence). Centroids are re-read at each batch (k rows, driver-cheap):
+    * a same-k [[rebuild]] landing mid-stream is picked up at the next
+    * micro-batch, with TableRepo's grace version covering the in-flight
+    * one. A k-CHANGING rebuild still requires a stream restart against
+    * fresh roots, same as the probe path.
+    */
+  def startAppendStream(stream: DataFrame, centRepo: TableRepo,
+      asgRepo: TableRepo, checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      writerId: String = "", compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.RepoSink.start(stream, asgRepo, checkpointDir,
+      trigger = trigger, exactlyOnce = true, writerId = writerId,
+      compactEvery = compactEvery,
+      transform = b =>
+        Ivf.assign(b.select(col("vec_id"), col("embedding")), centRepo.getFullDf))
+
   /** The partition-pruned candidate scan: assignment rows of the probed
     * clusters only. Exposed so specs can assert the PartitionFilters /
     * file-subset property directly on the scan.

@@ -67,6 +67,13 @@ object RepoSink {
       }
     }
 
+  /** `transform` runs on each micro-batch INSIDE `foreachBatch`, where the
+    * batch is a plain DataFrame — so per-batch logic the streaming planner
+    * would reject (window argmax, repo reads resolved at batch time) is
+    * fair game. It must be deterministic w.r.t. the batch for the
+    * exactly-once contract to mean anything (a replayed batch is dropped,
+    * not re-transformed).
+    */
   def start(
       stream: DataFrame,
       repo: TableRepo,
@@ -76,12 +83,14 @@ object RepoSink {
       exactlyOnce: Boolean = false,
       writerId: String = "",
       compactEvery: Int = 0,
-      compactTargetRecords: Long = 1000000L): StreamingQuery = {
+      compactTargetRecords: Long = 1000000L,
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
     val wid = resolveWriterId(repo, checkpointDir, writerId, exactlyOnce)
     val writer: DataStreamWriter[org.apache.spark.sql.Row] = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val batch = transform(raw)
         if (replace) repo.replaceRecords(batch)
         else if (exactlyOnce) { repo.extendExactlyOnce(batch, wid, batchId): Unit }
         else repo.extend(batch)

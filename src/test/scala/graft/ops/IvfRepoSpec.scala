@@ -123,6 +123,50 @@ class IvfRepoSpec extends SparkSuite {
       Ivf.probeTopK(e, 4, 2, 2, 5L, 10).orderBy("q_id", "n_id"))
   }
 
+  test("streamed ingestion equals batch append and restarts exactly-once") {
+    // the streaming face of append: micro-batches assigned against the
+    // persisted centroids inside foreachBatch, landed through the commit
+    // ledger — the same batch/stream-twin discipline the dedup family
+    // proves, applied to the ANN index
+    val e = embs(240)
+    val head = e.filter(col("vec_id") < 120)
+    val mid = e.filter(col("vec_id") >= 120 && col("vec_id") < 180)
+    val tail = e.filter(col("vec_id") >= 180)
+    val cent = new TableRepo(scratch("ivf-cent-st"), spark)
+    val asg = new TableRepo(scratch("ivf-asg-st"), spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(head, 4, 2, cent, asg)
+
+    val srcDir = scratch("ivf-st-src")
+    val ckpt = scratch("ivf-st-ckpt")
+    def stream = spark.readStream.schema(e.schema).parquet(srcDir)
+    mid.write.parquet(srcDir)
+    val q1 = IvfRepo.startAppendStream(stream, cent, asg, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    // RESTART from the same checkpoint with a second drop: only the new
+    // files may land — a replay of the first drop would double-assign
+    tail.write.mode("append").parquet(srcDir)
+    val q2 = IvfRepo.startAppendStream(stream, cent, asg, ckpt)
+    q2.processAllAvailable(); q2.stop()
+
+    // batch twin: build on the same head, append the same two batches
+    val centT = new TableRepo(scratch("ivf-cent-st-twin"), spark)
+    val asgT = new TableRepo(scratch("ivf-asg-st-twin"), spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(head, 4, 2, centT, asgT)
+    IvfRepo.append(mid, centT, asgT)
+    IvfRepo.append(tail, centT, asgT)
+    assertSameRows(
+      asg.getFullDf.select("vec_id", "centroid_id").orderBy("vec_id"),
+      asgT.getFullDf.select("vec_id", "centroid_id").orderBy("vec_id"))
+    assert(asg.count() == 240, s"exactly-once: got ${asg.count()}")
+    // and probes reach the streamed vectors through the pruned serving path
+    val queries = e.filter(col("vec_id") === 2L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val neigh = IvfRepo.probe(queries, cent, asg, 2, 30).collect()
+      .map(_.getLong(1)).toSet
+    assert(neigh.exists(_ >= 120L), s"no streamed vector among neighbours: $neigh")
+  }
+
   test("a probe planned before a rebuild answers from the grace version") {
     // substantiates IvfRepo.rebuild's swap contract: a probe whose candidate
     // scan was planned against the OLD index must complete with the OLD
