@@ -167,6 +167,43 @@ class IvfRepoSpec extends SparkSuite {
     assert(neigh.exists(_ >= 120L), s"no streamed vector among neighbours: $neigh")
   }
 
+  test("streamed ingestion drops the crash-window replay (ledger ahead of checkpoint)") {
+    // THE exactly-once window: the assignment landed through the commit
+    // ledger but the streaming checkpoint never recorded the batch, so a
+    // restart replays it — the ledger must drop the replay, assignments
+    // landing exactly once
+    val e = embs(200)
+    val head = e.filter(col("vec_id") < 150)
+    val mid = e.filter(col("vec_id") >= 150 && col("vec_id") < 180)
+    val tail = e.filter(col("vec_id") >= 180)
+    val cent = new TableRepo(scratch("ivf-cent-cw"), spark)
+    val asg = new TableRepo(scratch("ivf-asg-cw"), spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(head, 4, 2, cent, asg)
+
+    // simulate the crash: batch 0's transformed rows are ledger-committed
+    // under the sink's writer identity, checkpoint knows nothing
+    asg.extendExactlyOnce(
+      Ivf.assign(mid.select(col("vec_id"), col("embedding")), cent.getFullDf),
+      "w-ivf", 0L): Unit
+    assert(asg.count() == 180)
+
+    val srcDir = scratch("ivf-cw-src")
+    val ckpt = scratch("ivf-cw-ckpt")
+    def stream = spark.readStream.schema(e.schema).parquet(srcDir)
+    mid.write.parquet(srcDir)
+    // restart: the engine replays batch 0 from scratch; the ledger drops it
+    val q1 = IvfRepo.startAppendStream(stream, cent, asg, ckpt, writerId = "w-ivf")
+    q1.processAllAvailable(); q1.stop()
+    assert(asg.count() == 180, s"crash-window replay double-landed: ${asg.count()}")
+    // and the stream continues normally past the replayed batch
+    tail.write.mode("append").parquet(srcDir)
+    val q2 = IvfRepo.startAppendStream(stream, cent, asg, ckpt, writerId = "w-ivf")
+    q2.processAllAvailable(); q2.stop()
+    assert(asg.count() == 200, s"post-replay batch must land: ${asg.count()}")
+    assert(asg.getFullDf.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+      "no vec_id may land twice")
+  }
+
   test("a probe planned before a rebuild answers from the grace version") {
     // substantiates IvfRepo.rebuild's swap contract: a probe whose candidate
     // scan was planned against the OLD index must complete with the OLD
