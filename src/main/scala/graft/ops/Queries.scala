@@ -1524,7 +1524,11 @@ object Queries {
     // nprobe=2 nearest trained clusters only (RecallStudy: recall@5
     // 0.50 at half the corpus untouched on sf0.1; nprobe scales recall
     // smoothly toward exhaustive). Same query/top-k protocol as
-    // q_topk_cosine so the two are directly comparable.
+    // q_topk_cosine so the two are directly comparable. DELIBERATELY
+    // trains inside the query: this row is the self-contained ORACLE DEMO
+    // of the probe math (train+assign+probe in one deterministic replay);
+    // the serving-shaped path — train once, probe from the at-rest
+    // partition-pruned index — is q_ivf_probe_repo below.
     Q("q_ivf_probe", Some(Ivf.probeOracleSql(8, 3, 2, 5L, 10, sqlCosine))) { (s, d) =>
       Ivf.probeTopK(t(s, d, "embeddings"), 8, 3, 2, 5L, 10)
     },
