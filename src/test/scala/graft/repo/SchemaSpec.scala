@@ -57,6 +57,26 @@ class SchemaSpec extends SparkSuite {
     assert(out.filter($"C" === "g2").select("B").collect().head.isNullAt(0))
   }
 
+  test("pinned schemas are deep-nullable: non-null array elements can't wedge the pin") {
+    // Spark file sources force every read column (nested nullability
+    // included) nullable; a pin captured verbatim from a first in-memory
+    // extend whose arrays carried containsNull=false would make later
+    // harmonize casts unresolvable (array<float,false> FROM
+    // array<float,true>). The pin choke point normalizes — this is the
+    // contract the IVF embedding repos lean on.
+    val repo = new TableRepo(scratch("deep-null"), spark)
+    val first = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "emb")
+    assert(!first.schema("emb").dataType.asInstanceOf[ArrayType].containsNull,
+      "precondition: the in-memory frame must carry containsNull=false")
+    repo.extend(first)
+    assert(repo.pinnedSchema.get("emb").dataType.asInstanceOf[ArrayType].containsNull,
+      "the pin must normalize to deep-nullable")
+    // the second extend harmonizes a FILE-backed read against the pin
+    repo.extend(Seq((2L, Seq(3.0f))).toDF("id", "emb"))
+    assert(repo.count() == 2)
+    assert(repo.getFullDf.selectExpr("sum(emb[0])").as[Double].head() == 4.0)
+  }
+
   test("timestamps and binary round-trip (test_core.py:254-258,283-300)") {
     val ts = java.sql.Timestamp.valueOf("2023-04-04 00:00:00")
     val repo = new TableRepo(scratch("types"), spark)
