@@ -34,6 +34,34 @@ class ZOrderPruneSpec extends SparkSuite {
       !(xhi < xq._1 || xlo > xq._2 || yhi < yq._1 || ylo > yq._2)
     }
 
+  test("codeK equals a bit-loop interleave model for k=2..6 on a seeded sweep") {
+    // dimension d of k must land at bit positions i*k + d of the code —
+    // asserted bit-for-bit against a straight loop, through codegen, for
+    // BOTH construction paths (k=2 native ZOrderExpr, k>2 composed
+    // shift/and/or)
+    import spark.implicits._
+    def model(vals: Seq[Long], k: Int): Long = {
+      val bitsPer = 64 / k
+      var out = 0L
+      for (d <- 0 until k; i <- 0 until bitsPer)
+        out |= ((vals(d) >> i) & 1L) << (i * k + d)
+      out
+    }
+    val rng = new scala.util.Random(2718)
+    for (k <- 2 to 6) {
+      val bitsPer = 64 / k
+      val rows = (1 to 200).map { _ =>
+        Seq.fill(k)(rng.nextLong().abs % (1L << math.min(bitsPer, 62)))
+      } ++ Seq(Seq.fill(k)(0L), Seq.fill(k)((1L << bitsPer) - 1))
+      val df = rows.toDF("arr")
+      val cols = (0 until k).map(d => col("arr").getItem(d))
+      df.select(ZOrder.codeK(cols).as("z"), col("arr")).collect().foreach { r =>
+        assert(r.getLong(0) == model(r.getSeq[Long](1), k),
+          s"k=$k mismatch for ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("z-order files cover compact 2-D boxes; a corner box query skips most files") {
     val repo = new TableRepo(scratch("zorder"), spark,
       maxRecordsPerFile = 1000, zOrderCols = Seq("x", "y"))
