@@ -13,7 +13,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -82,11 +82,22 @@ object Bench {
         queryList.zipWithIndex.foreach { case ((_, fn), qi) => runOnce(qi, fn) }
         System.gc()
       }
+    // With >= 4 reps the single highest and single lowest rep are DROPPED
+    // before the median: even with the warm rep, one rep per sweep can
+    // still land in a box I/O stall (r12's official artifact carried 9/51
+    // queries at max/min >= 3 from exactly that), and the dropped-extremes
+    // median is immune to one stalled AND one anomalously-cached rep per
+    // query. rep_times below carries the KEPT reps (ascending); the raw
+    // un-dropped arrays stay in rep_times_raw for self-diagnosis.
+    def kept(qi: Int): Seq[Double] = {
+      val ts = times(qi).sorted.toSeq
+      if (ts.length >= 4) ts.drop(1).dropRight(1) else ts
+    }
     val results = queryList.zipWithIndex.map { case ((name, _), qi) =>
       // a crashing query must NOT masquerade as a fast one: any failed rep
       // poisons the whole entry to the -1 sentinel (and stderr says why)
       fails(qi).foreach(e => System.err.println(s"BENCH FAIL $name: $e"))
-      val ts = times(qi).sorted
+      val ts = kept(qi)
       name -> (if (fails(qi).isEmpty) ts(ts.length / 2) else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -95,15 +106,19 @@ object Bench {
     // stall shows up as one outlier in its array instead of demanding a
     // cross-run adjudication (the round-8 76-vs-59s ambiguity)
     val perRep = queryList.zipWithIndex.map { case ((name, _), qi) =>
+      "\"" + name + "\":" + kept(qi).map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val perRepRaw = queryList.zipWithIndex.map { case ((name, _), qi) =>
       "\"" + name + "\":" + times(qi).map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)
     val mode = (if (consecutive) "consecutive" else "roundrobin") +
-      (if (warmRep) "+warm" else "") + (if (noCkpt) "+nockpt" else "")
+      (if (warmRep) "+warm" else "") + (if (reps >= 4) "+dropminmax" else "") +
+      (if (noCkpt) "+nockpt" else "")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so
     // ALSO write to a committed path — docs/bench_last.json is the durable
     // all-queries artifact each round

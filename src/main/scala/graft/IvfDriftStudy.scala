@@ -181,7 +181,7 @@ object IvfDriftStudy {
       lastFresh = recallOf(probeMem(lastQueries, freshCent, freshAsg), truth)
       val fcF = candFrac(lastQueries, cent.getFullDf, asg.getFullDf)
       val fcR = candFrac(lastQueries, freshCent, freshAsg)
-      println(s"""{"study":"ivf_drift","dir":"$dir","step":"append_$i","n":${nBase + i * sliceN},""" +
+      println(s"""{"study":"ivf_drift","dir":"$dir","step":"append_$i","n":$hi,""" +
         s""""k":$k,"nprobe":$nprobe,"drift_off":${i * delta},""" +
         s""""recall_frozen":${f"$frozen%.4f"},"recall_fresh":${f"$lastFresh%.4f"},""" +
         s""""gap":${f"${lastFresh - frozen}%.4f"},"max_cluster_frac":${f"${maxClusterFrac()}%.4f"},""" +

@@ -119,7 +119,7 @@ object IvfStreamStudy {
       .view.mapValues(_.map(_.get(1)).toIndexedSeq).toMap
     val perQ = probedPerQ.values.map { probed =>
       bytesOf(allPaths.filter(p =>
-        probed.exists(id => p.contains(s"centroid_id=$id")))).toDouble / totB
+        probed.exists(id => p.contains(s"centroid_id=$id/")))).toDouble / totB
     }.toSeq
     val meanFrac = perQ.sum / perQ.length
 
