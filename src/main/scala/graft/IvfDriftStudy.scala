@@ -130,11 +130,10 @@ object IvfDriftStudy {
         .select(col("q_id"), col("n_id"))
     }
 
-    def maxClusterFrac(): Double = {
-      val sizes = asg.getFullDf.groupBy(col("centroid_id")).count()
-        .agg(max(col("count")).as("mx"), sum(col("count")).as("tot")).head()
-      sizes.getLong(0).toDouble / sizes.getLong(1)
-    }
+    // the at-rest rebuild-trigger signals a pipeline would monitor —
+    // computed by the production helper itself, so the study measures
+    // exactly what IvfRepo.driftStats exposes
+    def atRest(): IvfRepo.DriftStats = IvfRepo.driftStats(cent, asg)
 
     // mean per-query CANDIDATE fraction: what share of the corpus a
     // query's nprobe probed clusters hold — the serve-COST face of drift
@@ -181,10 +180,12 @@ object IvfDriftStudy {
       lastFresh = recallOf(probeMem(lastQueries, freshCent, freshAsg), truth)
       val fcF = candFrac(lastQueries, cent.getFullDf, asg.getFullDf)
       val fcR = candFrac(lastQueries, freshCent, freshAsg)
+      val ar = atRest()
       println(s"""{"study":"ivf_drift","dir":"$dir","step":"append_$i","n":$hi,""" +
         s""""k":$k,"nprobe":$nprobe,"drift_off":${i * delta},""" +
         s""""recall_frozen":${f"$frozen%.4f"},"recall_fresh":${f"$lastFresh%.4f"},""" +
-        s""""gap":${f"${lastFresh - frozen}%.4f"},"max_cluster_frac":${f"${maxClusterFrac()}%.4f"},""" +
+        s""""gap":${f"${lastFresh - frozen}%.4f"},"max_cluster_frac":${f"${ar.maxClusterFrac}%.4f"},""" +
+        s""""mean_assign_cos":${f"${ar.meanAssignCos}%.4f"},""" +
         s""""cand_frac_frozen":${f"$fcF%.4f"},"cand_frac_fresh":${f"$fcR%.4f"}}""")
     }
 
@@ -194,10 +195,12 @@ object IvfDriftStudy {
       IvfRepo.probe(lastQueries, cent, asg, nprobe, 5).select(col("q_id"), col("n_id")),
       truth)
     val fcPost = candFrac(lastQueries, cent.getFullDf, asg.getFullDf)
+    val arPost = atRest()
     println(s"""{"study":"ivf_drift","dir":"$dir","step":"rebuild","n":$n,""" +
       s""""k":$k,"nprobe":$nprobe,"drift_off":${batches * delta},""" +
       s""""recall_frozen":${f"$r%.4f"},"recall_fresh":${f"$lastFresh%.4f"},""" +
-      s""""gap":${f"${lastFresh - r}%.4f"},"max_cluster_frac":${f"${maxClusterFrac()}%.4f"},""" +
+      s""""gap":${f"${lastFresh - r}%.4f"},"max_cluster_frac":${f"${arPost.maxClusterFrac}%.4f"},""" +
+      s""""mean_assign_cos":${f"${arPost.meanAssignCos}%.4f"},""" +
       s""""cand_frac_frozen":${f"$fcPost%.4f"},"cand_frac_fresh":${f"$fcPost%.4f"}}""")
     assert(math.abs(r - lastFresh) < 1e-9,
       s"rebuild must serve the retrained index exactly: repo=$r fresh=$lastFresh")

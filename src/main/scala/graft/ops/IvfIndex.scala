@@ -1,0 +1,202 @@
+package graft.ops
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.repo.TableRepo
+
+object IvfIndex {
+
+  /** One consistent generation of the persisted IVF index: the COMMITTED
+    * snapshot version of each half plus the k they were trained with. A
+    * probe that plans from one manifest reads a centroid set and an
+    * assignment table that were trained TOGETHER — never a mixed pair.
+    */
+  case class Manifest(centVersion: Int, asgVersion: Int, k: Int)
+}
+
+/** Manifest-pinned lifecycle wrapper over [[IvfRepo]] — closes the one
+  * unsafe window the raw two-table layout leaves open: a K-CHANGING
+  * rebuild swaps `cent` and `asg` as two independent per-table snapshot
+  * commits, so a probe landing between them could see new centroids with
+  * old assignments (or vice versa) — candidate sets keyed by the wrong
+  * Voronoi generation.
+  *
+  * The fix is one tiny index-level manifest at the index root, the same
+  * claim-then-commit discipline [[TableRepo]] uses for its own version
+  * dirs: `_ivf_manifest-v<N>.json` names a consistent
+  * (centroid-version, assignment-version, k) triple; readers resolve the
+  * highest N; writers land a WHOLE file under an invisible dot-prefixed
+  * temp name and atomically rename it into place — a reader sees the old
+  * triple or the new one, never a torn or mixed state. [[rebuild]] swaps
+  * both tables FIRST (order now irrelevant) and flips the manifest LAST;
+  * until that flip every probe keeps planning from the superseded
+  * versions, which survive as TableRepo grace snapshots (retention >= 1
+  * guarantees exactly the swap window; pass `snapshotRetention` >= 2 to
+  * also cover a rebuild that CRASHES after one table committed and is
+  * re-run in full before any probe migrates).
+  *
+  * Probe-plan cost of the pin: one directory listing for the manifest
+  * (driver metadata) plus [[TableRepo.getDfAt]] reads instead of
+  * current-version reads — the partition-pruned scan, broadcast shapes
+  * and top-k windows are byte-identical to [[IvfRepo.probe]]
+  * ([[IvfRepo.probeFrames]] is the shared plan).
+  *
+  * What the manifest does NOT cover (documented, unchanged from the raw
+  * layout): concurrent [[append]]/[[startAppendStream]] DURING a rebuild
+  * — an in-flight batch could assign against one generation's centroids
+  * and land in the other's assignment version, so ingestion must be
+  * quiesced across a rebuild (or the rebuild input must include the
+  * in-flight batches). Both entry points fence the obvious half of that
+  * hazard by refusing to ingest while the manifest lags the table
+  * versions.
+  */
+class IvfIndex(val root: String, val spark: SparkSession,
+    val snapshotRetention: Int = 1) {
+  import IvfIndex.Manifest
+
+  val cent: TableRepo =
+    new TableRepo(s"$root/cent", spark, snapshotRetention = snapshotRetention)
+  val asg: TableRepo = new TableRepo(s"$root/asg", spark,
+    groupCols = Seq("centroid_id"), snapshotRetention = snapshotRetention)
+
+  private def fs: FileSystem =
+    FileSystem.get(URI.create(root), spark.sparkContext.hadoopConfiguration)
+
+  private val ManifestRe = "_ivf_manifest-v(\\d+)\\.json".r
+
+  /** Committed manifest generations on disk, oldest first. */
+  private def manifestVersions: Seq[Int] = {
+    val rp = new Path(root)
+    if (!fs.exists(rp)) return Nil
+    fs.listStatus(rp).toSeq.filterNot(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case ManifestRe(n) => Some(n.toInt)
+        case _             => None
+      }).sorted
+  }
+
+  /** The current consistent generation, or None before the first build. */
+  def manifest: Option[Manifest] =
+    manifestVersions.lastOption.map { v =>
+      val in = fs.open(new Path(root, s"_ivf_manifest-v$v.json"))
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val m = TableRepo.parseFlatJson(raw)
+      Manifest(m("cent_version").toInt, m("asg_version").toInt, m("k").toInt)
+    }
+
+  /** Land `m` as the next manifest generation: whole file under a
+    * dot-prefixed temp name (invisible to any reader), then one atomic
+    * rename to a FRESH versioned name — readers resolving max-N see the
+    * old triple or the new one, never a partial write. Exposed to specs
+    * so mid-swap states can be driven step by step.
+    */
+  private[graft] def writeManifest(m: Manifest): Unit = {
+    fs.mkdirs(new Path(root))
+    val next = manifestVersions.lastOption.getOrElse(-1) + 1
+    val json = Map("cent_version" -> m.centVersion.toString,
+      "asg_version" -> m.asgVersion.toString, "k" -> m.k.toString)
+      .map { case (k, v) => s"${TableRepo.jq(k)}: ${TableRepo.jq(v)}" }
+      .mkString("{", ", ", "}")
+    val tmp = new Path(root, s"._ivf_manifest-v$next.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(root, s"_ivf_manifest-v$next.json")),
+      s"manifest commit rename failed under $root (concurrent rebuild?)")
+    // keep the new generation plus one grace manifest for debuggability
+    manifestVersions.dropRight(2).foreach(v =>
+      fs.delete(new Path(root, s"_ivf_manifest-v$v.json"), false))
+  }
+
+  /** Pin the CURRENT committed version pair as a new generation. */
+  private def commitManifest(k: Int): Manifest = {
+    val m = Manifest(cent.snapshotVersions.max, asg.snapshotVersions.max, k)
+    writeManifest(m)
+    m
+  }
+
+  /** Train ([[Ivf.train]] — pinned-seed, deterministic) and land BOTH
+    * halves as committed snapshot versions, then flip the manifest. Works
+    * identically for the first build and any later retrain — k-changing
+    * or not — because probes only ever follow the manifest: both
+    * `replaceAll`s land invisible-to-probes fresh versions (old ones
+    * survive as grace snapshots), and the atomic manifest rename is the
+    * single instant the index generation changes.
+    */
+  def build(embs: DataFrame, k: Int, iters: Int): Manifest = {
+    val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
+    val c = Ckpt(Ivf.train(e, k, iters))
+    cent.replaceAll(c)
+    asg.replaceAll(Ivf.assign(e, c))
+    commitManifest(k)
+  }
+
+  /** Lifecycle alias of [[build]]: with the manifest, an in-place retrain
+    * over the grown corpus IS just a build — no fresh roots, no probe
+    * fencing, any k.
+    */
+  def rebuild(embs: DataFrame, k: Int, iters: Int): Manifest =
+    build(embs, k, iters)
+
+  /** Manifest lag = a rebuild is mid-swap or died mid-swap: ingestion
+    * must not land rows keyed by one generation into the other (and rows
+    * appended to an unpinned version would be invisible to probes).
+    */
+  private def requireCurrent(op: String): Manifest = {
+    val m = manifest.getOrElse(throw new IllegalStateException(
+      s"no IVF manifest under $root — build() before $op"))
+    require(m.centVersion == cent.snapshotVersions.max &&
+      m.asgVersion == asg.snapshotVersions.max,
+      s"$op refused: manifest pins (cent v${m.centVersion}, asg v${m.asgVersion}) but the " +
+        s"tables are at (cent v${cent.snapshotVersions.max}, asg v${asg.snapshotVersions.max}) " +
+        "— a rebuild is in flight or crashed mid-swap; re-run rebuild to re-pin first")
+    m
+  }
+
+  /** Ingest without retraining ([[IvfRepo.append]]): new vectors are
+    * assigned against the pinned generation's centroids and appended INTO
+    * the pinned assignment version — visible to the next probe at the
+    * same pruned cost, no manifest flip needed.
+    */
+  def append(newVecs: DataFrame): Unit = {
+    requireCurrent("append"): Unit
+    IvfRepo.append(newVecs, cent, asg)
+  }
+
+  /** Streaming ingestion ([[IvfRepo.startAppendStream]]) with the same
+    * mid-swap fence as [[append]] at stream start. A same-k rebuild
+    * landing mid-stream is picked up at the next micro-batch (centroids
+    * re-read per batch); a k-CHANGING rebuild still requires quiescing
+    * the stream across the swap — see the class doc.
+    */
+  def startAppendStream(stream: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      writerId: String = "", compactEvery: Int = 0): StreamingQuery = {
+    requireCurrent("startAppendStream"): Unit
+    IvfRepo.startAppendStream(stream, cent, asg, checkpointDir,
+      trigger = trigger, writerId = writerId, compactEvery = compactEvery)
+  }
+
+  /** Rebuild-trigger observables over the pinned generation — see
+    * [[IvfRepo.driftStats]] for what the signals mean and SCALE.md for
+    * the measured thresholds.
+    */
+  def driftStats: IvfRepo.DriftStats = IvfRepo.driftStats(cent, asg)
+
+  /** Serve top-k cosine neighbours from the MANIFEST generation: both
+    * halves read at their pinned committed versions
+    * ([[TableRepo.getDfAt]]), so the probe is consistent across any
+    * concurrent rebuild — including k-changing ones — up to the atomic
+    * manifest flip. Plan shape identical to [[IvfRepo.probe]].
+    */
+  def probe(queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val m = manifest.getOrElse(throw new IllegalStateException(
+      s"no IVF manifest under $root — build() before probe"))
+    IvfRepo.probeFrames(queries, cent.getDfAt(m.centVersion),
+      asg.getDfAt(m.asgVersion), nprobe, topK)
+  }
+}

@@ -56,8 +56,12 @@ object IvfRepo {
     * between the two writes plans from the OLD centroids, whose ids are
     * a valid key space of the new assignment table whenever k is
     * unchanged (the common drift-rebuild). A k-changing rebuild has no
-    * cross-table atomicity — TableRepo versions are per-table — so serve
-    * it from fresh roots or fence probes for the swap instant.
+    * cross-table atomicity at THIS layer — TableRepo versions are
+    * per-table. [[IvfIndex]] closes that window: its manifest pins one
+    * (centroid-version, assignment-version) pair and flips atomically,
+    * making any rebuild — k-changing included — safe for concurrent
+    * probes. Use [[IvfIndex]] for serving; this raw form remains for
+    * callers managing their own fencing.
     */
   def rebuild(embs: DataFrame, k: Int, iters: Int,
       centRepo: TableRepo, asgRepo: TableRepo): Unit = {
@@ -103,6 +107,44 @@ object IvfRepo {
       transform = b =>
         Ivf.assign(b.select(col("vec_id"), col("embedding")), centRepo.getFullDf))
 
+  /** Rebuild-trigger observables, computed from the index AT REST — no
+    * probes, no brute-force recall, no retrain. Under [[append]]-only
+    * ingestion with distribution drift, new vectors pile into the few
+    * cells nearest the drift direction, so two cheap signals move before
+    * recall/serve-cost degrade: `maxClusterFrac` (share of the corpus in
+    * the fattest cluster — an occupancy scan that reads NO data columns,
+    * `centroid_id` comes from the partition directories) and
+    * `meanAssignCos` (mean cosine of each vector to its own centroid —
+    * one broadcast join + one pass over the embedding column; drifted
+    * vectors sit far from every frozen centroid, so this falls as drift
+    * accumulates). A pipeline monitors the occupancy signal per ingest
+    * batch and confirms with the cosine trend before scheduling
+    * [[rebuild]]; the operating thresholds are measured by
+    * `IvfDriftStudy` and documented in SCALE.md.
+    */
+  case class DriftStats(n: Long, clusters: Long, maxClusterFrac: Double,
+      meanAssignCos: Double)
+
+  def driftStats(centRepo: TableRepo, asgRepo: TableRepo): DriftStats = {
+    val occ = asgRepo.getFullDf.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("tot"),
+        count(lit(1)).as("k"))
+      .head()
+    // c_emb is a DOUBLE array (trained means) — the codegen float-vector
+    // dot doesn't apply across types, so the centroid side goes through
+    // the HOF dot, exactly as the probe's csim does
+    val meanCos = asgRepo.getFullDf
+      .join(broadcast(centRepo.getFullDf.select(col("centroid_id"), col("c_emb"),
+        sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))),
+        Seq("centroid_id"))
+      .agg(avg(VectorFns.dotHof(col("embedding"), col("c_emb")) /
+        (VectorFns.norm2(col("embedding")) * col("c_nrm"))))
+      .head().getDouble(0)
+    DriftStats(occ.getLong(1), occ.getLong(2),
+      occ.getLong(0).toDouble / occ.getLong(1), meanCos)
+  }
+
   /** The partition-pruned candidate scan: assignment rows of the probed
     * clusters only. Exposed so specs can assert the PartitionFilters /
     * file-subset property directly on the scan.
@@ -121,8 +163,19 @@ object IvfRepo {
     * DuckDB oracle replays both.
     */
   def probe(queries: DataFrame, centRepo: TableRepo, asgRepo: TableRepo,
+      nprobe: Int, topK: Int): DataFrame =
+    probeFrames(queries, centRepo.getFullDf, asgRepo.getFullDf, nprobe, topK)
+
+  /** The probe plan over explicit index FRAMES — the shared core of
+    * [[probe]] (current-version reads) and [[IvfIndex.probe]] (manifest-
+    * pinned `getDfAt` reads, where BOTH halves must come from one committed
+    * generation). `asgDf` must be a scan of the `centroid_id`-partitioned
+    * assignment layout for the literal `IN` filter to become plan-time
+    * PartitionFilters; everything else is frame-agnostic.
+    */
+  def probeFrames(queries: DataFrame, centDf: DataFrame, asgDf: DataFrame,
       nprobe: Int, topK: Int): DataFrame = {
-    val c = centRepo.getFullDf.select(col("centroid_id"), col("c_emb"),
+    val c = centDf.select(col("centroid_id"), col("c_emb"),
       sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
     val q = queries.select(col("q_id"), col("q_emb"),
       VectorFns.norm2(col("q_emb")).as("q_nrm"))
@@ -133,9 +186,12 @@ object IvfRepo {
       .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id")))
     val probedIds = qc.select(col("centroid_id")).distinct().collect().map(_.get(0)).toIndexedSeq
+    val cands = asgDf.filter(col("centroid_id").isin(probedIds: _*))
+      .select(col("vec_id").as("n_id"), col("centroid_id"),
+        col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     broadcast(qc)
-      .join(candidates(asgRepo, probedIds), Seq("centroid_id"))
+      .join(cands, Seq("centroid_id"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", VectorFns.dot(col("q_emb"), col("n_emb")) /
         (col("q_nrm") * VectorFns.norm2(col("n_emb"))))

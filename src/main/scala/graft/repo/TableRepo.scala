@@ -1610,7 +1610,7 @@ object TableRepo {
   /** Minimal parser for the flat string->string JSON objects `setMetadata`
     * emits (no external JSON dependency is available offline).
     */
-  private[repo] def parseFlatJson(raw: String): Map[String, String] = {
+  private[graft] def parseFlatJson(raw: String): Map[String, String] = {
     val out = mutable.LinkedHashMap[String, String]()
     var i = 0
     def skipWs(): Unit = while (i < raw.length && raw(i).isWhitespace) i += 1

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The manifest contract: a probe against an [[IvfIndex]] must always
+  * answer from ONE consistent (centroid-version, assignment-version)
+  * generation — in particular ACROSS a k-changing rebuild, at every
+  * intermediate table state, under either table-swap ordering. This is
+  * the closure of the one documented unsafe window the raw [[IvfRepo]]
+  * two-table layout left open (its rebuild doc: "a k-changing rebuild
+  * has no cross-table atomicity").
+  */
+class IvfIndexSpec extends SparkSuite {
+
+  // deterministic synthetic embeddings: 4 well-separated direction
+  // clusters in 8-d (same generator as IvfRepoSpec) so k-means converges
+  // to a stable index at k=4 AND still splits cleanly at k=8
+  private def embs(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val c = i % 4
+      val base = Array.fill(8)(0.05f * ((i * 7 + 3) % 5))
+      base(c * 2) = 1.0f + 0.01f * (i % 11)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  // 4 direction clusters each split into 2 ANGULAR subclusters (a 0.45
+  // lean on dim 2c+1), plus per-vector jitter so no two vectors tie:
+  // k=4 merges each subcluster pair, k=8 separates it. At n=64 a
+  // subcluster holds 8 vectors (< topK=10), so the two generations
+  // answer top-10 queries DIFFERENTLY — k=4 fills the tail with
+  // cross-subcluster neighbours a k=8/nprobe=1 probe cannot reach —
+  // which is exactly the observable the pinning assertions need.
+  private def embs8(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val c = i % 4
+      val s = (i / 4) % 2
+      val base = Array.fill(8)(0.0f)
+      base(2 * c) = 1.0f
+      base(2 * c + 1) = 0.45f * s
+      base((2 * c + 2) % 8) = 0.03f * ((i * 5 + 1) % 7)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[(Long, Long)] =
+    df.select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("build pins a manifest and probes answer identically to the in-query path") {
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-parity"), spark)
+    val m = idx.build(e, 4, 2)
+    assert(m.k == 4)
+    assert(idx.manifest.contains(m), "manifest round-trip")
+    assert(m.centVersion == idx.cent.snapshotVersions.max)
+    assert(m.asgVersion == idx.asg.snapshotVersions.max)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assertSameRows(
+      idx.probe(q, 2, 10).orderBy("q_id", "n_id"),
+      Ivf.probeTopK(e, 4, 2, 2, 5L, 10).orderBy("q_id", "n_id"))
+  }
+
+  /** Drive a k=4 -> k=8 rebuild STEP BY STEP with a probe after every
+    * table commit: until the manifest flips, every probe must return the
+    * old generation's exact answer (the superseded versions survive as
+    * grace snapshots); after the flip, the new generation's.
+    */
+  private def kChangingSwap(tag: String, asgFirst: Boolean): Unit = {
+    val e = embs8(64)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val idx = new IvfIndex(scratch(s"ivfidx-$tag"), spark)
+    idx.build(e, 4, 2)
+    val oldAnswer = sortedRows(idx.probe(q, 1, 10))
+    // the k=8 target generation, trained identically (pinned seeds) to
+    // what rebuild() will land — the expected post-flip answer comes from
+    // an INDEPENDENT index so the assertion is not self-referential
+    val twin = new IvfIndex(scratch(s"ivfidx-$tag-twin"), spark)
+    twin.build(e, 8, 2)
+    val newAnswer = sortedRows(twin.probe(q, 1, 10))
+    assert(oldAnswer != newAnswer,
+      "test needs k=4 and k=8 to answer differently to prove pinning")
+
+    // now the mid-swap states, by hand (exactly what build() does, probed
+    // between the steps build() performs back to back)
+    val ec = Ckpt(e.select(col("vec_id"), col("embedding")))
+    val newCent = Ckpt(Ivf.train(ec, 8, 2))
+    val newAsg = Ivf.assign(ec, newCent)
+    if (asgFirst) {
+      idx.asg.replaceAll(newAsg)
+      assert(sortedRows(idx.probe(q, 1, 10)) == oldAnswer,
+        "probe after asg swap must still serve the pinned old pair")
+      idx.cent.replaceAll(newCent)
+    } else {
+      idx.cent.replaceAll(newCent)
+      assert(sortedRows(idx.probe(q, 1, 10)) == oldAnswer,
+        "probe after cent swap must still serve the pinned old pair")
+      idx.asg.replaceAll(newAsg)
+    }
+    assert(sortedRows(idx.probe(q, 1, 10)) == oldAnswer,
+      "probe with BOTH tables swapped but manifest unflipped must still serve the old pair")
+    idx.writeManifest(IvfIndex.Manifest(
+      idx.cent.snapshotVersions.max, idx.asg.snapshotVersions.max, 8))
+    assert(sortedRows(idx.probe(q, 1, 10)) == newAnswer,
+      "probe after the atomic manifest flip must serve the new k=8 generation")
+  }
+
+  test("k-changing rebuild, assignment-first swap: probes pin one generation") {
+    kChangingSwap("kswap-asgfirst", asgFirst = true)
+  }
+
+  test("k-changing rebuild, centroid-first swap: probes pin one generation") {
+    kChangingSwap("kswap-centfirst", asgFirst = false)
+  }
+
+  test("rebuild() end-to-end lands the new generation atomically") {
+    val e = embs8(64)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val idx = new IvfIndex(scratch("ivfidx-rebuild"), spark)
+    idx.build(e, 4, 2)
+    val m0 = idx.manifest.get
+    val m1 = idx.rebuild(e, 8, 2)
+    assert(m1.k == 8 && m1.centVersion > m0.centVersion && m1.asgVersion > m0.asgVersion)
+    val twin = new IvfIndex(scratch("ivfidx-rebuild-twin"), spark)
+    twin.build(e, 8, 2)
+    assert(sortedRows(idx.probe(q, 1, 10)) == sortedRows(twin.probe(q, 1, 10)),
+      "rebuild must serve exactly the fresh-built k=8 generation")
+    // no torn temp files left behind; exactly one grace manifest retained
+    val dir = new java.io.File(idx.root)
+    val leftovers = dir.listFiles().map(_.getName).filter(_.contains(".tmp"))
+    assert(leftovers.isEmpty, s"temp manifest leftovers: ${leftovers.toSeq}")
+    val manifests = dir.listFiles().map(_.getName).filter(_.startsWith("_ivf_manifest"))
+    assert(manifests.length == 2, s"keep current + one grace manifest, got ${manifests.toSeq}")
+  }
+
+  test("append and probe see the same pinned generation; mid-swap ingestion is fenced") {
+    val e = embs(240)
+    val head = e.filter(col("vec_id") < 180)
+    val tail = e.filter(col("vec_id") >= 180)
+    val idx = new IvfIndex(scratch("ivfidx-append"), spark)
+    idx.build(head, 4, 2)
+    idx.append(tail)
+    // appended rows land in the PINNED assignment version: the next probe
+    // serves them without any manifest flip
+    val q = e.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val neigh = idx.probe(q, 2, 20).collect().map(_.getLong(1)).toSet
+    assert(neigh.exists(_ >= 180L), s"no appended vector among neighbours: $neigh")
+    // fence: a half-swapped rebuild (table committed, manifest not
+    // flipped) must refuse ingestion instead of landing rows across
+    // generations
+    idx.asg.replaceAll(Ivf.assign(Ckpt(e.select(col("vec_id"), col("embedding"))),
+      idx.cent.getFullDf))
+    val ex = intercept[IllegalArgumentException] { idx.append(tail) }
+    assert(ex.getMessage.contains("mid-swap"), s"unexpected fence message: ${ex.getMessage}")
+  }
+
+  test("driftStats: occupancy skew rises and assignment cosine falls under drifted appends") {
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-drift"), spark)
+    idx.build(e, 4, 2)
+    val s0 = idx.driftStats
+    assert(s0.clusters == 4 && s0.n == 200)
+    assert(s0.maxClusterFrac < 0.35,
+      s"4 balanced direction clusters should start near 0.25, got ${s0.maxClusterFrac}")
+    assert(s0.meanAssignCos > 0.95,
+      s"tight clusters assign near their centroid, got ${s0.meanAssignCos}")
+    // drifted tail: a strong lean on dim 0 pulls every new vector into
+    // the direction-0 cell and off every frozen centroid — both at-rest
+    // signals must move, recall untouched by this spec
+    val drifted = embs(260).filter(col("vec_id") >= 200)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(2.5)).otherwise(x).cast("float")))
+    idx.append(drifted)
+    val s1 = idx.driftStats
+    assert(s1.n == 260)
+    assert(s1.maxClusterFrac > s0.maxClusterFrac,
+      s"drifted appends must skew occupancy: ${s0.maxClusterFrac} -> ${s1.maxClusterFrac}")
+    assert(s1.meanAssignCos < s0.meanAssignCos,
+      s"drifted appends must drop the assignment cosine: ${s0.meanAssignCos} -> ${s1.meanAssignCos}")
+  }
+
+  test("probe without a build fails loudly") {
+    val idx = new IvfIndex(scratch("ivfidx-empty"), spark)
+    val q = embs(8).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ex = intercept[IllegalStateException] { idx.probe(q, 2, 5) }
+    assert(ex.getMessage.contains("no IVF manifest"))
+  }
+}
