@@ -16,7 +16,15 @@ import graft.repo.TableRepo
   * would read), alongside the brute-force top-k wall time on the same
   * queries for scale.
   *
-  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps]
+  * A `replicas` argument > 1 grows the corpus in-memory with the same
+  * orthogonal sign-flip replication [[ScaleUp]] uses for its stress dirs
+  * (within-replica cosines exact, cross-replica similarity scrambled —
+  * natural neighbour density at r× the rows), which is how the
+  * IVF-vs-brute CROSSOVER is measured: brute force is O(n·queries) while
+  * the probe scans ~nprobe/k of the corpus, so past some n the index
+  * pays for itself — the study puts a number on where.
+  *
+  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps] [replicas]
   * Emits one JSON line per nprobe in {1, 2, 4}.
   */
 object IvfServeStudy {
@@ -24,6 +32,7 @@ object IvfServeStudy {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nQ = if (args.length > 1) args(1).toInt else 100
     val reps = if (args.length > 2) args(2).toInt else 3
+    val replicas = if (args.length > 3) args(3).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,7 +43,16 @@ object IvfServeStudy {
 
     val root = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/scratch") +
       s"/ivfserve-${ProcessHandle.current().pid()}"
-    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val embsBase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val embs = (if (replicas <= 1) embsBase
+      else (0 until replicas).map { r =>
+        embsBase.select(
+          (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            when(pmod(hash(lit(r), j), lit(2)) === 0 && lit(r) =!= 0, -x).otherwise(x)
+          ).as("embedding"))
+      }.reduce(_ unionByName _)).localCheckpoint(true)
     val n = embs.count()
     val k = math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
     val cent = new TableRepo(s"$root/cent", spark)
