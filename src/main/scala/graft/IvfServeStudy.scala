@@ -24,7 +24,12 @@ import graft.repo.TableRepo
   * the probe scans ~nprobe/k of the corpus, so past some n the index
   * pays for itself — the study puts a number on where.
   *
-  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps] [replicas]
+  * A `trainN` argument > 0 trains on the first trainN vectors (by id)
+  * while still assigning the whole corpus — [[IvfRepo.build]]'s sampled-
+  * training mode, the only affordable shape once Lloyd over the corpus
+  * would dominate the build.
+  *
+  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps] [replicas] [trainN]
   * Emits one JSON line per nprobe in {1, 2, 4}.
   */
 object IvfServeStudy {
@@ -33,6 +38,7 @@ object IvfServeStudy {
     val nQ = if (args.length > 1) args(1).toInt else 100
     val reps = if (args.length > 2) args(2).toInt else 3
     val replicas = if (args.length > 3) args(3).toInt else 1
+    val trainN = if (args.length > 4) args(4).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,8 +64,10 @@ object IvfServeStudy {
     val cent = new TableRepo(s"$root/cent", spark)
     val asg = new TableRepo(s"$root/asg", spark, groupCols = Seq("centroid_id"))
 
+    val trainOn =
+      if (trainN > 0) Some(embs.orderBy(col("vec_id")).limit(trainN)) else None
     val tBuild0 = System.nanoTime()
-    IvfRepo.build(embs, k, 3, cent, asg)
+    IvfRepo.build(embs, k, 3, cent, asg, trainOn)
     val buildS = (System.nanoTime() - tBuild0) / 1e9
 
     val queries = embs.orderBy(col("vec_id")).limit(nQ)
@@ -118,7 +126,7 @@ object IvfServeStudy {
       val meanPerQueryFrac = perQueryFrac.sum / perQueryFrac.size
       val probedFiles = allPaths.filter(p => probedIds.exists(id => p.contains(s"centroid_id=$id/")))
       val probedBytes = probedFiles.map(sizeOf).sum
-      println(s"""{"study":"ivf_serve","dir":"$dir","n":$n,"k":$k,"nprobe":$nprobe,""" +
+      println(s"""{"study":"ivf_serve","dir":"$dir","n":$n,"k":$k,"train_n":$trainN,"nprobe":$nprobe,""" +
         s""""queries":$nQ,"build_s":${f"$buildS%.2f"},"probe_s_min":${f"${times.min}%.2f"},""" +
         s""""brute_s_min":${f"$bruteS%.2f"},"probed_dirs":${probedIds.size},""" +
         s""""probed_files":${probedFiles.size},"total_files":${allPaths.size},""" +

@@ -40,3 +40,37 @@ case class FloatVecDotExpr(left: Expression, right: Expression) extends BinaryEx
     copy(left = l, right = r)
   override def prettyName: String = "fvec_dot"
 }
+
+/** Codegen'd dot product for `array<float>` × `array<double>` — the
+  * vector-vs-TRAINED-CENTROID pair (centroid components are rounded
+  * double means). Same ordered left fold as
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, +)`,
+  * so bit-identical to the HOF formulation and the DuckDB replay; the
+  * win is the k-means assignment hot path, where this runs n·k times
+  * per Lloyd iteration and the HOF's per-pair intermediate array
+  * dominated the build wall clock.
+  */
+object MixedVecDot {
+  /** Called from generated code — keep signature (ArrayData, ArrayData) -> double. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+}
+
+case class MixedVecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MixedVecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MixedVecDot.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MixedVecDotExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "mvec_dot"
+}

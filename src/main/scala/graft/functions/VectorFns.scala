@@ -25,6 +25,12 @@ object VectorFns {
   def dotHof(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
 
+  /** array<float> × array<double> dot (native expression; bit-identical
+    * to [[dotHof]]'s fold) — the vector-vs-trained-centroid hot path.
+    */
+  def dotMixed(a: Column, b: Column): Column =
+    GraftSql.column(MixedVecDotExpr(GraftSql.expression(a), GraftSql.expression(b)))
+
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))

@@ -127,9 +127,11 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * survive as grace snapshots), and the atomic manifest rename is the
     * single instant the index generation changes.
     */
-  def build(embs: DataFrame, k: Int, iters: Int): Manifest = {
+  def build(embs: DataFrame, k: Int, iters: Int,
+      trainOn: Option[DataFrame] = None): Manifest = {
     val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
-    val c = Ckpt(Ivf.train(e, k, iters))
+    val t = trainOn.fold(e)(d => Ckpt(d.select(col("vec_id"), col("embedding"))))
+    val c = Ckpt(Ivf.train(t, k, iters))
     cent.replaceAll(c)
     asg.replaceAll(Ivf.assign(e, c))
     commitManifest(k)
@@ -137,10 +139,12 @@ class IvfIndex(val root: String, val spark: SparkSession,
 
   /** Lifecycle alias of [[build]]: with the manifest, an in-place retrain
     * over the grown corpus IS just a build — no fresh roots, no probe
-    * fencing, any k.
+    * fencing, any k. `trainOn` bounds the Lloyd input as in
+    * [[IvfRepo.build]] (sampled training, full assignment).
     */
-  def rebuild(embs: DataFrame, k: Int, iters: Int): Manifest =
-    build(embs, k, iters)
+  def rebuild(embs: DataFrame, k: Int, iters: Int,
+      trainOn: Option[DataFrame] = None): Manifest =
+    build(embs, k, iters, trainOn)
 
   /** Manifest lag = a rebuild is mid-swap or died mid-swap: ingestion
     * must not land rows keyed by one generation into the other (and rows

@@ -37,11 +37,20 @@ object IvfRepo {
     * replayable) and persist both halves of the index. Re-building into a
     * non-empty repo is the caller's re-index flow: pass fresh roots or
     * purge first.
+    *
+    * `trainOn` bounds the TRAINING input while the assignment still
+    * covers all of `embs` — the standard large-corpus IVF discipline
+    * (Lloyd cost is O(n_train · k · iters); at 100 TB you train on a
+    * sample of ~tens×k vectors and assign the corpus in one pass, you
+    * never iterate k-means over the corpus itself). The sample must
+    * contain the seed rows (`vec_id < k`).
     */
   def build(embs: DataFrame, k: Int, iters: Int,
-      centRepo: TableRepo, asgRepo: TableRepo): Unit = {
+      centRepo: TableRepo, asgRepo: TableRepo,
+      trainOn: Option[DataFrame] = None): Unit = {
     val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
-    val cent = Ckpt(Ivf.train(e, k, iters))
+    val t = trainOn.fold(e)(d => Ckpt(d.select(col("vec_id"), col("embedding"))))
+    val cent = Ckpt(Ivf.train(t, k, iters))
     centRepo.extend(cent)
     asgRepo.extend(Ivf.assign(e, cent))
   }
@@ -138,7 +147,7 @@ object IvfRepo {
       .join(broadcast(centRepo.getFullDf.select(col("centroid_id"), col("c_emb"),
         sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))),
         Seq("centroid_id"))
-      .agg(avg(VectorFns.dotHof(col("embedding"), col("c_emb")) /
+      .agg(avg(VectorFns.dotMixed(col("embedding"), col("c_emb")) /
         (VectorFns.norm2(col("embedding")) * col("c_nrm"))))
       .head().getDouble(0)
     DriftStats(occ.getLong(1), occ.getLong(2),
@@ -182,7 +191,7 @@ object IvfRepo {
     val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
     val qc = Ckpt(broadcast(q).crossJoin(broadcast(c))
       .withColumn("csim",
-        VectorFns.dotHof(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+        VectorFns.dotMixed(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id")))
     val probedIds = qc.select(col("centroid_id")).distinct().collect().map(_.get(0)).toIndexedSeq
