@@ -29,8 +29,16 @@ import graft.repo.TableRepo
   * training mode, the only affordable shape once Lloyd over the corpus
   * would dominate the build.
   *
-  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps] [replicas] [trainN]
-  * Emits one JSON line per nprobe in {1, 2, 4}.
+  * A `compactTo` argument > 0 re-runs the probe sweep after
+  * `asg.compact(compactTo)` (records per file): the at-file-granularity
+  * probe cost is dominated by file-OPEN count, not bytes — r13's n=500k
+  * nprobe=4 row opened 9 583 small streamed/appended files — so the
+  * second sweep measures what folding the per-cluster fragments buys,
+  * putting a number on "compaction is part of the serving contract".
+  *
+  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps] [replicas] [trainN] [compactTo]
+  * Emits one JSON line per nprobe in {1, 2, 4} (twice when compactTo > 0,
+  * tagged "compacted": false/true).
   */
 object IvfServeStudy {
   def main(args: Array[String]): Unit = {
@@ -39,6 +47,7 @@ object IvfServeStudy {
     val reps = if (args.length > 2) args(2).toInt else 3
     val replicas = if (args.length > 3) args(3).toInt else 1
     val trainN = if (args.length > 4) args(4).toInt else 0
+    val compactTo = if (args.length > 5) args(5).toLong else 0L
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -90,49 +99,60 @@ object IvfServeStudy {
     }.min
 
     def sizeOf(p: String): Long = new java.io.File(p.stripPrefix("file:")).length
-    val allPaths = asg.paths
-    val totalBytes = allPaths.map(sizeOf).sum
 
-    for (nprobe <- Seq(1, 2, 4)) {
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        IvfRepo.probe(queries, cent, asg, nprobe, 5).count()
-        (System.nanoTime() - t0) / 1e9
+    def sweep(compacted: Boolean, compactS: Double): Unit = {
+      val allPaths = asg.paths
+      val totalBytes = allPaths.map(sizeOf).sum
+      for (nprobe <- Seq(1, 2, 4)) {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          IvfRepo.probe(queries, cent, asg, nprobe, 5).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // at-rest evidence: which directories the union of these probes
+        // touches (per-query it is nprobe dirs; the union over the sample
+        // bounds the one-shot batch-probe read) — recomputed here exactly
+        // as IvfRepo.probe selects them
+        val perQuery: Map[Long, Seq[Long]] = {
+          val c = cent.getFullDf.select(col("centroid_id"), col("c_emb"))
+          import org.apache.spark.sql.expressions.Window
+          val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+          queries.crossJoin(broadcast(c))
+            .withColumn("csim", graft.functions.VectorFns
+              .dotHof(col("q_emb"), col("c_emb")) /
+              (graft.functions.VectorFns.norm2(col("q_emb")) *
+                sqrt(graft.functions.VectorFns.dotHof(col("c_emb"), col("c_emb")))))
+            .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+            .select(col("q_id"), col("centroid_id")).collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+        }
+        val probedIds = perQuery.values.flatten.toSet
+        val dirBytes: Map[Long, Long] = probedIds.map(id =>
+          id -> allPaths.filter(_.contains(s"centroid_id=$id/")).map(sizeOf).sum).toMap
+        // a SINGLE query's probe reads only its own nprobe directories —
+        // the serve-latency scan cost; the batch rows above are the union
+        val perQueryFrac = perQuery.values
+          .map(ids => ids.map(dirBytes).sum.toDouble / totalBytes)
+        val meanPerQueryFrac = perQueryFrac.sum / perQueryFrac.size
+        val probedFiles = allPaths.filter(p => probedIds.exists(id => p.contains(s"centroid_id=$id/")))
+        val probedBytes = probedFiles.map(sizeOf).sum
+        println(s"""{"study":"ivf_serve","dir":"$dir","n":$n,"k":$k,"train_n":$trainN,"nprobe":$nprobe,""" +
+          s""""queries":$nQ,"build_s":${f"$buildS%.2f"},"probe_s_min":${f"${times.min}%.2f"},""" +
+          s""""brute_s_min":${f"$bruteS%.2f"},"probed_dirs":${probedIds.size},""" +
+          s""""probed_files":${probedFiles.size},"total_files":${allPaths.size},""" +
+          s""""probed_bytes":$probedBytes,"total_bytes":$totalBytes,""" +
+          s""""union_scan_frac":${f"${probedBytes.toDouble / totalBytes}%.4f"},""" +
+          s""""mean_per_query_scan_frac":${f"$meanPerQueryFrac%.4f"},""" +
+          s""""compacted":$compacted,"compact_s":${f"$compactS%.2f"}}""")
       }
-      // at-rest evidence: which directories the union of these probes
-      // touches (per-query it is nprobe dirs; the union over the sample
-      // bounds the one-shot batch-probe read) — recomputed here exactly
-      // as IvfRepo.probe selects them
-      val perQuery: Map[Long, Seq[Long]] = {
-        val c = cent.getFullDf.select(col("centroid_id"), col("c_emb"))
-        import org.apache.spark.sql.expressions.Window
-        val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-        queries.crossJoin(broadcast(c))
-          .withColumn("csim", graft.functions.VectorFns
-            .dotHof(col("q_emb"), col("c_emb")) /
-            (graft.functions.VectorFns.norm2(col("q_emb")) *
-              sqrt(graft.functions.VectorFns.dotHof(col("c_emb"), col("c_emb")))))
-          .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
-          .select(col("q_id"), col("centroid_id")).collect()
-          .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
-      }
-      val probedIds = perQuery.values.flatten.toSet
-      val dirBytes: Map[Long, Long] = probedIds.map(id =>
-        id -> allPaths.filter(_.contains(s"centroid_id=$id/")).map(sizeOf).sum).toMap
-      // a SINGLE query's probe reads only its own nprobe directories —
-      // the serve-latency scan cost; the batch rows above are the union
-      val perQueryFrac = perQuery.values
-        .map(ids => ids.map(dirBytes).sum.toDouble / totalBytes)
-      val meanPerQueryFrac = perQueryFrac.sum / perQueryFrac.size
-      val probedFiles = allPaths.filter(p => probedIds.exists(id => p.contains(s"centroid_id=$id/")))
-      val probedBytes = probedFiles.map(sizeOf).sum
-      println(s"""{"study":"ivf_serve","dir":"$dir","n":$n,"k":$k,"train_n":$trainN,"nprobe":$nprobe,""" +
-        s""""queries":$nQ,"build_s":${f"$buildS%.2f"},"probe_s_min":${f"${times.min}%.2f"},""" +
-        s""""brute_s_min":${f"$bruteS%.2f"},"probed_dirs":${probedIds.size},""" +
-        s""""probed_files":${probedFiles.size},"total_files":${allPaths.size},""" +
-        s""""probed_bytes":$probedBytes,"total_bytes":$totalBytes,""" +
-        s""""union_scan_frac":${f"${probedBytes.toDouble / totalBytes}%.4f"},""" +
-        s""""mean_per_query_scan_frac":${f"$meanPerQueryFrac%.4f"}}""")
+    }
+
+    sweep(compacted = false, compactS = 0.0)
+    if (compactTo > 0) {
+      val tC0 = System.nanoTime()
+      asg.compact(compactTo)
+      val compactS = (System.nanoTime() - tC0) / 1e9
+      sweep(compacted = true, compactS = compactS)
     }
     spark.stop()
   }

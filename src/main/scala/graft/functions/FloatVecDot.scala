@@ -1,25 +1,34 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two `array<float>` columns.
   *
   * Semantics are EXACTLY the ordered left fold
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, +)` —
-  * each float is widened to double, products accumulate in element order —
-  * so results are bit-identical to the higher-order-function formulation
-  * (and to DuckDB's `list_inner_product` over `DOUBLE[]`). The win is
-  * mechanical: one tight loop over the two ArrayData buffers instead of an
-  * intermediate 64-element array allocation per pair, which dominates the
+  * each float is widened to double, products accumulate in element order,
+  * and MISMATCHED LENGTHS yield NULL (zip_with null-pads the shorter
+  * side, which nulls the fold) — so results are bit-identical to the
+  * higher-order-function formulation (and to DuckDB's
+  * `list_inner_product` over `DOUBLE[]`). The win is mechanical: one
+  * tight loop over the two ArrayData buffers instead of an intermediate
+  * 64-element array allocation per pair, which dominates the
   * pairwise-similarity hot path.
+  *
+  * Both expressions declare `inputTypes`, so a mistyped operand — e.g. an
+  * `array<double>` query embedding on the float side, whose 8-byte
+  * elements `getFloat` would silently misread from UnsafeArrayData — is
+  * an ANALYSIS-time error, not a wrong similarity.
   */
 object FloatVecDot {
-  /** Called from generated code — keep signature (ArrayData, ArrayData) -> double. */
+  /** Called from generated code AFTER the equal-length gate — keep
+    * signature (ArrayData, ArrayData) -> double.
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -30,12 +39,26 @@ object FloatVecDot {
   }
 }
 
-case class FloatVecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class FloatVecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any =
-    FloatVecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null else FloatVecDot.dot(a, b)
+  }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FloatVecDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.FloatVecDot.dot($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FloatVecDotExpr =
     copy(left = l, right = r)
   override def prettyName: String = "fvec_dot"
@@ -45,15 +68,17 @@ case class FloatVecDotExpr(left: Expression, right: Expression) extends BinaryEx
   * vector-vs-TRAINED-CENTROID pair (centroid components are rounded
   * double means). Same ordered left fold as
   * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, +)`,
-  * so bit-identical to the HOF formulation and the DuckDB replay; the
-  * win is the k-means assignment hot path, where this runs n·k times
-  * per Lloyd iteration and the HOF's per-pair intermediate array
-  * dominated the build wall clock.
+  * null on mismatched lengths like the fold, so bit-identical to the HOF
+  * formulation and the DuckDB replay; the win is the k-means assignment
+  * hot path, where this runs n·k times per Lloyd iteration and the HOF's
+  * per-pair intermediate array dominated the build wall clock.
   */
 object MixedVecDot {
-  /** Called from generated code — keep signature (ArrayData, ArrayData) -> double. */
+  /** Called from generated code AFTER the equal-length gate — keep
+    * signature (ArrayData, ArrayData) -> double.
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -64,12 +89,26 @@ object MixedVecDot {
   }
 }
 
-case class MixedVecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class MixedVecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any =
-    MixedVecDot.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override def nullable: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null else MixedVecDot.dot(a, b)
+  }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MixedVecDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MixedVecDot.dot($a, $b);
+         |}
+       """.stripMargin)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MixedVecDotExpr =
     copy(left = l, right = r)
   override def prettyName: String = "mvec_dot"

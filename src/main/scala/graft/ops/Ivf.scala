@@ -80,10 +80,21 @@ object Ivf {
 
   /** Pinned-seed k-means: seed = k lowest vec_ids, `iters` Lloyd updates.
     * Returns the trained (centroid_id, c_emb) table.
+    *
+    * The seed CONTRACT is enforced, not assumed: training input missing
+    * any of `vec_id ∈ [0, k)` (e.g. a sampled `trainOn` that skipped the
+    * seed rows) would silently seed fewer than k centroids and build an
+    * under-k index while the manifest still records the requested k — so
+    * a short (or duplicated) seed set fails fast here instead.
     */
   def train(embs: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
-    var cent = e.filter(col("vec_id") < k)
+    val seed = e.filter(col("vec_id") < k)
+    val seedN = seed.count()
+    require(seedN == k,
+      s"Ivf.train: found $seedN seed rows with vec_id in [0, $k) but need exactly $k — " +
+        "the training input (trainOn sample included) must contain each seed id once")
+    var cent = seed
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("c_emb"))
     for (_ <- 1 to iters) cent = update(assign(e, cent))

@@ -1554,6 +1554,25 @@ object Queries {
         centRepo, asgRepo, 2, 10)
     },
 
+    // ---- manifest-pinned ANN serving (IvfIndex) ----------------------
+    // The LIFECYCLE face of the same index: q_ivf_probe_repo's raw
+    // two-table layout, wrapped in IvfIndex's versioned manifest — the
+    // probe resolves `_ivf_manifest-v<N>.json` and reads BOTH halves at
+    // their pinned committed snapshot versions (TableRepo.getDfAt), the
+    // path a k-changing rebuild swaps atomically. Same (k, iters, nprobe,
+    // topK) and the same oracle as q_ivf_probe: this row puts the
+    // manifest-resolved read itself — not just the shared probeFrames
+    // plan — under the DuckDB hash compare.
+    Q("q_ivf_index_probe", Some(Ivf.probeOracleSql(8, 3, 2, 5L, 10, sqlCosine))) { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val index = new IvfIndex(freshRoot("q_ivf_index_probe"), s)
+      index.build(e, 8, 3)
+      index.probe(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        2, 10)
+    },
+
     // ---- cluster-balanced diverse sampling (corpus selection) ---------
     // The selection step of SemDeDup (Abbas et al. '23) / DsDm-style
     // cluster-balanced corpus curation: assign every embedding to its

@@ -25,6 +25,33 @@ class VectorFnsSpec extends SparkSuite {
     }
   }
 
+  test("native dot nulls on mismatched lengths, exactly like the HOF fold") {
+    // zip_with null-pads the shorter side, which nulls the whole fold —
+    // the native expressions must match, not silently truncate
+    val df = Seq((1L, Array(1f, 2f, 3f), Array(1f, 2f))).toDF("id", "a", "b")
+    val r = df.select(
+      VectorFns.dot($"a", $"b").as("native"),
+      VectorFns.dotHof($"a", $"b").as("hof")).first()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val mixed = Seq((1L, Array(1f, 2f, 3f), Array(1.0, 2.0))).toDF("id", "a", "b")
+    assert(mixed.select(VectorFns.dotMixed($"a", $"b")).first().isNullAt(0))
+  }
+
+  test("mistyped operands fail at analysis time, not with garbage values") {
+    // an array<double> on a float slot would getFloat 8-byte elements out
+    // of UnsafeArrayData — inputTypes must reject it before execution
+    val df = Seq((1L, Array(1.0, 2.0), Array(1f, 2f))).toDF("id", "d", "f")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFns.dot($"d", $"d")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFns.dotMixed($"d", $"d")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFns.dotMixed($"f", $"f")).collect()
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array.fill(8)(0.5f))).toDF("id", "v")
     val c = df.select(VectorFns.cosine($"v", $"v")).first().getDouble(0)

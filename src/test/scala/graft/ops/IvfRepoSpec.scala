@@ -244,4 +244,19 @@ class IvfRepoSpec extends SparkSuite {
     val clusters = rows.map(r => asgMap(r.getLong(1))).distinct
     assert(clusters.length == 1, s"nprobe=1 neighbours spanned clusters $clusters")
   }
+
+  test("a training sample missing seed rows fails fast instead of under-seeding") {
+    // a trainOn sample without all of vec_id ∈ [0, k) would silently seed
+    // fewer than k centroids (manifest still recording the requested k) —
+    // Ivf.train enforces the seed contract at build time
+    val e = embs(100)
+    val cent = new TableRepo(scratch("ivf-cent-underseed"), spark)
+    val asg = new TableRepo(scratch("ivf-asg-underseed"), spark,
+      groupCols = Seq("centroid_id"))
+    val err = intercept[IllegalArgumentException] {
+      IvfRepo.build(e, 4, 2, cent, asg,
+        trainOn = Some(e.filter(col("vec_id") >= 2)))
+    }
+    assert(err.getMessage.contains("seed"), err.getMessage)
+  }
 }
