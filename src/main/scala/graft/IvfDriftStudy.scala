@@ -87,6 +87,14 @@ object IvfDriftStudy {
     val cent = new TableRepo(s"$root/cent", spark)
     val asg = new TableRepo(s"$root/asg", spark, groupCols = Seq("centroid_id"))
     IvfRepo.build(base, k, 3, cent, asg)
+    // healthy-index baseline for both at-rest signals: thresholds are
+    // RATIOS against this row, not absolute values (mean assignment
+    // cosine depends on the corpus's intrinsic cluster tightness)
+    val ar0 = IvfRepo.driftStats(cent, asg)
+    println(s"""{"study":"ivf_drift","dir":"$dir","step":"build","n":$nBase,""" +
+      s""""k":$k,"nprobe":$nprobe,"drift_off":0.0,""" +
+      s""""max_cluster_frac":${f"${ar0.maxClusterFrac}%.4f"},""" +
+      s""""mean_assign_cos":${f"${ar0.meanAssignCos}%.4f"}}""")
 
     // corpusNow tracks the repo's logical content for the brute-force truth
     var corpusNow = base
