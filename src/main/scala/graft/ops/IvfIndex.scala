@@ -149,16 +149,57 @@ class IvfIndex(val root: String, val spark: SparkSession,
   /** Manifest lag = a rebuild is mid-swap or died mid-swap: ingestion
     * must not land rows keyed by one generation into the other (and rows
     * appended to an unpinned version would be invisible to probes).
+    * The one UNAMBIGUOUS lag shape — assignment table ahead, centroid
+    * table current — cannot come from a rebuild (those bump cent FIRST);
+    * it is a compaction that died between its table commit and the
+    * manifest flip, recoverable by [[compact]], so the message says so.
     */
   private def requireCurrent(op: String): Manifest = {
     val m = manifest.getOrElse(throw new IllegalStateException(
       s"no IVF manifest under $root — build() before $op"))
-    require(m.centVersion == cent.snapshotVersions.max &&
-      m.asgVersion == asg.snapshotVersions.max,
+    val centCur = m.centVersion == cent.snapshotVersions.max
+    require(centCur && m.asgVersion == asg.snapshotVersions.max,
       s"$op refused: manifest pins (cent v${m.centVersion}, asg v${m.asgVersion}) but the " +
-        s"tables are at (cent v${cent.snapshotVersions.max}, asg v${asg.snapshotVersions.max}) " +
-        "— a rebuild is in flight or crashed mid-swap; re-run rebuild to re-pin first")
+        s"tables are at (cent v${cent.snapshotVersions.max}, asg v${asg.snapshotVersions.max}) — " +
+        (if (centCur)
+          "a compaction committed but died before re-pinning; run compact() to re-pin"
+        else
+          "a rebuild is in flight or crashed mid-swap; re-run rebuild to re-pin first"))
     m
+  }
+
+  /** Content-preserving maintenance with the manifest kept honest: fold
+    * the assignment table's accreted small files ([[append]] lands one
+    * file per cluster per batch; at file-granularity serving the probe's
+    * cost is file-OPEN count, not bytes — see SCALE.md's crossover
+    * study) and RE-PIN the manifest at the compacted version in the same
+    * call. Without the re-pin a raw `asg.compact` strands the index:
+    * ingestion is fenced (manifest lags) and once later commits GC the
+    * pinned version the probe's `getDfAt` fails — compaction at THIS
+    * level is what "compaction is part of the serving contract" means.
+    *
+    * Probes planned before the flip read the pre-compact grace version
+    * (intact files, `snapshotRetention >= 1`); the flip is the same
+    * atomic manifest rename as [[build]]'s. The centroid half never
+    * changes (k rows), so the pinned pair stays trained-together.
+    *
+    * Also the RECOVERY path for a compaction that committed its table
+    * version but crashed before re-pinning (asg ahead, cent current —
+    * distinguishable from any rebuild crash, which bumps cent first):
+    * re-compacting the already-compacted content is row-identical, and
+    * the flip lands the manifest that crash lost.
+    */
+  def compact(targetRecordsPerFile: Long): Manifest = {
+    val m = manifest.getOrElse(throw new IllegalStateException(
+      s"no IVF manifest under $root — build() before compact"))
+    require(m.centVersion == cent.snapshotVersions.max,
+      s"compact refused: manifest pins cent v${m.centVersion} but the table is at " +
+        s"v${cent.snapshotVersions.max} — a rebuild is in flight or crashed mid-swap; " +
+        "re-run rebuild to re-pin first")
+    asg.compact(targetRecordsPerFile)
+    val next = Manifest(m.centVersion, asg.snapshotVersions.max, m.k)
+    writeManifest(next)
+    next
   }
 
   /** Ingest without retraining ([[IvfRepo.append]]): new vectors are
@@ -176,13 +217,29 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * landing mid-stream is picked up at the next micro-batch (centroids
     * re-read per batch); a k-CHANGING rebuild still requires quiescing
     * the stream across the swap — see the class doc.
+    *
+    * `compactEvery` is safe HERE (unlike on the raw [[IvfRepo]] path):
+    * each mid-stream compaction re-pins the manifest through the sink's
+    * `onCompact` hook, in the same `foreachBatch` that ran the compact —
+    * so probes planned after it follow the compacted version, ingestion
+    * is never fenced by its own maintenance, and the pinned version can
+    * not be GC'd out from under the manifest. A probe planned BEFORE a
+    * compaction keeps the grace version's intact files; with
+    * `snapshotRetention` = 1 it must finish within one compaction
+    * interval (raise retention to lengthen that window).
     */
   def startAppendStream(stream: DataFrame, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       writerId: String = "", compactEvery: Int = 0): StreamingQuery = {
     requireCurrent("startAppendStream"): Unit
     IvfRepo.startAppendStream(stream, cent, asg, checkpointDir,
-      trigger = trigger, writerId = writerId, compactEvery = compactEvery)
+      trigger = trigger, writerId = writerId, compactEvery = compactEvery,
+      onCompact = () => {
+        // centroids are untouched by compaction; keep the pinned pair
+        val m = manifest.getOrElse(throw new IllegalStateException(
+          s"manifest vanished under $root during streamed compaction"))
+        writeManifest(Manifest(m.centVersion, asg.snapshotVersions.max, m.k))
+      })
   }
 
   /** Rebuild-trigger observables over the pinned generation — see

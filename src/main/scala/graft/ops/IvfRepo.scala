@@ -108,13 +108,15 @@ object IvfRepo {
       asgRepo: TableRepo, checkpointDir: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      writerId: String = "", compactEvery: Int = 0)
+      writerId: String = "", compactEvery: Int = 0,
+      onCompact: () => Unit = () => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.RepoSink.start(stream, asgRepo, checkpointDir,
       trigger = trigger, exactlyOnce = true, writerId = writerId,
       compactEvery = compactEvery,
       transform = b =>
-        Ivf.assign(b.select(col("vec_id"), col("embedding")), centRepo.getFullDf))
+        Ivf.assign(b.select(col("vec_id"), col("embedding")), centRepo.getFullDf),
+      onCompact = onCompact)
 
   /** Rebuild-trigger observables, computed from the index AT REST — no
     * probes, no brute-force recall, no retrain. Under [[append]]-only

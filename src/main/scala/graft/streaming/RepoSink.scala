@@ -47,6 +47,10 @@ object RepoSink {
     * the ledger commit): per-batch appends otherwise accrete one small
     * file per batch at streaming cadence. Snapshot-isolated, so a
     * compaction that crashes is invisible and simply retried later.
+    * `onCompact` runs (on the driver, inside `foreachBatch`) right after
+    * each successful compaction — the hook index-level wrappers use to
+    * re-pin version manifests that would otherwise lag the compacted
+    * table ([[graft.ops.IvfIndex]]'s streamed ingestion).
     */
   /** Ledger-identity resolution (scaladoc above): explicit id wins; else
     * an existing bare-leaf ledger on the repo is resumed (migration);
@@ -84,7 +88,8 @@ object RepoSink {
       writerId: String = "",
       compactEvery: Int = 0,
       compactTargetRecords: Long = 1000000L,
-      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+      transform: DataFrame => DataFrame = identity,
+      onCompact: () => Unit = () => ()): StreamingQuery = {
     val wid = resolveWriterId(repo, checkpointDir, writerId, exactlyOnce)
     val writer: DataStreamWriter[org.apache.spark.sql.Row] = stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -94,8 +99,10 @@ object RepoSink {
         if (replace) repo.replaceRecords(batch)
         else if (exactlyOnce) { repo.extendExactlyOnce(batch, wid, batchId): Unit }
         else repo.extend(batch)
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
           repo.compact(compactTargetRecords)
+          onCompact()
+        }
       }
     writer.start()
   }

@@ -154,13 +154,101 @@ class IvfIndexSpec extends SparkSuite {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val neigh = idx.probe(q, 2, 20).collect().map(_.getLong(1)).toSet
     assert(neigh.exists(_ >= 180L), s"no appended vector among neighbours: $neigh")
-    // fence: a half-swapped rebuild (table committed, manifest not
-    // flipped) must refuse ingestion instead of landing rows across
-    // generations
+    // fence: a table committed past the manifest must refuse ingestion
+    // instead of landing rows across generations. asg-ahead-with-cent-
+    // current is the crashed-COMPACTION shape (rebuilds bump cent first),
+    // so the fence routes the operator to compact(), not rebuild
     idx.asg.replaceAll(Ivf.assign(Ckpt(e.select(col("vec_id"), col("embedding"))),
       idx.cent.getFullDf))
     val ex = intercept[IllegalArgumentException] { idx.append(tail) }
-    assert(ex.getMessage.contains("mid-swap"), s"unexpected fence message: ${ex.getMessage}")
+    assert(ex.getMessage.contains("compact()"), s"unexpected fence message: ${ex.getMessage}")
+    // and a CENT-ahead lag (genuine rebuild crash shape) still says rebuild
+    val idx2 = new IvfIndex(scratch("ivfidx-append-centlag"), spark)
+    idx2.build(head, 4, 2)
+    idx2.cent.replaceAll(Ivf.train(Ckpt(head.select(col("vec_id"), col("embedding"))), 4, 2))
+    val ex2 = intercept[IllegalArgumentException] { idx2.append(tail) }
+    assert(ex2.getMessage.contains("mid-swap"), s"unexpected fence message: ${ex2.getMessage}")
+  }
+
+  test("compact() folds files, answers identically, re-pins the manifest, keeps ingestion open") {
+    val e = embs(240)
+    val idx = new IvfIndex(scratch("ivfidx-compact"), spark)
+    idx.build(e.filter(col("vec_id") < 120), 4, 2)
+    // accrete per-batch small files the way serving ingestion does
+    for (b <- 0 until 4)
+      idx.append(e.filter(col("vec_id") >= 120 + 30 * b && col("vec_id") < 150 + 30 * b))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val before = sortedRows(idx.probe(q, 2, 10))
+    val filesBefore = idx.asg.paths.size
+    val m0 = idx.manifest.get
+    val m1 = idx.compact(100000L)
+    assert(m1.asgVersion > m0.asgVersion && m1.centVersion == m0.centVersion && m1.k == m0.k,
+      s"compact must advance only the assignment pin: $m0 -> $m1")
+    assert(idx.manifest.contains(m1), "manifest flip landed")
+    assert(idx.asg.paths.size < filesBefore,
+      s"compaction must fold the accreted files: $filesBefore -> ${idx.asg.paths.size}")
+    assert(sortedRows(idx.probe(q, 2, 10)) == before,
+      "compaction is content-preserving: probe answers must be identical")
+    // ingestion keeps flowing — compact is maintenance, not a rebuild
+    idx.append(embs(250).filter(col("vec_id") >= 240))
+    assert(idx.asg.count() == 250)
+  }
+
+  test("a compaction that died before the re-pin is recovered by compact()") {
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-compact-crash"), spark)
+    idx.build(e, 4, 2)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val before = sortedRows(idx.probe(q, 2, 10))
+    // the crash: table version committed, manifest flip never ran
+    idx.asg.compact(100000L)
+    val exF = intercept[IllegalArgumentException] {
+      idx.append(embs(210).filter(col("vec_id") >= 200))
+    }
+    assert(exF.getMessage.contains("compact()"), exF.getMessage)
+    // probes still serve the pinned (grace) version meanwhile
+    assert(sortedRows(idx.probe(q, 2, 10)) == before)
+    // recovery: compact() re-compacts row-identical content and re-pins
+    val m = idx.compact(100000L)
+    assert(idx.manifest.contains(m))
+    assert(sortedRows(idx.probe(q, 2, 10)) == before)
+    idx.append(embs(210).filter(col("vec_id") >= 200))
+    assert(idx.asg.count() == 210)
+  }
+
+  test("streamed ingestion with compactEvery re-pins the manifest at every compaction") {
+    val e = embs(240)
+    val idx = new IvfIndex(scratch("ivfidx-stream-compact"), spark)
+    idx.build(e.filter(col("vec_id") < 120), 4, 2)
+    val m0 = idx.manifest.get
+    val srcDir = scratch("ivfidx-st-src")
+    val ckpt = scratch("ivfidx-st-ckpt")
+    def stream = spark.readStream.schema(e.schema).parquet(srcDir)
+    // three AvailableNow runs against one checkpoint, compactEvery=1:
+    // every batch compacts and re-pins — after the third, the ORIGINAL
+    // pinned version is GC'd (retention=1), so the probe below passing
+    // proves the manifest followed the compactions (an un-re-pinned
+    // manifest would point getDfAt at deleted files)
+    for (b <- 0 until 3) {
+      e.filter(col("vec_id") >= 120 + 40 * b && col("vec_id") < 160 + 40 * b)
+        .write.mode("append").parquet(srcDir)
+      val sq = idx.startAppendStream(stream, ckpt, compactEvery = 1)
+      sq.processAllAvailable(); sq.stop()
+    }
+    val mN = idx.manifest.get
+    assert(mN.asgVersion > m0.asgVersion && mN.centVersion == m0.centVersion,
+      s"streamed compactions must advance the assignment pin: $m0 -> $mN")
+    assert(idx.asg.count() == 240, "exactly-once across the compacting restarts")
+    // the probe follows the latest pin and reaches the streamed vectors
+    val q = e.filter(col("vec_id") === 2L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val neigh = idx.probe(q, 2, 30).collect().map(_.getLong(1)).toSet
+    assert(neigh.exists(_ >= 120L), s"no streamed vector among neighbours: $neigh")
+    // and ingestion is never fenced by its own maintenance
+    idx.append(embs(250).filter(col("vec_id") >= 240))
+    assert(idx.asg.count() == 250)
   }
 
   test("driftStats: occupancy skew rises and assignment cosine falls under drifted appends") {
