@@ -11,12 +11,24 @@ import graft.repo.TableRepo
 
 object IvfIndex {
 
+  /** The healthy-index reading of both at-rest drift signals, taken right
+    * after training — the anchor the rebuild trigger compares against.
+    * Thresholds are RATIOS of these, not absolutes: the drift study
+    * (SCALE.md, `docs/ivfdrift_r14_*.jsonl`) shows the post-rebuild
+    * cosine landing ABOVE the previous build's (retraining on drifted
+    * data fits tighter cells), so each generation must re-anchor.
+    */
+  case class Baseline(maxClusterFrac: Double, meanAssignCos: Double)
+
   /** One consistent generation of the persisted IVF index: the COMMITTED
     * snapshot version of each half plus the k they were trained with. A
     * probe that plans from one manifest reads a centroid set and an
     * assignment table that were trained TOGETHER — never a mixed pair.
+    * `baseline` carries that generation's build-time drift signals (None
+    * only for manifests written by pre-baseline builds or by hand).
     */
-  case class Manifest(centVersion: Int, asgVersion: Int, k: Int)
+  case class Manifest(centVersion: Int, asgVersion: Int, k: Int,
+      baseline: Option[Baseline] = None)
 }
 
 /** Manifest-pinned lifecycle wrapper over [[IvfRepo]] — closes the one
@@ -86,7 +98,11 @@ class IvfIndex(val root: String, val spark: SparkSession,
       val in = fs.open(new Path(root, s"_ivf_manifest-v$v.json"))
       val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val m = TableRepo.parseFlatJson(raw)
-      Manifest(m("cent_version").toInt, m("asg_version").toInt, m("k").toInt)
+      val base = (m.get("max_cluster_frac0"), m.get("mean_assign_cos0")) match {
+        case (Some(f), Some(c)) => Some(IvfIndex.Baseline(f.toDouble, c.toDouble))
+        case _                  => None
+      }
+      Manifest(m("cent_version").toInt, m("asg_version").toInt, m("k").toInt, base)
     }
 
   /** Land `m` as the next manifest generation: whole file under a
@@ -98,8 +114,13 @@ class IvfIndex(val root: String, val spark: SparkSession,
   private[graft] def writeManifest(m: Manifest): Unit = {
     fs.mkdirs(new Path(root))
     val next = manifestVersions.lastOption.getOrElse(-1) + 1
-    val json = Map("cent_version" -> m.centVersion.toString,
-      "asg_version" -> m.asgVersion.toString, "k" -> m.k.toString)
+    // Double.toString round-trips exactly, so the baseline survives the
+    // JSON hop bit-for-bit and Manifest equality holds across re-reads
+    val baseKv = m.baseline.toSeq.flatMap(b => Seq(
+      "max_cluster_frac0" -> b.maxClusterFrac.toString,
+      "mean_assign_cos0" -> b.meanAssignCos.toString))
+    val json = (Map("cent_version" -> m.centVersion.toString,
+      "asg_version" -> m.asgVersion.toString, "k" -> m.k.toString) ++ baseKv)
       .map { case (k, v) => s"${TableRepo.jq(k)}: ${TableRepo.jq(v)}" }
       .mkString("{", ", ", "}")
     val tmp = new Path(root, s"._ivf_manifest-v$next.json.tmp")
@@ -112,9 +133,15 @@ class IvfIndex(val root: String, val spark: SparkSession,
       fs.delete(new Path(root, s"_ivf_manifest-v$v.json"), false))
   }
 
-  /** Pin the CURRENT committed version pair as a new generation. */
+  /** Pin the CURRENT committed version pair as a new generation, with the
+    * generation's own healthy-signal baseline (one occupancy listing +
+    * one broadcast-join pass over the fresh assignment — a rounding
+    * error next to the Lloyd iterations the build just ran).
+    */
   private def commitManifest(k: Int): Manifest = {
-    val m = Manifest(cent.snapshotVersions.max, asg.snapshotVersions.max, k)
+    val s = IvfRepo.driftStats(cent, asg)
+    val m = Manifest(cent.snapshotVersions.max, asg.snapshotVersions.max, k,
+      Some(IvfIndex.Baseline(s.maxClusterFrac, s.meanAssignCos)))
     writeManifest(m)
     m
   }
@@ -197,7 +224,8 @@ class IvfIndex(val root: String, val spark: SparkSession,
         s"v${cent.snapshotVersions.max} — a rebuild is in flight or crashed mid-swap; " +
         "re-run rebuild to re-pin first")
     asg.compact(targetRecordsPerFile)
-    val next = Manifest(m.centVersion, asg.snapshotVersions.max, m.k)
+    // content-preserving, so the generation's baseline carries over
+    val next = Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline)
     writeManifest(next)
     next
   }
@@ -236,9 +264,10 @@ class IvfIndex(val root: String, val spark: SparkSession,
       trigger = trigger, writerId = writerId, compactEvery = compactEvery,
       onCompact = () => {
         // centroids are untouched by compaction; keep the pinned pair
+        // (and the generation's baseline — content-preserving)
         val m = manifest.getOrElse(throw new IllegalStateException(
           s"manifest vanished under $root during streamed compaction"))
-        writeManifest(Manifest(m.centVersion, asg.snapshotVersions.max, m.k))
+        writeManifest(Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline))
       })
   }
 
@@ -247,6 +276,34 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * the measured thresholds.
     */
   def driftStats: IvfRepo.DriftStats = IvfRepo.driftStats(cent, asg)
+
+  /** The measured rebuild trigger (SCALE.md drift study,
+    * `docs/ivfdrift_r14_*.jsonl`), executable: fire when the fattest
+    * cluster's occupancy share reaches `occFactor` × this generation's
+    * build-time value OR the mean assignment cosine falls `cosDropFrac`
+    * below it — EITHER signal, because which one moves first depends on
+    * the k-vs-drift-density regime (at k=100 occupancy fired at the
+    * first drifted batch while the cosine barely moved; at k=32 the
+    * cosine fired first while occupancy lagged two batches). Both
+    * signals are probe-free and retrain-free: an occupancy directory
+    * listing plus one broadcast join over the embedding column.
+    *
+    * The comparison anchors on the BASELINE STORED IN THE MANIFEST, not
+    * on constants: post-rebuild cosine lands above the previous build's
+    * (retraining on drifted data fits tighter cells), so absolute
+    * thresholds would mis-fire across generations — [[build]] re-anchors
+    * automatically. Defaults are the study's operating point.
+    */
+  def needsRebuild(occFactor: Double = 2.5, cosDropFrac: Double = 0.05): Boolean = {
+    val m = manifest.getOrElse(throw new IllegalStateException(
+      s"no IVF manifest under $root — build() before needsRebuild"))
+    val b = m.baseline.getOrElse(throw new IllegalStateException(
+      s"manifest under $root carries no drift baseline (written by a pre-baseline " +
+        "build or by hand) — rebuild() once to anchor the trigger"))
+    val s = driftStats
+    s.maxClusterFrac >= occFactor * b.maxClusterFrac ||
+      s.meanAssignCos <= (1.0 - cosDropFrac) * b.meanAssignCos
+  }
 
   /** Serve top-k cosine neighbours from the MANIFEST generation: both
     * halves read at their pinned committed versions

@@ -276,6 +276,32 @@ class IvfIndexSpec extends SparkSuite {
       s"drifted appends must drop the assignment cosine: ${s0.meanAssignCos} -> ${s1.meanAssignCos}")
   }
 
+  test("needsRebuild executes the measured either-signal trigger and re-anchors per generation") {
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-needsrebuild"), spark)
+    idx.build(e, 4, 2)
+    val b0 = idx.manifest.get.baseline.get
+    assert(b0.meanAssignCos > 0.9 && b0.maxClusterFrac < 0.35,
+      s"tight balanced clusters anchor a healthy baseline, got $b0")
+    assert(!idx.needsRebuild(), "a fresh index must not demand a rebuild")
+    // drift off every trained direction: a strong lean on the ODD dims
+    // (all four direction clusters live on even dims) drops each drifted
+    // vector's cosine to its nearest frozen centroid — the cosine signal
+    // fires while occupancy (80 of 280 rows in one cell) stays under
+    // 2.5x, exercising the EITHER-side of the trigger
+    val drifted = embs(280).filter(col("vec_id") >= 200)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i % 2 === 1, x + lit(2.5)).otherwise(x).cast("float")))
+    idx.append(drifted)
+    assert(idx.needsRebuild(), "strong drift must fire the trigger")
+    // rebuild over the drifted corpus: the new generation's baseline
+    // re-anchors (driftStats ratios reset to 1.0 by construction), so
+    // the trigger arms for the NEXT drift instead of latching
+    idx.rebuild(e.unionByName(drifted), 4, 2)
+    assert(idx.manifest.get.baseline.isDefined)
+    assert(!idx.needsRebuild(), "rebuild re-anchors the baseline on the drifted corpus")
+  }
+
   test("probe without a build fails loudly") {
     val idx = new IvfIndex(scratch("ivfidx-empty"), spark)
     val q = embs(8).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
