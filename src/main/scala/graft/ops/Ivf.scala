@@ -90,10 +90,16 @@ object Ivf {
   def train(embs: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
     val seed = e.filter(col("vec_id") < k)
-    val seedN = seed.count()
-    require(seedN == k,
-      s"Ivf.train: found $seedN seed rows with vec_id in [0, $k) but need exactly $k — " +
-        "the training input (trainOn sample included) must contain each seed id once")
+    // one pass for both: k rows AND k distinct ids (a duplicated seed id
+    // masking a missing one would seed a duplicate centroid — same
+    // under-k index the count-only check was added to prevent)
+    val sc = seed.agg(count(lit(1)).as("n"),
+      count_distinct(col("vec_id")).as("d")).head()
+    val (seedN, seedD) = (sc.getLong(0), sc.getLong(1))
+    require(seedN == k && seedD == k,
+      s"Ivf.train: found $seedN seed rows ($seedD distinct ids) with vec_id in [0, $k) " +
+        s"but need exactly $k distinct — the training input (trainOn sample included) " +
+        "must contain each seed id once")
     var cent = seed
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("c_emb"))

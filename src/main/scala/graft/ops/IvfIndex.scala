@@ -212,9 +212,12 @@ class IvfIndex(val root: String, val spark: SparkSession,
     *
     * Also the RECOVERY path for a compaction that committed its table
     * version but crashed before re-pinning (asg ahead, cent current —
-    * distinguishable from any rebuild crash, which bumps cent first):
-    * re-compacting the already-compacted content is row-identical, and
-    * the flip lands the manifest that crash lost.
+    * distinguishable from any rebuild crash, which bumps cent first).
+    * Recovery does NOT re-compact: the committed-but-unpinned version IS
+    * the compacted content, and re-compacting would land yet another
+    * version whose snapshot GC (retention 1) deletes the STILL-PINNED
+    * grace version out from under any concurrent probe — recovery only
+    * lands the manifest flip the crash lost, touching no table files.
     */
   def compact(targetRecordsPerFile: Long): Manifest = {
     val m = manifest.getOrElse(throw new IllegalStateException(
@@ -223,8 +226,8 @@ class IvfIndex(val root: String, val spark: SparkSession,
       s"compact refused: manifest pins cent v${m.centVersion} but the table is at " +
         s"v${cent.snapshotVersions.max} — a rebuild is in flight or crashed mid-swap; " +
         "re-run rebuild to re-pin first")
-    asg.compact(targetRecordsPerFile)
-    // content-preserving, so the generation's baseline carries over
+    if (m.asgVersion == asg.snapshotVersions.max) asg.compact(targetRecordsPerFile)
+    // content-preserving either way, so the generation's baseline carries
     val next = Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline)
     writeManifest(next)
     next
@@ -264,18 +267,34 @@ class IvfIndex(val root: String, val spark: SparkSession,
       trigger = trigger, writerId = writerId, compactEvery = compactEvery,
       onCompact = () => {
         // centroids are untouched by compaction; keep the pinned pair
-        // (and the generation's baseline — content-preserving)
+        // (and the generation's baseline — content-preserving). If a
+        // same-k rebuild has swapped the tables but not yet flipped its
+        // manifest, SKIP the re-pin: writing (old cent, new asg) would
+        // publish the mixed pair the manifest exists to prevent, and the
+        // rebuild's own flip — which reads asg.snapshotVersions.max —
+        // will pin the compacted version anyway.
         val m = manifest.getOrElse(throw new IllegalStateException(
           s"manifest vanished under $root during streamed compaction"))
-        writeManifest(Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline))
+        if (m.centVersion == cent.snapshotVersions.max)
+          writeManifest(Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline))
       })
   }
 
   /** Rebuild-trigger observables over the pinned generation — see
     * [[IvfRepo.driftStats]] for what the signals mean and SCALE.md for
-    * the measured thresholds.
+    * the measured thresholds. Fenced like ingestion: when the manifest
+    * lags the tables (a rebuild or compaction crashed mid-swap) the
+    * current tables are NOT the pinned generation — joining old
+    * assignments to new centroids (same id space, wrong Voronoi cells)
+    * would return garbage signals that can suppress the recovery rebuild
+    * itself — so this fails loudly with the recovery route instead.
+    * When the fence passes, current == pinned, so the stats read exactly
+    * the generation probes serve.
     */
-  def driftStats: IvfRepo.DriftStats = IvfRepo.driftStats(cent, asg)
+  def driftStats: IvfRepo.DriftStats = {
+    requireCurrent("driftStats"): Unit
+    IvfRepo.driftStats(cent, asg)
+  }
 
   /** The measured rebuild trigger (SCALE.md drift study,
     * `docs/ivfdrift_r14_*.jsonl`), executable: fire when the fattest
@@ -295,12 +314,11 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * automatically. Defaults are the study's operating point.
     */
   def needsRebuild(occFactor: Double = 2.5, cosDropFrac: Double = 0.05): Boolean = {
-    val m = manifest.getOrElse(throw new IllegalStateException(
-      s"no IVF manifest under $root — build() before needsRebuild"))
+    val m = requireCurrent("needsRebuild") // mid-swap stats would mix generations
     val b = m.baseline.getOrElse(throw new IllegalStateException(
       s"manifest under $root carries no drift baseline (written by a pre-baseline " +
         "build or by hand) — rebuild() once to anchor the trigger"))
-    val s = driftStats
+    val s = IvfRepo.driftStats(cent, asg)
     s.maxClusterFrac >= occFactor * b.maxClusterFrac ||
       s.meanAssignCos <= (1.0 - cosDropFrac) * b.meanAssignCos
   }

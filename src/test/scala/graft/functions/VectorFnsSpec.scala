@@ -37,6 +37,28 @@ class VectorFnsSpec extends SparkSuite {
     assert(mixed.select(VectorFns.dotMixed($"a", $"b")).first().isNullAt(0))
   }
 
+  test("native dot nulls on null ELEMENTS, exactly like the HOF fold") {
+    // a null product poisons the zip_with/aggregate fold; the native
+    // expressions must null too, not read the zeroed slot as 0.0
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1f), None, Some(2f)),
+        Seq[Option[Float]](Some(1f), Some(1f), Some(1f))),
+      (2L, Seq[Option[Float]](Some(1f), Some(2f), Some(3f)),
+        Seq[Option[Float]](Some(2f), Some(1f), Some(1f))))
+      .toDF("id", "a", "b")
+    val rows = df.orderBy($"id").select(
+      VectorFns.dot($"a", $"b").as("native"),
+      VectorFns.dotHof($"a", $"b").as("hof")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1),
+      "null element must null both formulations")
+    assert(java.lang.Double.doubleToLongBits(rows(1).getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(rows(1).getDouble(1)),
+      "null-free rows through a containsNull=true schema still match bitwise")
+    val mixed = Seq((1L, Seq[Option[Float]](Some(1f), None),
+      Seq[Option[Double]](Some(1.0), Some(2.0)))).toDF("id", "a", "b")
+    assert(mixed.select(VectorFns.dotMixed($"a", $"b")).first().isNullAt(0))
+  }
+
   test("mistyped operands fail at analysis time, not with garbage values") {
     // an array<double> on a float slot would getFloat 8-byte elements out
     // of UnsafeArrayData — inputTypes must reject it before execution

@@ -210,12 +210,30 @@ class IvfIndexSpec extends SparkSuite {
     assert(exF.getMessage.contains("compact()"), exF.getMessage)
     // probes still serve the pinned (grace) version meanwhile
     assert(sortedRows(idx.probe(q, 2, 10)) == before)
-    // recovery: compact() re-compacts row-identical content and re-pins
+    // recovery: compact() must ONLY re-pin — a re-compact would commit
+    // another version whose GC (retention=1) deletes the STILL-PINNED
+    // grace version out from under concurrent probes
+    val vBefore = idx.asg.snapshotVersions.max
     val m = idx.compact(100000L)
+    assert(idx.asg.snapshotVersions.max == vBefore,
+      "recovery must not commit a new assignment version")
     assert(idx.manifest.contains(m))
     assert(sortedRows(idx.probe(q, 2, 10)) == before)
     idx.append(embs(210).filter(col("vec_id") >= 200))
     assert(idx.asg.count() == 210)
+  }
+
+  test("driftStats and needsRebuild are fenced mid-swap (mixed-generation stats are garbage)") {
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-stats-fence"), spark)
+    idx.build(e, 4, 2)
+    // crashed rebuild shape: cent swapped, manifest not flipped — stats
+    // over current tables would join old assignments to new centroids
+    idx.cent.replaceAll(Ivf.train(Ckpt(e.select(col("vec_id"), col("embedding"))), 4, 2))
+    val ex = intercept[IllegalArgumentException] { idx.driftStats }
+    assert(ex.getMessage.contains("mid-swap"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] { idx.needsRebuild() }
+    assert(ex2.getMessage.contains("mid-swap"), ex2.getMessage)
   }
 
   test("streamed ingestion with compactEvery re-pins the manifest at every compaction") {

@@ -258,5 +258,17 @@ class IvfRepoSpec extends SparkSuite {
         trainOn = Some(e.filter(col("vec_id") >= 2)))
     }
     assert(err.getMessage.contains("seed"), err.getMessage)
+    // and a DUPLICATED seed id masking a missing one (4 rows, 3 distinct)
+    // must fail the same way, not seed a duplicate centroid
+    val dup = e.filter(col("vec_id") < 3)
+      .unionByName(e.filter(col("vec_id") === 1))
+      .unionByName(e.filter(col("vec_id") >= 4))
+    val err2 = intercept[IllegalArgumentException] {
+      IvfRepo.build(e, 4, 2,
+        new TableRepo(scratch("ivf-cent-dupseed"), spark),
+        new TableRepo(scratch("ivf-asg-dupseed"), spark, groupCols = Seq("centroid_id")),
+        trainOn = Some(dup))
+    }
+    assert(err2.getMessage.contains("distinct"), err2.getMessage)
   }
 }
