@@ -191,17 +191,28 @@ object IvfRepo {
     val q = queries.select(col("q_id"), col("q_emb"),
       VectorFns.norm2(col("q_emb")).as("q_nrm"))
     val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val qc = Ckpt(broadcast(q).crossJoin(broadcast(c))
+    val qcPlan = broadcast(q).crossJoin(broadcast(c))
       .withColumn("csim",
         VectorFns.dotMixed(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id")))
-    val probedIds = qc.select(col("centroid_id")).distinct().collect().map(_.get(0)).toIndexedSeq
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+    // ONE driver round-trip serves both needs: the probed-id literals
+    // for plan-time partition pruning AND the per-query routing table,
+    // re-entered as a LocalRelation so the final query neither re-runs
+    // the centroid cross (the old checkpoint's job) nor re-collects the
+    // ids (a second job). Driver-side size is bounded by
+    // |queries| × nprobe routing rows — the same bound the qc broadcast
+    // below already assumes — so serve latency drops by a whole job,
+    // which at the compacted-index floor is a third of the probe.
+    val qcRows = qcPlan.collect()
+    val qcDf = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qcRows: _*), qcPlan.schema)
+    val probedIds = qcRows.map(_.getAs[Any]("centroid_id")).distinct.toIndexedSeq
     val cands = asgDf.filter(col("centroid_id").isin(probedIds: _*))
       .select(col("vec_id").as("n_id"), col("centroid_id"),
         col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
-    broadcast(qc)
+    broadcast(qcDf)
       .join(cands, Seq("centroid_id"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", VectorFns.dot(col("q_emb"), col("n_emb")) /
