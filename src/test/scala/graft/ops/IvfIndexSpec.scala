@@ -195,6 +195,26 @@ class IvfIndexSpec extends SparkSuite {
     assert(idx.asg.count() == 250)
   }
 
+  test("a probe planned before compact() answers from the grace version's intact files") {
+    val e = embs(240)
+    val idx = new IvfIndex(scratch("ivfidx-compact-grace"), spark)
+    idx.build(e.filter(col("vec_id") < 120), 4, 2)
+    for (b <- 0 until 3)
+      idx.append(e.filter(col("vec_id") >= 120 + 40 * b && col("vec_id") < 160 + 40 * b))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val planned = idx.probe(q, 2, 10)
+    val expected = sortedRows(planned)
+    idx.compact(100000L)
+    // the pre-compact plan references the superseded version's files,
+    // which survive as the grace snapshot — re-execution must not fail
+    // or change answers (compaction is content-preserving)
+    assert(sortedRows(planned) == expected,
+      "pre-compact probe plan must keep answering from the grace version")
+    assert(sortedRows(idx.probe(q, 2, 10)) == expected,
+      "post-compact probe answers identically off the folded files")
+  }
+
   test("a compaction that died before the re-pin is recovered by compact()") {
     val e = embs(200)
     val idx = new IvfIndex(scratch("ivfidx-compact-crash"), spark)
