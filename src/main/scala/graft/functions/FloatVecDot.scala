@@ -64,8 +64,10 @@ case class FloatVecDotExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   // the null-element scan exists only when the schema admits null
   // elements — embeddings from parquet/toDF are containsNull=false and
-  // skip it entirely
-  private def mayHaveNullElems: Boolean = Seq(left, right).exists(
+  // skip it entirely. Fixed once the children are resolved, so a lazy
+  // val: the interpreted fallback re-enters nullSafeEval per row and
+  // must not re-derive it each time
+  private lazy val mayHaveNullElems: Boolean = Seq(left, right).exists(
     _.dataType.asInstanceOf[ArrayType].containsNull)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -123,7 +125,8 @@ case class MixedVecDotExpr(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  private def mayHaveNullElems: Boolean = Seq(left, right).exists(
+  // lazy val, not def: per-row on the interpreted fallback path
+  private lazy val mayHaveNullElems: Boolean = Seq(left, right).exists(
     _.dataType.asInstanceOf[ArrayType].containsNull)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

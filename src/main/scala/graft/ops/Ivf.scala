@@ -89,20 +89,24 @@ object Ivf {
     */
   def train(embs: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = embs.select(col("vec_id"), col("embedding"))
-    val seed = e.filter(col("vec_id") < k)
-    // one pass for both: k rows AND k distinct ids (a duplicated seed id
-    // masking a missing one would seed a duplicate centroid — same
-    // under-k index the count-only check was added to prevent)
-    val sc = seed.agg(count(lit(1)).as("n"),
-      count_distinct(col("vec_id")).as("d")).head()
-    val (seedN, seedD) = (sc.getLong(0), sc.getLong(1))
-    require(seedN == k && seedD == k,
-      s"Ivf.train: found $seedN seed rows ($seedD distinct ids) with vec_id in [0, $k) " +
-        s"but need exactly $k distinct — the training input (trainOn sample included) " +
-        "must contain each seed id once")
-    var cent = seed
+    // ONE collect serves both the contract check and the iteration-0
+    // centroids: k rows of dim-d doubles is driver-trivial (the k=707
+    // serve build is ~45k doubles), and deriving the seed literals from
+    // the same rows that were validated removes the separate agg+head
+    // action every train (oracle run, bench row) used to pay. A
+    // duplicated seed id masking a missing one would seed a duplicate
+    // centroid — hence distinct ids, not just a row count.
+    val seedPlan = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("c_emb"))
+    val seedRows = seedPlan.collect()
+    val seedD = seedRows.map(_.getLong(0)).distinct.length
+    require(seedRows.length == k && seedD == k,
+      s"Ivf.train: found ${seedRows.length} seed rows ($seedD distinct ids) with vec_id in [0, $k) " +
+        s"but need exactly $k distinct — the training input (trainOn sample included) " +
+        "must contain each seed id once")
+    var cent: DataFrame = e.sparkSession.createDataFrame(
+      java.util.Arrays.asList(seedRows: _*), seedPlan.schema)
     for (_ <- 1 to iters) cent = update(assign(e, cent))
     cent
   }

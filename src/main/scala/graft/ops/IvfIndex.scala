@@ -62,10 +62,13 @@ object IvfIndex {
   * layout): concurrent [[append]]/[[startAppendStream]] DURING a rebuild
   * — an in-flight batch could assign against one generation's centroids
   * and land in the other's assignment version, so ingestion must be
-  * quiesced across a rebuild (or the rebuild input must include the
-  * in-flight batches). Both entry points fence the obvious half of that
-  * hazard by refusing to ingest while the manifest lags the table
-  * versions.
+  * quiesced across the SWAP WINDOW of a rebuild (or the rebuild input
+  * must include the in-flight batches). Both entry points fence the
+  * obvious half of that hazard by refusing to ingest while the manifest
+  * lags the table versions, and [[startAppendStream]] additionally
+  * re-checks the manifest at EVERY micro-batch, failing the stream when
+  * a k-changing rebuild re-pinned it mid-stream — so only batches in
+  * flight during the swap itself remain the operator's problem.
   */
 class IvfIndex(val root: String, val spark: SparkSession,
     val snapshotRetention: Int = 1) {
@@ -93,7 +96,13 @@ class IvfIndex(val root: String, val spark: SparkSession,
   }
 
   /** The current consistent generation, or None before the first build. */
-  def manifest: Option[Manifest] =
+  def manifest: Option[Manifest] = manifestWithVersion.map(_._2)
+
+  /** The current generation WITH its manifest file version — the version
+    * is what guarded writers ([[writeManifestIfCurrent]]) key their
+    * nothing-landed-since check on.
+    */
+  private def manifestWithVersion: Option[(Int, Manifest)] =
     manifestVersions.lastOption.map { v =>
       val in = fs.open(new Path(root, s"_ivf_manifest-v$v.json"))
       val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
@@ -102,7 +111,7 @@ class IvfIndex(val root: String, val spark: SparkSession,
         case (Some(f), Some(c)) => Some(IvfIndex.Baseline(f.toDouble, c.toDouble))
         case _                  => None
       }
-      Manifest(m("cent_version").toInt, m("asg_version").toInt, m("k").toInt, base)
+      v -> Manifest(m("cent_version").toInt, m("asg_version").toInt, m("k").toInt, base)
     }
 
   /** Land `m` as the next manifest generation: whole file under a
@@ -112,8 +121,28 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * so mid-swap states can be driven step by step.
     */
   private[graft] def writeManifest(m: Manifest): Unit = {
+    val ok = writeManifestCore(m, expectLast = None)
+    require(ok, s"manifest commit rename failed under $root (concurrent rebuild?)")
+  }
+
+  /** Guarded variant for hooks racing a rebuild's own manifest flip
+    * (streamed compaction's re-pin): lands `m` ONLY if the newest
+    * generation is still `expectLast` — both at entry and re-checked
+    * right before the rename — and reports a skip instead of publishing
+    * over (or past) a generation that landed since `expectLast` was
+    * read. The re-check narrows the check-then-write window to the
+    * list→rename gap; the rename itself refuses an already-taken
+    * versioned name, so two racers for the same next version cannot both
+    * report success.
+    */
+  private[graft] def writeManifestIfCurrent(m: Manifest, expectLast: Int): Boolean =
+    writeManifestCore(m, expectLast = Some(expectLast))
+
+  private def writeManifestCore(m: Manifest, expectLast: Option[Int]): Boolean = {
     fs.mkdirs(new Path(root))
-    val next = manifestVersions.lastOption.getOrElse(-1) + 1
+    val last = manifestVersions.lastOption
+    if (expectLast.exists(e => !last.contains(e))) return false
+    val next = last.getOrElse(-1) + 1
     // Double.toString round-trips exactly, so the baseline survives the
     // JSON hop bit-for-bit and Manifest equality holds across re-reads
     val baseKv = m.baseline.toSeq.flatMap(b => Seq(
@@ -126,11 +155,13 @@ class IvfIndex(val root: String, val spark: SparkSession,
     val tmp = new Path(root, s"._ivf_manifest-v$next.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, new Path(root, s"_ivf_manifest-v$next.json")),
-      s"manifest commit rename failed under $root (concurrent rebuild?)")
+    val landed = (expectLast.isEmpty || manifestVersions.lastOption == last) &&
+      fs.rename(tmp, new Path(root, s"_ivf_manifest-v$next.json"))
+    if (!landed) { fs.delete(tmp, false); return false }
     // keep the new generation plus one grace manifest for debuggability
     manifestVersions.dropRight(2).foreach(v =>
       fs.delete(new Path(root, s"_ivf_manifest-v$v.json"), false))
+    true
   }
 
   /** Pin the CURRENT committed version pair as a new generation, with the
@@ -226,6 +257,16 @@ class IvfIndex(val root: String, val spark: SparkSession,
       s"compact refused: manifest pins cent v${m.centVersion} but the table is at " +
         s"v${cent.snapshotVersions.max} — a rebuild is in flight or crashed mid-swap; " +
         "re-run rebuild to re-pin first")
+    // Recovery (asg ahead, cent current) only claims the ONE shape a
+    // crashed compaction leaves: exactly one unpinned assignment version.
+    // Every rebuild path bumps cent FIRST ([[IvfRepo.rebuild]] and
+    // [[build]] share the order), so with cent current the unpinned
+    // version cannot be a half-landed rebuild; anything further ahead
+    // than +1 is an unknown writer and must be inspected, not re-pinned.
+    require(asg.snapshotVersions.max <= m.asgVersion + 1,
+      s"compact refused: assignment table at v${asg.snapshotVersions.max} is more than one " +
+        s"version past the pinned v${m.asgVersion} — not a lone crashed compaction; " +
+        "inspect the unpinned versions (an external writer?) before re-pinning")
     if (m.asgVersion == asg.snapshotVersions.max) asg.compact(targetRecordsPerFile)
     // content-preserving either way, so the generation's baseline carries
     val next = Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline)
@@ -244,10 +285,24 @@ class IvfIndex(val root: String, val spark: SparkSession,
   }
 
   /** Streaming ingestion ([[IvfRepo.startAppendStream]]) with the same
-    * mid-swap fence as [[append]] at stream start. A same-k rebuild
-    * landing mid-stream is picked up at the next micro-batch (centroids
-    * re-read per batch); a k-CHANGING rebuild still requires quiescing
-    * the stream across the swap — see the class doc.
+    * mid-swap fence as [[append]] at stream start, PLUS a per-batch
+    * k-change fence: every micro-batch re-reads the manifest (one
+    * directory listing, driver metadata) before anything is transformed
+    * or written, and a pinned k different from the one the stream
+    * started under FAILS the batch — so the stream dies as a
+    * `StreamingQueryException` with nothing landed, instead of assigning
+    * rows against a centroid generation the stream was never keyed to.
+    * A k-changing rebuild mid-stream therefore no longer depends on
+    * operator quiescing to be SAFE — the stream converts the violation
+    * into a loud failure at its next batch, and the operator restarts it
+    * against the new generation (the restart's start-fence sees a
+    * current manifest and the checkpoint resumes exactly-once). A
+    * same-k rebuild is still picked up gracefully at the next
+    * micro-batch (centroids re-read per batch). What remains on the
+    * operator (class doc): batches IN FLIGHT while the rebuild's table
+    * swap runs assign against one generation and can be dropped by its
+    * `replaceAll` — quiesce across the swap, or feed the rebuild the
+    * in-flight input; the fence bounds the damage to that one window.
     *
     * `compactEvery` is safe HERE (unlike on the raw [[IvfRepo]] path):
     * each mid-stream compaction re-pins the manifest through the sink's
@@ -262,9 +317,18 @@ class IvfIndex(val root: String, val spark: SparkSession,
   def startAppendStream(stream: DataFrame, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       writerId: String = "", compactEvery: Int = 0): StreamingQuery = {
-    requireCurrent("startAppendStream"): Unit
+    val k0 = requireCurrent("startAppendStream").k
     IvfRepo.startAppendStream(stream, cent, asg, checkpointDir,
       trigger = trigger, writerId = writerId, compactEvery = compactEvery,
+      onBatch = () => {
+        val m = manifest.getOrElse(throw new IllegalStateException(
+          s"manifest vanished under $root during streamed ingestion"))
+        if (m.k != k0) throw new IllegalStateException(
+          s"streamed ingestion fenced: a k-changing rebuild (k=$k0 -> k=${m.k}) re-pinned " +
+            s"the manifest under $root mid-stream — this batch would assign against a " +
+            "generation the stream was not started under; restart the stream against the " +
+            "new generation (the checkpoint resumes exactly-once)")
+      },
       onCompact = () => {
         // centroids are untouched by compaction; keep the pinned pair
         // (and the generation's baseline — content-preserving). If a
@@ -272,11 +336,17 @@ class IvfIndex(val root: String, val spark: SparkSession,
         // manifest, SKIP the re-pin: writing (old cent, new asg) would
         // publish the mixed pair the manifest exists to prevent, and the
         // rebuild's own flip — which reads asg.snapshotVersions.max —
-        // will pin the compacted version anyway.
-        val m = manifest.getOrElse(throw new IllegalStateException(
+        // will pin the compacted version anyway. The guarded write
+        // closes most of the remaining check-then-write window: if a
+        // rebuild's commitManifest lands a generation BETWEEN this read
+        // and the re-pin's rename, the re-pin aborts as a no-op (the
+        // rebuild's flip already pinned the compacted asg max) instead
+        // of publishing a mixed pair over it.
+        val (v0, m) = manifestWithVersion.getOrElse(throw new IllegalStateException(
           s"manifest vanished under $root during streamed compaction"))
         if (m.centVersion == cent.snapshotVersions.max)
-          writeManifest(Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline))
+          writeManifestIfCurrent(
+            Manifest(m.centVersion, asg.snapshotVersions.max, m.k, m.baseline), v0): Unit
       })
   }
 

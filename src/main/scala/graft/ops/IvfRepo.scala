@@ -61,23 +61,35 @@ object IvfRepo {
     * (TableRepo's grace-version contract) and no fresh roots are needed —
     * the periodic answer to centroid drift under [[append]] ingestion.
     *
-    * Assignments are swapped FIRST, centroids second: a probe landing
-    * between the two writes plans from the OLD centroids, whose ids are
-    * a valid key space of the new assignment table whenever k is
-    * unchanged (the common drift-rebuild). A k-changing rebuild has no
-    * cross-table atomicity at THIS layer — TableRepo versions are
-    * per-table. [[IvfIndex]] closes that window: its manifest pins one
-    * (centroid-version, assignment-version) pair and flips atomically,
-    * making any rebuild — k-changing included — safe for concurrent
-    * probes. Use [[IvfIndex]] for serving; this raw form remains for
-    * callers managing their own fencing.
+    * Centroids are swapped FIRST, assignments second — the same order
+    * [[IvfIndex.build]] commits, so EVERY rebuild path bumps `cent`
+    * before `asg` and the one remaining mid-crash shape "assignment
+    * table ahead, centroid table current" can only be a compaction that
+    * died before its manifest re-pin, never a half-landed rebuild —
+    * which is what lets [[IvfIndex.compact]]'s recovery branch re-pin
+    * without re-clustering. A probe landing between the two writes plans
+    * from the NEW centroids over the OLD assignment rows, a valid key
+    * space whenever k is unchanged (the common drift-rebuild) — the
+    * mirror image of the previous asg-first window, same blast radius.
+    * A k-changing rebuild has no cross-table atomicity at THIS layer —
+    * TableRepo versions are per-table. [[IvfIndex]] closes that window:
+    * its manifest pins one (centroid-version, assignment-version) pair
+    * and flips atomically, making any rebuild — k-changing included —
+    * safe for concurrent probes. Use [[IvfIndex]] for serving; this raw
+    * form remains for callers managing their own fencing.
+    *
+    * `trainOn` bounds the Lloyd input exactly as in [[build]] (sampled
+    * training, full reassignment) — at rebuild scale the corpus has only
+    * grown since the build that already needed the bound.
     */
   def rebuild(embs: DataFrame, k: Int, iters: Int,
-      centRepo: TableRepo, asgRepo: TableRepo): Unit = {
+      centRepo: TableRepo, asgRepo: TableRepo,
+      trainOn: Option[DataFrame] = None): Unit = {
     val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
-    val cent = Ckpt(Ivf.train(e, k, iters))
-    asgRepo.replaceAll(Ivf.assign(e, cent))
+    val t = trainOn.fold(e)(d => Ckpt(d.select(col("vec_id"), col("embedding"))))
+    val cent = Ckpt(Ivf.train(t, k, iters))
     centRepo.replaceAll(cent)
+    asgRepo.replaceAll(Ivf.assign(e, cent))
   }
 
   /** Index ingestion without retraining: assign a NEW batch of vectors
@@ -109,14 +121,15 @@ object IvfRepo {
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       writerId: String = "", compactEvery: Int = 0,
-      onCompact: () => Unit = () => ())
+      onCompact: () => Unit = () => (),
+      onBatch: () => Unit = () => ())
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.RepoSink.start(stream, asgRepo, checkpointDir,
       trigger = trigger, exactlyOnce = true, writerId = writerId,
       compactEvery = compactEvery,
       transform = b =>
         Ivf.assign(b.select(col("vec_id"), col("embedding")), centRepo.getFullDf),
-      onCompact = onCompact)
+      onCompact = onCompact, onBatch = onBatch)
 
   /** Rebuild-trigger observables, computed from the index AT REST — no
     * probes, no brute-force recall, no retrain. Under [[append]]-only

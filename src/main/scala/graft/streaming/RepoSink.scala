@@ -51,6 +51,15 @@ object RepoSink {
     * each successful compaction — the hook index-level wrappers use to
     * re-pin version manifests that would otherwise lag the compacted
     * table ([[graft.ops.IvfIndex]]'s streamed ingestion).
+    *
+    * `onBatch` runs FIRST in every `foreachBatch`, before the transform
+    * and before any write or ledger commit — the pre-batch fence slot.
+    * A hook that throws fails the micro-batch (and so the stream, as a
+    * `StreamingQueryException`) with nothing landed: index-level wrappers
+    * use it to re-check an invariant the stream was started under (e.g.
+    * [[graft.ops.IvfIndex]] failing the stream when a k-changing rebuild
+    * re-pinned its manifest mid-stream) instead of silently ingesting
+    * into a generation the stream was never keyed to.
     */
   /** Ledger-identity resolution (scaladoc above): explicit id wins; else
     * an existing bare-leaf ledger on the repo is resumed (migration);
@@ -89,12 +98,14 @@ object RepoSink {
       compactEvery: Int = 0,
       compactTargetRecords: Long = 1000000L,
       transform: DataFrame => DataFrame = identity,
-      onCompact: () => Unit = () => ()): StreamingQuery = {
+      onCompact: () => Unit = () => (),
+      onBatch: () => Unit = () => ()): StreamingQuery = {
     val wid = resolveWriterId(repo, checkpointDir, writerId, exactlyOnce)
     val writer: DataStreamWriter[org.apache.spark.sql.Row] = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        onBatch()
         val batch = transform(raw)
         if (replace) repo.replaceRecords(batch)
         else if (exactlyOnce) { repo.extendExactlyOnce(batch, wid, batchId): Unit }

@@ -340,6 +340,79 @@ class IvfIndexSpec extends SparkSuite {
     assert(!idx.needsRebuild(), "rebuild re-anchors the baseline on the drifted corpus")
   }
 
+  test("a k-changing rebuild mid-stream fails the live stream at its next micro-batch") {
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val e = embs8(64)
+    val idx = new IvfIndex(scratch("ivfidx-kfence"), spark)
+    idx.build(e.filter(col("vec_id") < 32), 4, 2)
+    val srcDir = scratch("ivfidx-kfence-src")
+    val ckpt = scratch("ivfidx-kfence-ckpt")
+    e.filter(col("vec_id") >= 32 && col("vec_id") < 48)
+      .write.mode("append").parquet(srcDir)
+    // a LIVE stream (not AvailableNow restarts): the start-fence passes
+    // once at k=4, then the rebuild lands UNDER it
+    val sq = idx.startAppendStream(
+      spark.readStream.schema(e.schema).parquet(srcDir), ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      sq.processAllAvailable()
+      assert(idx.asg.count() == 48, "pre-rebuild batch lands normally")
+      // the k-changing rebuild re-pins the manifest mid-stream; the input
+      // is the corpus ingested so far, exactly what a real retrain sees
+      idx.rebuild(e.filter(col("vec_id") < 48), 8, 2)
+      val landed = idx.asg.count()
+      e.filter(col("vec_id") >= 48).write.mode("append").parquet(srcDir)
+      val ex = intercept[StreamingQueryException] { sq.processAllAvailable() }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("k-changing rebuild (k=4 -> k=8)")),
+        s"stream must die on the k fence, got: $msgs")
+      assert(idx.asg.count() == landed,
+        "the fenced batch must land NOTHING — fence runs before the ledger commit")
+    } finally sq.stop()
+    // the documented recovery: restart the stream against the new
+    // generation — the start-fence sees a current k=8 manifest and the
+    // checkpoint resumes the failed batch exactly-once
+    val sq2 = idx.startAppendStream(
+      spark.readStream.schema(e.schema).parquet(srcDir), ckpt)
+    sq2.processAllAvailable(); sq2.stop()
+    assert(idx.asg.count() == 64, "restart lands the fenced batch exactly once")
+  }
+
+  test("writeManifestIfCurrent aborts as a no-op when a newer generation landed since its read") {
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-guarded"), spark)
+    idx.build(e, 4, 2)
+    val m = idx.manifest.get
+    // build landed manifest v0; a guarded re-pin that read v0 lands v1
+    assert(idx.writeManifestIfCurrent(m, 0), "guarded write at the expected version lands")
+    assert(idx.manifest.contains(m))
+    // a guarded writer still holding v0 now races a landed v1: must abort
+    // without publishing and without leaving temp junk behind
+    assert(!idx.writeManifestIfCurrent(m.copy(asgVersion = m.asgVersion + 7), 0),
+      "stale expected version must abort the write")
+    assert(idx.manifest.contains(m), "aborted write publishes nothing")
+    val leftovers = new java.io.File(idx.root)
+      .listFiles().map(_.getName).filter(_.contains(".tmp"))
+    assert(leftovers.isEmpty, s"temp manifest leftovers: ${leftovers.toSeq}")
+  }
+
+  test("compact recovery refuses an assignment table more than one version past the pin") {
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-compact-2ahead"), spark)
+    idx.build(e, 4, 2)
+    val m = idx.manifest.get
+    // two unpinned commits cannot come from a lone crashed compaction
+    // (each compact() re-pins before another can run) — an external
+    // writer shape that recovery must refuse to bless with a re-pin
+    val full = Ckpt(e.select(col("vec_id"), col("embedding")))
+    idx.asg.replaceAll(Ivf.assign(full, idx.cent.getFullDf))
+    idx.asg.replaceAll(Ivf.assign(full, idx.cent.getFullDf))
+    assert(idx.asg.snapshotVersions.max > m.asgVersion + 1)
+    val ex = intercept[IllegalArgumentException] { idx.compact(100000L) }
+    assert(ex.getMessage.contains("more than one"), ex.getMessage)
+  }
+
   test("probe without a build fails loudly") {
     val idx = new IvfIndex(scratch("ivfidx-empty"), spark)
     val q = embs(8).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
