@@ -46,7 +46,18 @@ import graft.repo.TableRepo
   * directory sizes, no probes needed) is the rebuild TRIGGER a pipeline
   * can monitor cheaply.
   *
-  * Usage: runMain graft.IvfDriftStudy [sfDir] [batches] [nQ] [delta]
+  * A `replicas` argument > 1 grows the corpus with the same orthogonal
+  * sign-flip replication [[IvfServeStudy]] uses, so the trigger can be
+  * validated at SERVE-scale k (k = √n_base): the needsRebuild defaults
+  * were measured at k=32/k=100, while the serve corpora run at
+  * k=316/707 — this is how the study reaches that regime. A
+  * `trainStride` argument > 0 bounds every Lloyd input (initial build,
+  * per-step fresh retrains, final rebuild) to the seed rows plus every
+  * trainStride-th vec_id — the production sampled-training shape at
+  * these sizes; the stride sample cross-sections the drifted appends,
+  * so fresh retrains still see the drift they are supposed to recover.
+  *
+  * Usage: runMain graft.IvfDriftStudy [sfDir] [batches] [nQ] [delta] [replicas] [trainStride]
   * Emits one JSON line per step (append_1..B, then rebuild).
   */
 object IvfDriftStudy {
@@ -55,6 +66,8 @@ object IvfDriftStudy {
     val batches = if (args.length > 1) args(1).toInt else 4
     val nQ = if (args.length > 2) args(2).toInt else 50
     val delta = if (args.length > 3) args(3).toDouble else 0.25
+    val replicas = if (args.length > 4) args(4).toInt else 1
+    val trainStride = if (args.length > 5) args(5).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -68,7 +81,17 @@ object IvfDriftStudy {
     // re-key to contiguous ranks: the ScaleUp stress dirs offset replica
     // vec_ids by r·1e8, which would break the id-window base/slice split
     // below (a global window is fine in a measurement harness)
-    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val embsBase = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val embsRep = if (replicas <= 1) embsBase
+      else (0 until replicas).map { r =>
+        embsBase.select(
+          (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            when(pmod(hash(lit(r), j), lit(2)) === 0 && lit(r) =!= 0, -x).otherwise(x)
+          ).as("embedding"))
+      }.reduce(_ unionByName _)
+    val embs = embsRep
       .select(col("vec_id").as("orig_id"), col("embedding"))
       .withColumn("vec_id",
         row_number().over(Window.orderBy(col("orig_id"))).cast("long") - 1)
@@ -78,6 +101,11 @@ object IvfDriftStudy {
     val nBase = n / 2
     val k = math.max(8, math.round(math.sqrt(nBase.toDouble)).toInt).toInt
     val nprobe = 2
+    // sampled Lloyd input: seeds (the contract) + a deterministic
+    // cross-section that reaches drifted appends (ids interleave slices)
+    def trainSample(df: DataFrame): Option[DataFrame] =
+      if (trainStride <= 0) None
+      else Some(df.filter(col("vec_id") < k || col("vec_id") % trainStride === 0))
 
     def shifted(df: DataFrame, off: Double): DataFrame =
       df.withColumn("embedding", transform(col("embedding"),
@@ -86,13 +114,13 @@ object IvfDriftStudy {
     val base = embs.filter(col("vec_id") < nBase).localCheckpoint(true)
     val cent = new TableRepo(s"$root/cent", spark)
     val asg = new TableRepo(s"$root/asg", spark, groupCols = Seq("centroid_id"))
-    IvfRepo.build(base, k, 3, cent, asg)
+    IvfRepo.build(base, k, 3, cent, asg, trainSample(base))
     // healthy-index baseline for both at-rest signals: thresholds are
     // RATIOS against this row, not absolute values (mean assignment
     // cosine depends on the corpus's intrinsic cluster tightness)
     val ar0 = IvfRepo.driftStats(cent, asg)
     println(s"""{"study":"ivf_drift","dir":"$dir","step":"build","n":$nBase,""" +
-      s""""k":$k,"nprobe":$nprobe,"drift_off":0.0,""" +
+      s""""k":$k,"nprobe":$nprobe,"replicas":$replicas,"train_stride":$trainStride,"drift_off":0.0,""" +
       s""""max_cluster_frac":${f"${ar0.maxClusterFrac}%.4f"},""" +
       s""""mean_assign_cos":${f"${ar0.meanAssignCos}%.4f"}}""")
 
@@ -183,7 +211,8 @@ object IvfDriftStudy {
       val frozen = recallOf(
         IvfRepo.probe(lastQueries, cent, asg, nprobe, 5).select(col("q_id"), col("n_id")),
         truth)
-      val freshCent = Ivf.train(corpusNow, k, 3).localCheckpoint(true)
+      val freshCent = Ivf.train(trainSample(corpusNow).getOrElse(corpusNow), k, 3)
+        .localCheckpoint(true)
       val freshAsg = Ivf.assign(corpusNow, freshCent).localCheckpoint(true)
       lastFresh = recallOf(probeMem(lastQueries, freshCent, freshAsg), truth)
       val fcF = candFrac(lastQueries, cent.getFullDf, asg.getFullDf)
@@ -197,7 +226,7 @@ object IvfDriftStudy {
         s""""cand_frac_frozen":${f"$fcF%.4f"},"cand_frac_fresh":${f"$fcR%.4f"}}""")
     }
 
-    IvfRepo.rebuild(corpusNow, k, 3, cent, asg)
+    IvfRepo.rebuild(corpusNow, k, 3, cent, asg, trainSample(corpusNow))
     val truth = bruteTop5(lastQueries)
     val r = recallOf(
       IvfRepo.probe(lastQueries, cent, asg, nprobe, 5).select(col("q_id"), col("n_id")),

@@ -36,9 +36,24 @@ import graft.repo.TableRepo
   * second sweep measures what folding the per-cluster fragments buys,
   * putting a number on "compaction is part of the serving contract".
   *
-  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps] [replicas] [trainN] [compactTo]
+  * A `router` argument = 1 adds the BUCKET-GROUPED serve comparison
+  * (SCALE.md's throughput-serving claim, measured): the probe's routing
+  * phase (queries × broadcast centroids → per-query nprobe cluster ids)
+  * is corpus-independent and driver-cheap, so a router can serve the
+  * same query batch three ways — one all-queries batch call, one call
+  * per PROBED CLUSTER (each bucket call scans exactly that cluster's
+  * directories once for all its queries, partial top-k merged
+  * driver-side), and one call per QUERY (the latency baseline) — and
+  * the study times all three on identical queries, records scan bytes
+  * per mode from the directory listing, and asserts the bucketed
+  * merge answers bit-identically to the batch call.
+  *
+  * Usage: runMain graft.IvfServeStudy [sfDir] [nQueries] [reps] [replicas] [trainN] [compactTo] [router]
   * Emits one JSON line per nprobe in {1, 2, 4} (twice when compactTo > 0,
-  * tagged "compacted": false/true).
+  * tagged "compacted": false/true), then one "ivf_router" line per nprobe
+  * when router >= 1 (router = 2 skips the per-query wall measurement —
+  * the large-nQ bucket-fill regime, where nQ sequential probe calls
+  * would dwarf the rest of the study).
   */
 object IvfServeStudy {
   def main(args: Array[String]): Unit = {
@@ -153,6 +168,106 @@ object IvfServeStudy {
       asg.compact(compactTo)
       val compactS = (System.nanoTime() - tC0) / 1e9
       sweep(compacted = true, compactS = compactS)
+    }
+
+    // ---- bucket-grouped router comparison (post-compaction state when
+    // compactTo > 0 — the serving contract's operating shape); router=2
+    // additionally skips the per-query wall (fill-regime runs) ----
+    if (args.length > 6 && args(6).toInt >= 1) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFns
+      val topK = 5
+      val allPaths = asg.paths
+      val totalBytes = allPaths.map(sizeOf).sum
+      def dirBytes(id: Long): Long =
+        allPaths.filter(_.contains(s"centroid_id=$id/")).map(sizeOf).sum
+      for (nprobe <- Seq(1, 2, 4)) {
+        // ROUTING phase, shared by the bucketed and per-query modes: one
+        // driver round trip, corpus-independent (queries × k centroids)
+        val tR0 = System.nanoTime()
+        val c = cent.getFullDf.select(col("centroid_id"), col("c_emb"),
+          sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
+        val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+        val routePlan = broadcast(queries.select(col("q_id"), col("q_emb"),
+            VectorFns.norm2(col("q_emb")).as("q_nrm"))).crossJoin(broadcast(c))
+          .withColumn("csim", VectorFns.dotMixed(col("q_emb"), col("c_emb")) /
+            (col("q_nrm") * col("c_nrm")))
+          .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+          .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+        val routeRows = routePlan.collect()
+        val routerS = (System.nanoTime() - tR0) / 1e9
+        val qSchema = org.apache.spark.sql.types.StructType(routePlan.schema.dropRight(1))
+
+        // mode 1: ONE batch call (the sweep's shape, re-timed here so all
+        // three modes share a measurement window)
+        val batchS = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          IvfRepo.probe(queries, cent, asg, nprobe, topK).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val batchRows = IvfRepo.probe(queries, cent, asg, nprobe, topK)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+        // mode 2: one call per PROBED CLUSTER — each bucket's queries
+        // (LocalRelation) against exactly that cluster's directory, local
+        // per-query top-k, partials merged driver-side
+        val buckets = routeRows.groupBy(_.getLong(3)).toSeq.sortBy(_._1)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+        val tB0 = System.nanoTime()
+        val partials = buckets.flatMap { case (cid, rows) =>
+          val qRows = rows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2)))
+          val qDf = spark.createDataFrame(java.util.Arrays.asList(qRows: _*), qSchema)
+          broadcast(qDf)
+            .crossJoin(asg.getFullDf.filter(col("centroid_id") === lit(cid))
+              .select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+            .filter(col("n_id") =!= col("q_id"))
+            .withColumn("sim", VectorFns.dot(col("q_emb"), col("n_emb")) /
+              (col("q_nrm") * VectorFns.norm2(col("n_emb"))))
+            .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+            .select(col("q_id"), col("n_id"), col("sim")).collect()
+        }
+        // iterator first: flatMap on the Map itself would rebuild a Map
+        // keyed by qid and keep ONE pair per query
+        val merged = partials.groupBy(_.getLong(0)).iterator.flatMap { case (qid, rs) =>
+          rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(topK)
+            .map(r => (qid, r.getLong(1)))
+        }.toSet
+        val bucketS = (System.nanoTime() - tB0) / 1e9
+        val bucketMatch = merged == batchRows
+        require(bucketMatch, s"bucketed merge diverged from the batch probe at nprobe=$nprobe")
+
+        // mode 3: one call per QUERY — the single-query latency baseline;
+        // each call re-reads its own nprobe directories. Its scan bytes
+        // are analytic (each query's probed dirs, summed); the WALL
+        // measurement is skipped at router=2 (large-nQ fill-regime runs,
+        // where nQ sequential calls would dwarf the study)
+        val perQueryIds = routeRows.groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(3)).toSeq).toMap
+        val perQueryS = if (args(6).toInt == 2) -1.0 else {
+          val tQ0 = System.nanoTime()
+          routeRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+            val qRows = Seq(org.apache.spark.sql.Row(rows.head.get(0), rows.head.get(1)))
+            val oneQ = spark.createDataFrame(java.util.Arrays.asList(qRows: _*),
+              org.apache.spark.sql.types.StructType(qSchema.dropRight(1)))
+            IvfRepo.probe(oneQ, cent, asg, nprobe, topK).count()
+          }
+          (System.nanoTime() - tQ0) / 1e9
+        }
+
+        val unionIds = routeRows.map(_.getLong(3)).distinct.toSeq
+        val unionBytes = unionIds.map(dirBytes).sum
+        val perQueryBytes = perQueryIds.values.map(_.map(dirBytes).sum).sum
+        println(s"""{"study":"ivf_router","dir":"$dir","n":$n,"k":$k,"nprobe":$nprobe,""" +
+          s""""queries":$nQ,"topk":$topK,"router_s":${f"$routerS%.3f"},""" +
+          s""""batch_s":${f"$batchS%.3f"},"batch_calls":1,"batch_bytes":$unionBytes,""" +
+          s""""bucket_s":${f"$bucketS%.3f"},"bucket_calls":${buckets.size},""" +
+          s""""bucket_bytes":$unionBytes,"bucket_match":$bucketMatch,""" +
+          s""""per_query_s":${f"$perQueryS%.3f"},"per_query_calls":$nQ,""" +
+          s""""per_query_bytes":$perQueryBytes,"total_bytes":$totalBytes,""" +
+          s""""mean_bucket_queries":${f"${routeRows.length.toDouble / buckets.size}%.2f"},""" +
+          s""""bytes_per_query_batch":${unionBytes / nQ},"bytes_per_query_bucket":${unionBytes / nQ},""" +
+          s""""bytes_per_query_single":${perQueryBytes / nQ}}""")
+      }
     }
     spark.stop()
   }
