@@ -123,6 +123,28 @@ class IvfRepoSpec extends SparkSuite {
       Ivf.probeTopK(e, 4, 2, 2, 5L, 10).orderBy("q_id", "n_id"))
   }
 
+  test("rebuild with trainOn trains on the sample but reassigns the full corpus") {
+    val e = embs(200)
+    val cent = new TableRepo(scratch("ivf-cent-rbto"), spark)
+    val asg = new TableRepo(scratch("ivf-asg-rbto"), spark, groupCols = Seq("centroid_id"))
+    IvfRepo.build(e.filter(col("vec_id") < 120), 4, 2, cent, asg)
+    // sampled Lloyd input: the seeds plus every 3rd id — the production
+    // rebuild shape at corpus scale (train bounded, assignment full)
+    val sample = e.filter(col("vec_id") < 4 || col("vec_id") % 3 === 0)
+    IvfRepo.rebuild(e, 4, 2, cent, asg, Some(sample))
+    assert(asg.count() == 200, s"assignment must cover the FULL corpus, got ${asg.count()}")
+    // the landed centroids are exactly a train over the sample alone
+    assertSameRows(
+      cent.getFullDf.orderBy("centroid_id"),
+      Ivf.train(sample, 4, 2).orderBy("centroid_id"))
+    // and a sample missing seed rows fails fast, same as build's contract
+    val err = intercept[IllegalArgumentException] {
+      IvfRepo.rebuild(e, 4, 2, cent, asg,
+        Some(e.filter(col("vec_id") >= 2 && col("vec_id") % 3 === 0)))
+    }
+    assert(err.getMessage.contains("seed"), err.getMessage)
+  }
+
   test("streamed ingestion equals batch append and restarts exactly-once") {
     // the streaming face of append: micro-batches assigned against the
     // persisted centroids inside foreachBatch, landed through the commit
