@@ -379,6 +379,55 @@ class IvfIndexSpec extends SparkSuite {
     assert(idx.asg.count() == 64, "restart lands the fenced batch exactly once")
   }
 
+  test("a same-k rebuild mid-stream is picked up at the next micro-batch, not fenced") {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = embs8(64)
+    val idx = new IvfIndex(scratch("ivfidx-samek"), spark)
+    idx.build(e.filter(col("vec_id") < 32), 4, 2)
+    val srcDir = scratch("ivfidx-samek-src")
+    val ckpt = scratch("ivfidx-samek-ckpt")
+    e.filter(col("vec_id") >= 32 && col("vec_id") < 48)
+      .write.mode("append").parquet(srcDir)
+    val sq = idx.startAppendStream(
+      spark.readStream.schema(e.schema).parquet(srcDir), ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      sq.processAllAvailable()
+      assert(idx.asg.count() == 48, "pre-rebuild batch lands normally")
+      // snapshot the old generation's centroids (k rows) before the swap
+      val oldCent = {
+        val df = idx.cent.getFullDf
+        spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+      }
+      // same k=4, but trained in a dim-rotated embedding space: centroid
+      // j converges to direction j+1, so EVERY post-rebuild assignment id
+      // differs from the old generation's — a stream still holding the
+      // old centroids could not produce a single correct row
+      val rotated = e.filter(col("vec_id") < 48).select(col("vec_id"),
+        expr("concat(slice(embedding, 7, 2), slice(embedding, 1, 6))").as("embedding"))
+      idx.rebuild(e.filter(col("vec_id") < 48), 4, 2, trainOn = Some(rotated))
+      val m = idx.manifest.get
+      e.filter(col("vec_id") >= 48).write.mode("append").parquet(srcDir)
+      sq.processAllAvailable() // must NOT trip the k fence
+      assert(idx.asg.count() == 64,
+        "the post-rebuild batch lands into the rebuilt generation")
+      assert(idx.manifest.contains(m),
+        "appends land INTO the pinned generation — no manifest flip")
+      def asMap(df: DataFrame): Map[Long, Long] =
+        df.select(col("vec_id"), col("centroid_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val landed = asMap(idx.asg.getFullDf.filter(col("vec_id") >= 48))
+      val fresh = asMap(Ivf.assign(
+        e.filter(col("vec_id") >= 48), idx.cent.getFullDf))
+      assert(landed == fresh,
+        "appended rows must carry the NEW generation's assignments")
+      val stale = asMap(Ivf.assign(e.filter(col("vec_id") >= 48), oldCent))
+      assert(landed.forall { case (v, c) => stale(v) != c },
+        "rotation guarantees every id differs across generations — " +
+          "a match means the observable went vacuous")
+    } finally sq.stop()
+  }
+
   test("writeManifestIfCurrent aborts as a no-op when a newer generation landed since its read") {
     val e = embs(200)
     val idx = new IvfIndex(scratch("ivfidx-guarded"), spark)
