@@ -29,6 +29,21 @@ object IvfIndex {
     */
   case class Manifest(centVersion: Int, asgVersion: Int, k: Int,
       baseline: Option[Baseline] = None)
+
+  // Manifest commits are claim-then-commit (whole file under a dot temp
+  // name, then rename), but Hadoop's LOCAL rename is POSIX rename(2) —
+  // it OVERWRITES an existing destination and reports success — and the
+  // temp name is versioned, so two racers for the same next version
+  // could clobber each other's temp AND both "land". The racers that
+  // can actually exist share one JVM (a stream's onCompact re-pin on
+  // the driver vs a rebuild's flip on another driver thread), so a
+  // per-root monitor serializes list -> re-check -> rename where it
+  // matters; cross-PROCESS writers stay excluded by the single-
+  // maintainer contract (and on HDFS-like filesystems by rename
+  // genuinely refusing an existing destination).
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ops] def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(new Path(root).toString, _ => new Object)
 }
 
 /** Manifest-pinned lifecycle wrapper over [[IvfRepo]] — closes the one
@@ -130,39 +145,54 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * generation is still `expectLast` — both at entry and re-checked
     * right before the rename — and reports a skip instead of publishing
     * over (or past) a generation that landed since `expectLast` was
-    * read. The re-check narrows the check-then-write window to the
-    * list→rename gap; the rename itself refuses an already-taken
-    * versioned name, so two racers for the same next version cannot both
-    * report success.
+    * read. In-JVM racers (the only kind the serving lifecycle produces:
+    * the hook runs on the driver, and so does any rebuild's flip) are
+    * fully serialized by the per-root monitor around the whole
+    * list→re-check→rename sequence, so two same-version racers can
+    * never both report success nor clobber each other's temp file —
+    * local-filesystem rename OVERWRITES an existing destination, so the
+    * rename alone would not exclude this (it does on HDFS-like
+    * filesystems, which also covers the cross-process case the
+    * single-maintainer contract already rules out).
     */
   private[graft] def writeManifestIfCurrent(m: Manifest, expectLast: Int): Boolean =
     writeManifestCore(m, expectLast = Some(expectLast))
 
-  private def writeManifestCore(m: Manifest, expectLast: Option[Int]): Boolean = {
-    fs.mkdirs(new Path(root))
-    val last = manifestVersions.lastOption
-    if (expectLast.exists(e => !last.contains(e))) return false
-    val next = last.getOrElse(-1) + 1
-    // Double.toString round-trips exactly, so the baseline survives the
-    // JSON hop bit-for-bit and Manifest equality holds across re-reads
-    val baseKv = m.baseline.toSeq.flatMap(b => Seq(
-      "max_cluster_frac0" -> b.maxClusterFrac.toString,
-      "mean_assign_cos0" -> b.meanAssignCos.toString))
-    val json = (Map("cent_version" -> m.centVersion.toString,
-      "asg_version" -> m.asgVersion.toString, "k" -> m.k.toString) ++ baseKv)
-      .map { case (k, v) => s"${TableRepo.jq(k)}: ${TableRepo.jq(v)}" }
-      .mkString("{", ", ", "}")
-    val tmp = new Path(root, s"._ivf_manifest-v$next.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val landed = (expectLast.isEmpty || manifestVersions.lastOption == last) &&
-      fs.rename(tmp, new Path(root, s"_ivf_manifest-v$next.json"))
-    if (!landed) { fs.delete(tmp, false); return false }
-    // keep the new generation plus one grace manifest for debuggability
-    manifestVersions.dropRight(2).foreach(v =>
-      fs.delete(new Path(root, s"_ivf_manifest-v$v.json"), false))
-    true
-  }
+  // No early `return`s inside: they would non-locally return through the
+  // monitor's by-name block.
+  private def writeManifestCore(m: Manifest, expectLast: Option[Int]): Boolean =
+    IvfIndex.lockFor(root).synchronized {
+      fs.mkdirs(new Path(root))
+      val last = manifestVersions.lastOption
+      if (expectLast.exists(e => !last.contains(e))) false
+      else {
+        val next = last.getOrElse(-1) + 1
+        // Double.toString round-trips exactly, so the baseline survives the
+        // JSON hop bit-for-bit and Manifest equality holds across re-reads
+        val baseKv = m.baseline.toSeq.flatMap(b => Seq(
+          "max_cluster_frac0" -> b.maxClusterFrac.toString,
+          "mean_assign_cos0" -> b.meanAssignCos.toString))
+        val json = (Map("cent_version" -> m.centVersion.toString,
+          "asg_version" -> m.asgVersion.toString, "k" -> m.k.toString) ++ baseKv)
+          .map { case (k, v) => s"${TableRepo.jq(k)}: ${TableRepo.jq(v)}" }
+          .mkString("{", ", ", "}")
+        val tmp = new Path(root, s"._ivf_manifest-v$next.json.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+        // the pre-rename re-list only matters for cross-process racers
+        // (in-JVM ones are serialized by the monitor) — kept because on
+        // HDFS-like filesystems it narrows that window to list→rename
+        val landed = (expectLast.isEmpty || manifestVersions.lastOption == last) &&
+          fs.rename(tmp, new Path(root, s"_ivf_manifest-v$next.json"))
+        if (!landed) { fs.delete(tmp, false); false }
+        else {
+          // keep the new generation plus one grace manifest for debuggability
+          manifestVersions.dropRight(2).foreach(v =>
+            fs.delete(new Path(root, s"_ivf_manifest-v$v.json"), false))
+          true
+        }
+      }
+    }
 
   /** Pin the CURRENT committed version pair as a new generation, with the
     * generation's own healthy-signal baseline (one occupancy listing +

@@ -446,6 +446,42 @@ class IvfIndexSpec extends SparkSuite {
     assert(leftovers.isEmpty, s"temp manifest leftovers: ${leftovers.toSeq}")
   }
 
+  test("two guarded re-pins racing for the same version: exactly one lands, winner's content survives") {
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors}
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-race"), spark)
+    idx.build(e, 4, 2)
+    val base = idx.manifest.get
+    // local-FS rename overwrites an existing destination and the temp
+    // name is versioned, so WITHOUT the per-root monitor two racers for
+    // v(next) could clobber each other's temp and both report success —
+    // each round releases both attempts through a barrier and asserts
+    // the loser reported a skip and did not overwrite the winner's content
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      var v = 0
+      for (round <- 1 to 20) {
+        val barrier = new CyclicBarrier(2)
+        val expect = v
+        val attempts = Seq(1000 + round, 2000 + round).map { tag =>
+          pool.submit(new Callable[(Int, Boolean)] {
+            def call(): (Int, Boolean) = {
+              barrier.await()
+              (tag, idx.writeManifestIfCurrent(base.copy(asgVersion = tag), expect))
+            }
+          })
+        }
+        val results = attempts.map(_.get())
+        assert(results.count(_._2) == 1,
+          s"round $round: exactly one racer must land, got $results")
+        val winner = results.find(_._2).get._1
+        assert(idx.manifest.get.asgVersion == winner,
+          s"round $round: the loser overwrote the winner's manifest")
+        v += 1
+      }
+    } finally pool.shutdown()
+  }
+
   test("compact recovery refuses an assignment table more than one version past the pin") {
     val e = embs(200)
     val idx = new IvfIndex(scratch("ivfidx-compact-2ahead"), spark)
