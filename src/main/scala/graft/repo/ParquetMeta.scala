@@ -55,9 +55,23 @@ object ParquetMeta {
     w.start()
     w.appendFile(in)
     w.end((existing ++ extra).asJava)
-    if (!fs.delete(path, false) || !fs.rename(tmp, path)) {
+    // Swap via rename-to-backup, never delete-then-rename: a delete-first
+    // swap that dies (or whose rename fails) between the two steps has
+    // destroyed the only committed copy of the data file. Here SOME copy
+    // of the row groups exists at every instant — a failure restores the
+    // original and a crash leaves it recoverable under the dot-prefixed
+    // backup name (invisible to engine reads, like the temp).
+    val bak = new Path(path.getParent, s".${path.getName}.kvbak")
+    fs.delete(bak, false) // stale leftover from a prior crash
+    if (!fs.rename(path, bak)) {
+      fs.delete(tmp, false): Unit
+      throw new java.io.IOException(s"failed to stage $path aside for footer rewrite")
+    }
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // restore — the original is never lost
       fs.delete(tmp, false): Unit
       throw new java.io.IOException(s"failed to swap footer-rewritten file into $path")
     }
+    fs.delete(bak, false): Unit
   }
 }

@@ -32,6 +32,27 @@ class ParquetMetaSpec extends SparkSuite {
     }
     val after = repo.getFullDf.collect().map(_.toString).sorted.toSeq
     assert(after == before, "row-group byte copy must not change the data")
+    // the rename-to-backup swap must clean up after itself on success
+    val leftovers = new java.io.File(repo.root).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName)
+      .filter(n => n.endsWith(".kvtmp") || n.endsWith(".kvbak"))
+    assert(leftovers.isEmpty, s"swap leftovers: ${leftovers.toSeq}")
+  }
+
+  test("embed survives a stale backup left by a prior crash") {
+    val repo = new TableRepo(scratch("pmeta3"), spark)
+    repo.extend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val p = new Path(repo.paths.head)
+    // simulate a crash between the two swap renames: the backup name is
+    // taken when the next embed stages the file aside
+    val bak = new Path(p.getParent, s".${p.getName}.kvbak")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(bak, true); out.write("junk".getBytes); out.close()
+    repo.setMetadata(Map("k" -> "v"))
+    repo.embedMetadata()
+    val kv = ParquetMeta.keyValueMeta(spark.sparkContext.hadoopConfiguration, p)
+    assert(kv.get("graft.k").contains("v"))
+    assert(!fs.exists(bak), "the stale backup must be replaced, then cleaned")
   }
 
   test("embed merges with existing KV, extra wins on collision") {
