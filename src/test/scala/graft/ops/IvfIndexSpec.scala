@@ -340,6 +340,48 @@ class IvfIndexSpec extends SparkSuite {
     assert(!idx.needsRebuild(), "rebuild re-anchors the baseline on the drifted corpus")
   }
 
+  test("operator's day: streamed drift fires the trigger; a same-k rebuild under the live stream re-anchors it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = embs(200)
+    val idx = new IvfIndex(scratch("ivfidx-opday"), spark)
+    idx.build(e, 4, 2)
+    assert(!idx.needsRebuild())
+    val srcDir = scratch("ivfidx-opday-src")
+    val ckpt = scratch("ivfidx-opday-ckpt")
+    // the drift arrives THROUGH the stream (odd-dim lean: the cosine
+    // side of the trigger, occupancy stays under 2.5x); the source must
+    // exist before readStream plans, so the first batch seeds it
+    val drifted = embs(280).filter(col("vec_id") >= 200)
+      .withColumn("embedding", transform(col("embedding"),
+        (x, i) => when(i % 2 === 1, x + lit(2.5)).otherwise(x).cast("float")))
+    drifted.write.mode("append").parquet(srcDir)
+    val sq = idx.startAppendStream(
+      spark.readStream.schema(e.schema).parquet(srcDir), ckpt,
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    try {
+      sq.processAllAvailable()
+      assert(idx.asg.count() == 280, "drifted batch lands through the stream")
+      assert(idx.needsRebuild(), "streamed drift must fire the monitoring trigger")
+      // the scheduled same-k rebuild lands UNDER the live stream, over
+      // exactly the landed corpus (no batch in flight across the swap)
+      idx.rebuild(e.unionByName(drifted), 4, 2)
+      assert(!idx.needsRebuild(), "rebuild re-anchors the trigger")
+      // the stream survives the swap and its next batch assigns against
+      // the REBUILT centroids
+      val tail = embs(300).filter(col("vec_id") >= 280)
+      tail.write.mode("append").parquet(srcDir)
+      sq.processAllAvailable()
+      assert(idx.asg.count() == 300, "post-rebuild batch lands normally")
+      def asMap(df: DataFrame): Map[Long, Long] =
+        df.select(col("vec_id"), col("centroid_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(asMap(idx.asg.getFullDf.filter(col("vec_id") >= 280)) ==
+        asMap(Ivf.assign(tail, idx.cent.getFullDf)),
+        "post-rebuild stream batches assign against the rebuilt generation")
+      assert(!idx.needsRebuild(), "a clean tail keeps the re-anchored trigger quiet")
+    } finally sq.stop()
+  }
+
   test("a k-changing rebuild mid-stream fails the live stream at its next micro-batch") {
     import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
     val e = embs8(64)
