@@ -83,6 +83,16 @@ object IvfDriftStudy {
     // below (a global window is fine in a measurement harness)
     val embsBase = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    // replication reuses the r·1e8 offset the ScaleUp stress dirs ALREADY
+    // carry on disk — replicating such a dir would collide orig_ids and
+    // make the row_number re-key below order duplicate keys arbitrarily,
+    // breaking the study's "fully deterministic" protocol; refuse instead
+    if (replicas > 1) {
+      val maxId = embsBase.agg(max(col("vec_id"))).head().getLong(0)
+      require(maxId < 100000000L,
+        s"replicas=$replicas over an input whose vec_ids reach $maxId (>= 1e8): already a " +
+          "replicated stress dir — replicate the base corpus instead, or pass replicas=1")
+    }
     val embsRep = if (replicas <= 1) embsBase
       else (0 until replicas).map { r =>
         embsBase.select(
@@ -142,19 +152,11 @@ object IvfDriftStudy {
       got.join(truth, Seq("q_id", "n_id"), "left_semi").count().toDouble / truth.count()
 
     // the in-memory twin of IvfRepo.probe, for the throwaway fresh index:
-    // same nearest-nprobe centroid selection, same candidate join on
-    // centroid_id, same tie-break — minus the at-rest repos
+    // the probe's own routing plan (Ivf.route — the single copy), same
+    // candidate join on centroid_id, same tie-break — minus the at-rest
+    // repos
     def probeMem(queries: DataFrame, centDf: DataFrame, asgDf: DataFrame): DataFrame = {
-      val c = centDf.select(col("centroid_id"), col("c_emb"),
-        sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
-      val q = queries.select(col("q_id"), col("q_emb"),
-        VectorFns.norm2(col("q_emb")).as("q_nrm"))
-      val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-      val qc = broadcast(q).crossJoin(broadcast(c))
-        .withColumn("csim",
-          VectorFns.dotHof(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-        .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
-        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+      val qc = Ivf.route(queries, centDf, nprobe)
       val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
       broadcast(qc)
         .join(asgDf.select(col("vec_id").as("n_id"), col("centroid_id"),
@@ -178,16 +180,8 @@ object IvfDriftStudy {
     // voiding the nprobe/k pruning contract)
     def candFrac(queries: DataFrame, centDf: DataFrame, asgDf: DataFrame): Double = {
       val sizes = asgDf.groupBy(col("centroid_id")).count()
-      val c = centDf.select(col("centroid_id"), col("c_emb"),
-        sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
-      val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
       val tot = asgDf.count().toDouble
-      val perQ = broadcast(queries.select(col("q_id"), col("q_emb"),
-          VectorFns.norm2(col("q_emb")).as("q_nrm")))
-        .crossJoin(broadcast(c))
-        .withColumn("csim",
-          VectorFns.dotHof(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-        .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+      val perQ = Ivf.route(queries, centDf, nprobe)
         .join(broadcast(sizes), Seq("centroid_id"))
         .groupBy(col("q_id")).agg(sum(col("count")).as("cand"))
         .agg(avg(col("cand"))).head().getDouble(0)

@@ -63,6 +63,7 @@ object IvfServeStudy {
     val replicas = if (args.length > 3) args(3).toInt else 1
     val trainN = if (args.length > 4) args(4).toInt else 0
     val compactTo = if (args.length > 5) args(5).toLong else 0L
+    val router = if (args.length > 6) args(6).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -126,21 +127,12 @@ object IvfServeStudy {
         }
         // at-rest evidence: which directories the union of these probes
         // touches (per-query it is nprobe dirs; the union over the sample
-        // bounds the one-shot batch-probe read) — recomputed here exactly
-        // as IvfRepo.probe selects them
-        val perQuery: Map[Long, Seq[Long]] = {
-          val c = cent.getFullDf.select(col("centroid_id"), col("c_emb"))
-          import org.apache.spark.sql.expressions.Window
-          val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-          queries.crossJoin(broadcast(c))
-            .withColumn("csim", graft.functions.VectorFns
-              .dotHof(col("q_emb"), col("c_emb")) /
-              (graft.functions.VectorFns.norm2(col("q_emb")) *
-                sqrt(graft.functions.VectorFns.dotHof(col("c_emb"), col("c_emb")))))
-            .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+        // bounds the one-shot batch-probe read) — the probe's OWN routing
+        // plan (Ivf.route is the single copy IvfRepo.probe plans from)
+        val perQuery: Map[Long, Seq[Long]] =
+          Ivf.route(queries, cent.getFullDf, nprobe)
             .select(col("q_id"), col("centroid_id")).collect()
             .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
-        }
         val probedIds = perQuery.values.flatten.toSet
         val dirBytes: Map[Long, Long] = probedIds.map(id =>
           id -> allPaths.filter(_.contains(s"centroid_id=$id/")).map(sizeOf).sum).toMap
@@ -173,30 +165,27 @@ object IvfServeStudy {
     // ---- bucket-grouped router comparison (post-compaction state when
     // compactTo > 0 — the serving contract's operating shape); router=2
     // additionally skips the per-query wall (fill-regime runs) ----
-    if (args.length > 6 && args(6).toInt >= 1) {
+    if (router >= 1) {
       import org.apache.spark.sql.expressions.Window
       import graft.functions.VectorFns
       val topK = 5
       val allPaths = asg.paths
       val totalBytes = allPaths.map(sizeOf).sum
-      def dirBytes(id: Long): Long =
-        allPaths.filter(_.contains(s"centroid_id=$id/")).map(sizeOf).sum
       for (nprobe <- Seq(1, 2, 4)) {
         // ROUTING phase, shared by the bucketed and per-query modes: one
-        // driver round trip, corpus-independent (queries × k centroids)
+        // driver round trip, corpus-independent (queries × k centroids) —
+        // the probe's own Ivf.route plan, so bucketMatch compares modes
+        // that routed identically by construction
         val tR0 = System.nanoTime()
-        val c = cent.getFullDf.select(col("centroid_id"), col("c_emb"),
-          sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
-        val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-        val routePlan = broadcast(queries.select(col("q_id"), col("q_emb"),
-            VectorFns.norm2(col("q_emb")).as("q_nrm"))).crossJoin(broadcast(c))
-          .withColumn("csim", VectorFns.dotMixed(col("q_emb"), col("c_emb")) /
-            (col("q_nrm") * col("c_nrm")))
-          .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
-          .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+        val routePlan = Ivf.route(queries, cent.getFullDf, nprobe)
         val routeRows = routePlan.collect()
         val routerS = (System.nanoTime() - tR0) / 1e9
         val qSchema = org.apache.spark.sql.types.StructType(routePlan.schema.dropRight(1))
+        // memoized per nprobe: perQueryBytes below is a pure lookup per
+        // (query, probed cluster) — a def re-filtering allPaths each call
+        // is O(nQ·nprobe·|files|) substring scans in the fill regime
+        val dirBytes: Map[Long, Long] = routeRows.map(_.getLong(3)).distinct.map(id =>
+          id -> allPaths.filter(_.contains(s"centroid_id=$id/")).map(sizeOf).sum).toMap
 
         // mode 1: ONE batch call (the sweep's shape, re-timed here so all
         // three modes share a measurement window)
@@ -243,7 +232,7 @@ object IvfServeStudy {
         // where nQ sequential calls would dwarf the study)
         val perQueryIds = routeRows.groupBy(_.getLong(0)).view
           .mapValues(_.map(_.getLong(3)).toSeq).toMap
-        val perQueryS = if (args(6).toInt == 2) -1.0 else {
+        val perQueryS = if (router == 2) -1.0 else {
           val tQ0 = System.nanoTime()
           routeRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (_, rows) =>
             val qRows = Seq(org.apache.spark.sql.Row(rows.head.get(0), rows.head.get(1)))

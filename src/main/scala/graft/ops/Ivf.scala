@@ -162,32 +162,50 @@ object Ivf {
         | FROM c$iters c JOIN sizes ON sizes.centroid_id = c.centroid_id""")
       .stripMargin.replaceAll("\n", "")
 
+  /** The IVF ROUTING phase: per-query `nprobe` nearest centroids by
+    * cosine, ties to the lower centroid_id — one output row per (query,
+    * probed cluster), schema (q_id, q_emb, q_nrm, centroid_id). This is
+    * the tie-break-sensitive plan EVERY probe shape shares
+    * ([[probeTopK]], [[IvfRepo.probeFrames]], the serve study's router
+    * and scan-fraction audits) and the DuckDB oracle replays — kept as
+    * the single copy so a change to the similarity form or the tie-break
+    * cannot silently diverge the batch, bucketed, pinned, and oracle
+    * paths from each other. Both frames are broadcast: queries × k
+    * centroids is a cross of two tiny relations.
+    *
+    * `queries` needs (q_id, q_emb); `centDf` is the trained
+    * (centroid_id, c_emb) table with double components.
+    */
+  def route(queries: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame = {
+    val c = centDf.select(col("centroid_id"), col("c_emb"),
+      sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
+    val q = queries.select(col("q_id"), col("q_emb"),
+      VectorFns.norm2(col("q_emb")).as("q_nrm"))
+    val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
+    broadcast(q).crossJoin(broadcast(c))
+      .withColumn("csim",
+        VectorFns.dotMixed(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+  }
+
   /** Trained-IVF ANN top-k (the q_ivf_probe engine): train pinned-seed
     * centroids, assign the corpus once, then answer each query from the
     * members of its `nprobe` nearest clusters only — the classic IVF
     * trade ([[graft.RecallStudy]] measures recall 0.30/0.50 at nprobe
     * 1/2 on sf0.1). Scale shape: queries×centroids is a broadcast
-    * cross of two tiny frames; the candidate join touches ~nprobe/k of
-    * the corpus (at rest, cluster-partition the assignment table and
-    * this becomes partition pruning); the per-query top-k window gets a
-    * partial WindowGroupLimit.
+    * cross of two tiny frames ([[route]]); the candidate join touches
+    * ~nprobe/k of the corpus (at rest, cluster-partition the assignment
+    * table and this becomes partition pruning); the per-query top-k
+    * window gets a partial WindowGroupLimit.
     */
   def probeTopK(embs: DataFrame, k: Int, iters: Int, nprobe: Int,
       maxQueryId: Long, topK: Int): DataFrame = {
     val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
     val cent = Ckpt(train(e, k, iters))
     val asg = assign(e, cent)
-    val q = e.filter(col("vec_id") < maxQueryId)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        VectorFns.norm2(col("embedding")).as("q_nrm"))
-    val c = cent.select(col("centroid_id"), col("c_emb"),
-      sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
-    val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val qc = broadcast(q).crossJoin(broadcast(c))
-      .withColumn("csim",
-        VectorFns.dotMixed(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+    val qc = route(e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), cent, nprobe)
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     broadcast(qc)
       .join(asg.select(col("vec_id").as("n_id"), col("centroid_id"),

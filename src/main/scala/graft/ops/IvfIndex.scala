@@ -42,8 +42,13 @@ object IvfIndex {
   // maintainer contract (and on HDFS-like filesystems by rename
   // genuinely refusing an existing destination).
   private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[ops] def lockFor(root: String): Object =
-    rootLocks.computeIfAbsent(new Path(root).toString, _ => new Object)
+  // callers must pass a FILESYSTEM-QUALIFIED root: Path("file:/x") and
+  // Path("/x") stringify differently, so keying on the raw spelling would
+  // hand two handles to the same directory two different monitors —
+  // voiding exactly the serialization the lock exists for (instances see
+  // one monitor per physical root via [[IvfIndex.rootLock]])
+  private[ops] def lockFor(qualifiedRoot: String): Object =
+    rootLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
 }
 
 /** Manifest-pinned lifecycle wrapper over [[IvfRepo]] — closes the one
@@ -60,7 +65,11 @@ object IvfIndex {
   * highest N; writers land a WHOLE file under an invisible dot-prefixed
   * temp name and atomically rename it into place — a reader sees the old
   * triple or the new one, never a torn or mixed state. [[rebuild]] swaps
-  * both tables FIRST (order now irrelevant) and flips the manifest LAST;
+  * both tables FIRST — centroids before assignments, an order that IS
+  * load-bearing: [[compact]]'s recovery branch reads "assignment table
+  * ahead, centroid table current" as a crashed compaction precisely
+  * because every rebuild path bumps cent first — and flips the manifest
+  * LAST;
   * until that flip every probe keeps planning from the superseded
   * versions, which survive as TableRepo grace snapshots (retention >= 1
   * guarantees exactly the swap window; pass `snapshotRetention` >= 2 to
@@ -96,6 +105,22 @@ class IvfIndex(val root: String, val spark: SparkSession,
 
   private def fs: FileSystem =
     FileSystem.get(URI.create(root), spark.sparkContext.hadoopConfiguration)
+
+  /** The per-root manifest-commit monitor, keyed on the QUALIFIED path so
+    * differently-spelled handles to one directory (`file:/x/ivf` vs
+    * `/x/ivf`, relative vs absolute) share the monitor — otherwise two
+    * in-JVM racers could hold "the" lock concurrently and local rename's
+    * overwrite semantics would let both land.
+    */
+  private[ops] lazy val rootLock: Object =
+    IvfIndex.lockFor(fs.makeQualified(new Path(root)).toString)
+
+  /** The manifest-commit rename, alone in a method so specs can drive the
+    * failure path (local-filesystem renames essentially never fail, but
+    * production filesystems' do — and a swallowed failure here strands
+    * the pin while compactions advance the table).
+    */
+  private[ops] def commitRename(src: Path, dst: Path): Boolean = fs.rename(src, dst)
 
   private val ManifestRe = "_ivf_manifest-v(\\d+)\\.json".r
 
@@ -136,8 +161,8 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * so mid-swap states can be driven step by step.
     */
   private[graft] def writeManifest(m: Manifest): Unit = {
-    val ok = writeManifestCore(m, expectLast = None)
-    require(ok, s"manifest commit rename failed under $root (concurrent rebuild?)")
+    // unguarded writers never skip: the core returns true or throws
+    writeManifestCore(m, expectLast = None): Unit
   }
 
   /** Guarded variant for hooks racing a rebuild's own manifest flip
@@ -145,7 +170,11 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * generation is still `expectLast` — both at entry and re-checked
     * right before the rename — and reports a skip instead of publishing
     * over (or past) a generation that landed since `expectLast` was
-    * read. In-JVM racers (the only kind the serving lifecycle produces:
+    * read. A skip (false) ONLY ever means lost-the-race; a rename that
+    * fails AFTER the generation check passes is a genuine filesystem
+    * failure and THROWS — conflating the two would let a hook's re-pin
+    * silently fail every cycle while the table versions march past the
+    * pin. In-JVM racers (the only kind the serving lifecycle produces:
     * the hook runs on the driver, and so does any rebuild's flip) are
     * fully serialized by the per-root monitor around the whole
     * list→re-check→rename sequence, so two same-version racers can
@@ -161,9 +190,10 @@ class IvfIndex(val root: String, val spark: SparkSession,
   // No early `return`s inside: they would non-locally return through the
   // monitor's by-name block.
   private def writeManifestCore(m: Manifest, expectLast: Option[Int]): Boolean =
-    IvfIndex.lockFor(root).synchronized {
+    rootLock.synchronized {
       fs.mkdirs(new Path(root))
       val last = manifestVersions.lastOption
+      // benign skip #1: a newer generation landed before the lock was taken
       if (expectLast.exists(e => !last.contains(e))) false
       else {
         val next = last.getOrElse(-1) + 1
@@ -179,13 +209,24 @@ class IvfIndex(val root: String, val spark: SparkSession,
         val tmp = new Path(root, s"._ivf_manifest-v$next.json.tmp")
         val out = fs.create(tmp, true)
         try out.write(json.getBytes("UTF-8")) finally out.close()
-        // the pre-rename re-list only matters for cross-process racers
-        // (in-JVM ones are serialized by the monitor) — kept because on
-        // HDFS-like filesystems it narrows that window to list→rename
-        val landed = (expectLast.isEmpty || manifestVersions.lastOption == last) &&
-          fs.rename(tmp, new Path(root, s"_ivf_manifest-v$next.json"))
-        if (!landed) { fs.delete(tmp, false); false }
-        else {
+        // benign skip #2 (guarded writers only): a CROSS-PROCESS racer
+        // landed between the lock and here — in-JVM ones are serialized by
+        // the monitor; on HDFS-like filesystems this narrows the remaining
+        // window to list→rename
+        if (expectLast.nonEmpty && manifestVersions.lastOption != last) {
+          fs.delete(tmp, false): Unit
+          false
+        } else if (!commitRename(tmp, new Path(root, s"_ivf_manifest-v$next.json"))) {
+          // NOT a lost race — the generation check passed and we hold the
+          // monitor, so a false rename is a genuine filesystem failure.
+          // Swallowing it (returning false) would let a streamed
+          // compaction's re-pin "skip" every cycle while table versions
+          // advance past the pin, until GC deletes the pinned version and
+          // probes start failing far from the root cause — so throw.
+          fs.delete(tmp, false): Unit
+          throw new java.io.IOException(
+            s"manifest commit rename failed under $root (generation v$next)")
+        } else {
           // keep the new generation plus one grace manifest for debuggability
           manifestVersions.dropRight(2).foreach(v =>
             fs.delete(new Path(root, s"_ivf_manifest-v$v.json"), false))

@@ -199,16 +199,7 @@ object IvfRepo {
     */
   def probeFrames(queries: DataFrame, centDf: DataFrame, asgDf: DataFrame,
       nprobe: Int, topK: Int): DataFrame = {
-    val c = centDf.select(col("centroid_id"), col("c_emb"),
-      sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
-    val q = queries.select(col("q_id"), col("q_emb"),
-      VectorFns.norm2(col("q_emb")).as("q_nrm"))
-    val cw = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val qcPlan = broadcast(q).crossJoin(broadcast(c))
-      .withColumn("csim",
-        VectorFns.dotMixed(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-      .withColumn("__rn", row_number().over(cw)).filter(col("__rn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("centroid_id"))
+    val qcPlan = Ivf.route(queries, centDf, nprobe)
     // ONE driver round-trip serves both needs: the probed-id literals
     // for plan-time partition pruning AND the per-query routing table,
     // re-entered as a LocalRelation so the final query neither re-runs

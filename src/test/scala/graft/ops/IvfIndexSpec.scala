@@ -540,6 +540,71 @@ class IvfIndexSpec extends SparkSuite {
     assert(ex.getMessage.contains("more than one"), ex.getMessage)
   }
 
+  test("differently-spelled roots share one manifest-commit monitor") {
+    import java.util.concurrent.{Callable, CyclicBarrier, Executors}
+    val root = scratch("ivfidx-lockkey")
+    val idx1 = new IvfIndex(root, spark)
+    val idx2 = new IvfIndex("file:" + root, spark) // same directory, URI spelling
+    // keying the monitor on the raw spelling would hand these two handles
+    // different locks — and local rename's overwrite semantics would then
+    // let two racers for the same next version both land
+    assert(idx1.rootLock eq idx2.rootLock,
+      "qualified-path lock keying: one physical root must mean one monitor")
+    idx1.build(embs(200), 4, 2)
+    val base = idx1.manifest.get
+    assert(idx2.manifest.contains(base), "both spellings read the same manifest")
+    // behavioral check: guarded re-pins racing ACROSS the two instances
+    // still serialize — exactly one lands per round, winner's content kept
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 10) {
+        val barrier = new CyclicBarrier(2)
+        val expect = round - 1
+        val attempts = Seq(idx1 -> (1000 + round), idx2 -> (2000 + round)).map {
+          case (idx, tag) =>
+            pool.submit(new Callable[(Int, Boolean)] {
+              def call(): (Int, Boolean) = {
+                barrier.await()
+                (tag, idx.writeManifestIfCurrent(base.copy(asgVersion = tag), expect))
+              }
+            })
+        }
+        val results = attempts.map(_.get())
+        assert(results.count(_._2) == 1,
+          s"round $round: exactly one cross-instance racer must land, got $results")
+        val winner = results.find(_._2).get._1
+        assert(idx1.manifest.get.asgVersion == winner,
+          s"round $round: the loser overwrote the winner's manifest")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("a failing manifest-commit rename throws instead of reporting a benign skip") {
+    import org.apache.hadoop.fs.Path
+    val e = embs(200)
+    val root = scratch("ivfidx-renamefail")
+    val idx = new IvfIndex(root, spark)
+    idx.build(e, 4, 2)
+    val m = idx.manifest.get
+    // production filesystems' renames DO fail; a false here is not a lost
+    // race (the generation check passed under the monitor), and swallowing
+    // it would let a streamed compaction's re-pin "skip" every cycle while
+    // table versions advance past the pin
+    val failing = new IvfIndex(root, spark) {
+      override private[ops] def commitRename(src: Path, dst: Path): Boolean = false
+    }
+    intercept[java.io.IOException] { failing.writeManifest(m) }
+    intercept[java.io.IOException] { failing.writeManifestIfCurrent(m, 0): Unit }
+    // a genuinely stale expected version is still the benign skip: it
+    // aborts BEFORE the rename, so the failing rename is never consulted
+    assert(!failing.writeManifestIfCurrent(m, 99),
+      "stale expected version stays a benign skip, not an IO failure")
+    assert(idx.manifest.contains(m), "nothing published by any failed attempt")
+    val leftovers = new java.io.File(root)
+      .listFiles().map(_.getName).filter(_.contains(".tmp"))
+    assert(leftovers.isEmpty, s"temp manifest leftovers: ${leftovers.toSeq}")
+  }
+
   test("probe without a build fails loudly") {
     val idx = new IvfIndex(scratch("ivfidx-empty"), spark)
     val q = embs(8).select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
