@@ -242,7 +242,7 @@ class TableRepo(
     var claimed = false
     while (!claimed) {
       try {
-        fs.create(new Path(s"$root/_graft_claim-v$next"), false).close()
+        createExclusive(new Path(s"$root/_graft_claim-v$next"))
         claimed = true
       } catch {
         // Advance ONLY on a confirmed collision; any other IOException
@@ -326,6 +326,16 @@ class TableRepo(
 
   /** Switch to a named environment — same table name under a different
     * parent directory (core.py:196-201; tests/test_envs.py:6-47).
+    *
+    * CONCURRENCY CONTRACT: the switch mutates this handle's resolved root
+    * in place (the reference's single-threaded semantics). It is NOT safe
+    * concurrently with in-flight operations on the SAME instance — an op
+    * resolves root/dataPath as it goes, under the monitor of the env
+    * current at its entry, so a mid-op switch would make it straddle two
+    * roots. Threads working different envs concurrently should each hold
+    * their own TableRepo instance (monitors are keyed by resolved root,
+    * shared process-wide, so per-env instances still serialize correctly
+    * against each other).
     */
   def setEnv(env: String): Unit = {
     require(envParents.contains(env), s"unknown env '$env'")
@@ -334,7 +344,10 @@ class TableRepo(
 
   def setEnvToDefault(): Unit = currentParent = None
 
-  /** Context-managed environment switch (core.py:245-250). */
+  /** Context-managed environment switch (core.py:245-250). Same
+    * concurrency contract as [[setEnv]]: per-instance, not thread-safe —
+    * it saves and restores THIS handle's current env around `body`.
+    */
   def envCtx[T](env: String)(body: => T): T = {
     val prev = currentParent
     setEnv(env)
@@ -526,8 +539,33 @@ class TableRepo(
     * files are invisible to readers and the next commit's GC would
     * silently drop them. Intra-process the write lock makes this
     * unreachable; it fires only against an EXTERNAL writer, turning silent
-    * data loss into a retryable error.
+    * data loss into a retryable error. DETECTION, not exclusion: against
+    * an external writer a rewrite can still land in the gap between this
+    * check and the caller's commit point (e.g. the exactly-once marker) —
+    * closing that would need a filesystem transaction; the contract
+    * remains one maintaining process per table, and this check narrows
+    * the out-of-contract blast radius to that gap.
     */
+  /** EXCLUSIVE marker create. Hadoop's local filesystem implements
+    * `create(overwrite = false)` as a non-atomic exists-then-create, so
+    * two PROCESSES claiming the same version number on the file scheme
+    * could both pass the check and later clobber each other's in-flight
+    * version dir — the exact race the claim protocol exists to prevent.
+    * On the file scheme, go through NIO's `CREATE_NEW` (true O_EXCL);
+    * HDFS-like filesystems already make the exclusive create atomic
+    * server-side, so they keep the plain Hadoop call.
+    */
+  private def createExclusive(p: Path): Unit = {
+    val q = fs.makeQualified(p)
+    if (q.toUri.getScheme == "file") {
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(q.toUri.getPath)): Unit }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+      }
+    } else fs.create(p, false).close()
+  }
+
   private def checkVersionStable(target: String, op: String): Unit = {
     val now = dataPath
     if (now != target)
@@ -735,7 +773,7 @@ class TableRepo(
       // rows of a moved key would silently survive as duplicates. Runs
       // before the overwrite (files still on disk), prunes to the emptied
       // partitions only, bounded by the affected-partition cap.
-      val emptiedDirs: Array[Path] =
+      val emptiedFiles: Array[Path] =
         if (emptiedGroups.isEmpty) Array.empty
         else existing
           .filter(emptiedGroups.map(vals =>
@@ -745,10 +783,21 @@ class TableRepo(
           // input_file_name returns URI-ENCODED strings ('%' → %25);
           // Path(String) would keep the encoding and miss the dir, so
           // decode once through java.net.URI and keep Path objects
-          .collect().map(r => new Path(new java.net.URI(r.getString(0))).getParent)
-          .distinct
+          .collect().map(r => new Path(new java.net.URI(r.getString(0))))
+      val emptiedDirs: Array[Path] = emptiedFiles.map(_.getParent).distinct
       writeData(newData, overwrite = true, dynamic = true, alreadyStaged = true)
-      emptiedDirs.foreach(d => fs.delete(d, true))
+      if (emptiedDirs.nonEmpty) {
+        // The delete phase gets the SAME crash protection as the pruned
+        // merge's: after the overwrite commits, a manifest names the
+        // emptied partitions' doomed files — readers exclude them at once
+        // and the next mutating op replays the deletes — so a crash
+        // mid-delete can no longer resurrect a moved key's old row as a
+        // permanent duplicate. Residual window: the one tiny manifest
+        // write, identical to the pruned path's documented residual.
+        writePendingDeletes(emptiedFiles.map(_.toString).toIndexedSeq)
+        emptiedDirs.foreach(d => fs.delete(d, true))
+        fs.delete(pendingDeletePath, false): Unit
+      }
     }
   }
 
@@ -833,10 +882,16 @@ class TableRepo(
           // merge handles it with one dynamic overwrite
           replaceRecords(updates, byGroups); return
         }
+        // same invisible-file exclusion as `paths`: a crashed exactly-once
+        // batch's landed prefix (uncommitted — must not be merged into
+        // visible replacement files and deleted out from under its replay)
+        // and a crashed pruned merge's doomed files must never be
+        // candidates here either
+        val invisible = invisibleFiles()
         dirVals.toIndexedSeq.flatMap { vals =>
           val dir = layoutCols.zip(vals)
             .map { case (c, v) => TableRepo.dirSegment(c, v) }.mkString("/")
-          listParquetFiles(s"$dataPath/$dir")
+          listParquetFiles(s"$dataPath/$dir").filterNot(invisible.contains)
         }
       }
     // 2) footer pruning: broadcast the (one-row-per-file) range boxes and
@@ -962,6 +1017,12 @@ class TableRepo(
     }
     fs.delete(new Path(s"$root/data"), true)
     fs.delete(pendingDeletePath, false)
+    // the ledger and staging must go with the data: a re-created repo
+    // reusing a writerId would otherwise drop every replayed batch the
+    // stale hwm marks committed (silently empty table), and stale
+    // .pending manifests would pin same-numbered future version dirs
+    fs.delete(new Path(s"$root/_graft_ledger"), true)
+    fs.delete(new Path(s"$root/_graft_staging"), true)
     fs.delete(new Path(schemaPath), false)
     fs.delete(new Path(metaPath), false)
   }
@@ -1250,20 +1311,61 @@ class TableRepo(
   }
 
   private def writePendingDeletes(files: Seq[String]): Unit = {
-    val out = fs.create(pendingDeletePath, true)
+    // atomic swap (same reason as the ledger's writeBatchManifest): a
+    // crash mid-write would persist a PARTIAL doomed-file list — the next
+    // op's replay then deletes only that subset and drops the manifest,
+    // leaving the unlisted superseded originals as permanent duplicate
+    // keys. The temp is dot-prefixed (invisible everywhere) and the
+    // destination never exists here (mutating ops replay it at entry).
+    val tmp = new Path(s"$root/._graft_pending_delete.tmp")
+    val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    fs.delete(pendingDeletePath, false)
+    if (!fs.rename(tmp, pendingDeletePath))
+      throw new java.io.IOException(s"failed to commit pending-delete manifest under $root")
   }
 
   /** Idempotent crash repair: physically delete manifest files, then drop
     * the manifest. Runs at the head of every mutating op (inside the
-    * write lock).
+    * write lock), together with the other crash-artifact sweeps.
     */
   private def replayPendingDeletes(): Unit = {
     val pend = pendingDeleteSet()
     if (pend.nonEmpty) {
       pend.foreach(f => fs.delete(new Path(f), false))
       fs.delete(pendingDeletePath, false): Unit
+    }
+    sweepStaleLedgerManifests()
+    restoreFooterBackups()
+  }
+
+  /** A `.pending` manifest whose batch already has its commit marker (or
+    * sits below the writer's hwm) is the leftover of a crash between the
+    * marker create and the manifest delete: the batch is DURABLY
+    * COMMITTED, yet the stale manifest keeps hiding its landed files from
+    * every read and pins the target version dir against GC forever. The
+    * replay of that same batchId cleans its own leftover; this sweep — at
+    * the head of every mutating op, under the write lock — covers writers
+    * that never replay (an abandoned or re-homed stream). An in-flight
+    * batch is unreachable here: `extendExactlyOnce` holds the same
+    * monitor for its whole protocol, so a manifest seen with its marker
+    * present is definitively stale.
+    */
+  private def sweepStaleLedgerManifests(): Unit = {
+    val lroot = new Path(s"$root/_graft_ledger")
+    if (fs.exists(lroot)) fs.listStatus(lroot).filter(_.isDirectory).foreach { w =>
+      val writerId = w.getPath.getName
+      Option(fs.listStatus(w.getPath)).getOrElse(Array.empty)
+        .filter(_.getPath.getName.endsWith(".pending"))
+        .foreach { m =>
+          val bid = m.getPath.getName.stripSuffix(".pending")
+          if (bid.nonEmpty && bid.forall(_.isDigit) &&
+              isBatchCommitted(writerId, bid.toLong)) {
+            fs.delete(m.getPath, false)
+            fs.delete(new Path(batchStaging(writerId, bid.toLong)), true): Unit
+          }
+        }
     }
   }
 
@@ -1367,9 +1469,31 @@ class TableRepo(
 
   private def writeBatchManifest(writerId: String, batchId: Long,
       target: String, rels: Seq[String]): Unit = {
-    val out = fs.create(manifestPath(writerId, batchId), true)
-    out.write((target +: rels).mkString("\n").getBytes("UTF-8"))
-    out.close()
+    // Atomic swap, never an in-place truncating create: a crash mid-write
+    // would leave a partial manifest that the replay TRUSTS — it skips the
+    // re-stage (manifest exists), renames only the listed prefix, creates
+    // the marker, and deletes the staging dir with the unlisted files
+    // still in it, silently and permanently losing part of the batch. The
+    // temp name matches no reader (pendingLedgerManifests wants ".pending",
+    // the marker check wants all-digits); the delete-before-rename exists
+    // for HDFS-like renames that refuse an existing destination, and the
+    // manifest-absent instant it opens just re-stages from the replayed
+    // df — same bytes by the foreachBatch contract.
+    val p = manifestPath(writerId, batchId)
+    val tmp = new Path(p.getParent, s"${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((target +: rels).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to commit batch manifest $p")
+  }
+
+  /** Drop a batch's manifest AND any crashed write's temp sibling. */
+  private def deleteBatchManifest(writerId: String, batchId: Long): Unit = {
+    val p = manifestPath(writerId, batchId)
+    fs.delete(p, false)
+    fs.delete(new Path(p.getParent, s"${p.getName}.tmp"), false): Unit
   }
 
   private def readBatchManifest(writerId: String, batchId: Long): (String, Seq[String]) =
@@ -1415,11 +1539,26 @@ class TableRepo(
             "treated as an already-committed replay and DROPPED. BatchIds must " +
             "be monotonic per writer; an out-of-order or gapped id here is a " +
             "caller contract violation.")
-      fs.delete(new Path(staging), true) // leftover of a crashed duplicate attempt
+      // leftovers of a crashed attempt: the staging dir, and — for a crash
+      // BETWEEN the marker create and the manifest delete — the stale
+      // .pending manifest itself, which would otherwise hide the
+      // committed batch's files from every read forever and pin its
+      // version dir against GC (the batch IS durably committed: the
+      // marker exists)
+      deleteBatchManifest(writerId, batchId)
+      fs.delete(new Path(staging), true)
       false
     } else {
       if (!fs.exists(manifestPath(writerId, batchId))) stageBatchOnly(df, writerId, batchId)
       val (pinned, rels) = readBatchManifest(writerId, batchId)
+      // backstop: manifests are written atomically (temp + rename), so a
+      // torn one cannot come from this code — but trusting a foreign or
+      // corrupt manifest would land a partial batch and delete the rest,
+      // so refuse a manifest with no target rather than "recover" from it
+      require(pinned.nonEmpty,
+        s"corrupt batch manifest ${manifestPath(writerId, batchId)}: empty target — " +
+          "refusing to recover from it; inspect or delete the manifest (its staging dir " +
+          "holds the batch's staged files)")
       val target = dataPath
       if (target != pinned) {
         // the crashed attempt's landed files live in the (now grace)
@@ -1449,7 +1588,7 @@ class TableRepo(
       // so the retry's move-back loop recovers every landed file
       checkVersionStable(target, "exactly-once append")
       fs.create(marker, true).close()
-      fs.delete(manifestPath(writerId, batchId), false)
+      deleteBatchManifest(writerId, batchId)
       fs.delete(new Path(staging), true)
       // advance the high-water mark and trim the prefix: batchIds are
       // monotonic per writer, so one _hwm-<n> file subsumes every marker
@@ -1557,11 +1696,47 @@ class TableRepo(
     * prefixed like the reference's scheme to avoid colliding with
     * engine-owned KV entries.
     */
-  def embedMetadata(prefix: String = "graft."): Unit = {
+  def embedMetadata(prefix: String = "graft."): Unit = withWriteLock {
+    // under the write lock: the per-file swap stages each data file aside
+    // (rename-to-backup), and a concurrent pruned upsert deleting or
+    // rewriting the same file mid-swap would race the renames
+    restoreFooterBackups()
     val meta = fullMetadata.map { case (k, v) => (prefix + k, v) }
-    if (meta.isEmpty) return
-    val conf = spark.sparkContext.hadoopConfiguration
-    paths.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
+    if (meta.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      paths.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
+    }
+  }
+
+  /** Crash repair for [[ParquetMeta.embed]]'s swap window: a crash after
+    * the stage-aside rename leaves the data file only under its invisible
+    * `.kvbak` name — reads silently miss its rows until it is restored,
+    * and a full rewrite would then LOSE them. Restores every orphaned
+    * backup (original missing) and drops superseded ones (original
+    * present: the crash was after the swap completed, the backup is the
+    * pre-rewrite copy). Runs at the head of [[embedMetadata]] and of every
+    * mutating op (inside the write lock), same pattern as the
+    * pending-delete replay.
+    */
+  private def restoreFooterBackups(): Unit = {
+    val dp = new Path(dataPath)
+    if (fs.exists(dp)) {
+      val it = fs.listFiles(dp, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val n = f.getName
+        if (n.startsWith(".") && n.endsWith(".kvbak")) {
+          val orig = new Path(f.getParent, n.stripPrefix(".").stripSuffix(".kvbak"))
+          if (!fs.exists(orig)) {
+            if (!fs.rename(f, orig))
+              throw new java.io.IOException(s"failed to restore footer-rewrite backup $f")
+          } else fs.delete(f, false): Unit
+        } else if (n.startsWith(".") && n.endsWith(".kvtmp")) {
+          // a half-written rewrite temp is garbage either way
+          fs.delete(f, false): Unit
+        }
+      }
+    }
   }
 }
 

@@ -259,6 +259,117 @@ class ExactlyOnceAppendSpec extends SparkSuite {
       "duplicate or missing keys after the gauntlet")
   }
 
+  /** Hand-build the crash shape "marker created, manifest delete lost":
+    * re-create the batch's .pending manifest naming files that ARE
+    * committed in the current version dir.
+    */
+  private def staleManifestFor(repo: TableRepo, writerId: String, batchId: Long,
+      files: Seq[String]): Unit = {
+    // the manifest's target line carries the RAW dataPath string (what
+    // stageBatchOnly writes); rels are stripped against its qualified form
+    val dataRaw =
+      s"${repo.root}/${repo.snapshotVersions.lastOption.map(v => s"data-v$v").getOrElse("data")}"
+    val dataQual = fs.makeQualified(new Path(dataRaw))
+    val rels = files.map(_.stripPrefix(dataQual.toString + "/"))
+    val p = new Path(s"${repo.root}/_graft_ledger/$writerId/$batchId.pending")
+    val out = fs.create(p, true)
+    try out.write((dataRaw +: rels).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("a stale manifest from a crash between marker and manifest-delete is cleaned, files visible again") {
+    val repo = new TableRepo(scratch("eo-stale-manifest"), spark)
+    assert(repo.extendExactlyOnce(batch(0, 10), "w", 0L))
+    val before = repo.paths.toSet
+    assert(repo.extendExactlyOnce(batch(10, 20), "w", 1L))
+    val landed = (repo.paths.toSet -- before).toSeq
+    assert(landed.nonEmpty)
+    // crash shape: batch 1 is durably committed (marker exists) but its
+    // manifest delete was lost — the stale manifest hides the committed
+    // files from every read and would pin the version dir forever
+    staleManifestFor(repo, "w", 1L, landed)
+    assert(repo.count() == 10, "sanity: the stale manifest hides the committed files")
+    // the streaming replay of the same batchId cleans its own leftover
+    assert(!repo.extendExactlyOnce(batch(10, 20), "w", 1L), "still a committed no-op")
+    assert(repo.count() == 20, "replay must remove the stale manifest")
+    assert(!fs.exists(new Path(s"${repo.root}/_graft_ledger/w/1.pending")))
+    // …and for a writer that NEVER replays (abandoned stream), any other
+    // mutating op sweeps it
+    staleManifestFor(repo, "w", 1L, landed)
+    assert(repo.count() == 10)
+    repo.extend(batch(20, 23))
+    assert(repo.count() == 23, "a mutating op must sweep the stale manifest")
+    assert(!fs.exists(new Path(s"${repo.root}/_graft_ledger/w/1.pending")))
+  }
+
+  test("a corrupt (empty-target) manifest is refused, not 'recovered' into a partial batch") {
+    val repo = new TableRepo(scratch("eo-corrupt-manifest"), spark)
+    repo.extendExactlyOnce(batch(0, 5), "w", 0L)
+    // a torn manifest cannot come from the atomic temp+rename writer —
+    // simulate a foreign/corrupt one for an UNCOMMITTED batch id
+    val p = new Path(s"${repo.root}/_graft_ledger/w/1.pending")
+    fs.create(p, true).close() // zero bytes: empty target line
+    val ex = intercept[IllegalArgumentException] {
+      repo.extendExactlyOnce(batch(5, 10), "w", 1L)
+    }
+    assert(ex.getMessage.contains("corrupt batch manifest"), ex.getMessage)
+    assert(repo.count() == 5, "nothing may land from a corrupt manifest")
+  }
+
+  test("purge clears the ledger and staging: a re-created repo accepts the same writer ids") {
+    val repo = new TableRepo(scratch("eo-purge"), spark)
+    (0 until 5).foreach(b => assert(repo.extendExactlyOnce(batch(b * 3, b * 3 + 3), "w", b.toLong)))
+    assert(repo.count() == 15)
+    repo.purge()
+    assert(!fs.exists(new Path(s"${repo.root}/_graft_ledger")), "purge must drop the ledger")
+    assert(!fs.exists(new Path(s"${repo.root}/_graft_staging")), "purge must drop staging")
+    // a fresh pipeline reusing the writer id must not have its batches
+    // dropped as replays of the purged table's history
+    assert(repo.extendExactlyOnce(batch(0, 4), "w", 0L), "batch 0 must land after purge")
+    assert(repo.extendExactlyOnce(batch(4, 8), "w", 1L))
+    assert(repo.count() == 8)
+  }
+
+  test("a pruned upsert never consumes an uncommitted batch's landed prefix (grouped dirs)") {
+    val repo = new TableRepo(scratch("eo-pruned-invis"), spark,
+      groupCols = Seq("g"), keyCols = Seq("k"), maxRecordsPerFile = 3)
+    import spark.implicits._
+    def gbatch(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map(i => (i.toLong, s"row-$i", "a")).toDF("k", "v", "g")
+    assert(repo.extendExactlyOnce(gbatch(0, 5), "w", 0L))
+    // crash shape: batch 1 staged + manifest pinned + ONE staged file
+    // already renamed into the g=a partition dir, marker absent
+    repo.stageBatchOnly(gbatch(5, 17), "w", 1L)
+    val staging = new Path(s"${repo.root}/_graft_staging/w-1")
+    val staged = {
+      val it = fs.listFiles(staging, true)
+      val b = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) b += f.getPath }
+      b.toSeq
+    }
+    assert(staged.size >= 2)
+    val moved = staged.head
+    val rel = moved.toString.stripPrefix(fs.makeQualified(staging).toString + "/")
+    val cur = repo.snapshotVersions.lastOption.map(v => s"data-v$v").getOrElse("data")
+    val landedPath = new Path(s"${repo.root}/$cur/$rel")
+    assert(fs.rename(moved, landedPath))
+    assert(repo.count() == 5, "landed prefix invisible")
+    // a pruned upsert over the SAME group and overlapping keys must not
+    // read the landed prefix into its merge nor delete it out from under
+    // the batch's replay
+    repo.replaceRecordsPruned(
+      Seq((5L, "UPD-5", "a"), (6L, "UPD-6", "a")).toDF("k", "v", "g"), byGroups = true)
+    assert(fs.exists(landedPath),
+      "the uncommitted landed file must survive the pruned merge untouched")
+    assert(repo.count() == 7, "visible rows: 5 originals + 2 new upsert keys")
+    // replay completes the batch exactly-once; the upsert's k=5/6 rows and
+    // the batch's k=5/6 rows coexist as duplicate keys by WRITE ORDER
+    // (the upsert logically preceded the batch's commit)
+    assert(repo.extendExactlyOnce(gbatch(5, 17), "w", 1L))
+    assert(repo.getFullDf.where(col("k") >= 7).select("k").distinct().count() == 10)
+    assert(repo.count() == 19, "5 originals + 2 upserted + 12 batch rows")
+  }
+
   test("ledger stays O(1): 100 batches leave only the high-water mark; trimmed replays no-op") {
     val repo = new TableRepo(scratch("eo-trim"), spark)
     val df = batch(0, 3)

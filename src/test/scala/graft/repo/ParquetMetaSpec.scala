@@ -55,6 +55,23 @@ class ParquetMetaSpec extends SparkSuite {
     assert(!fs.exists(bak), "the stale backup must be replaced, then cleaned")
   }
 
+  test("a crashed footer rewrite's orphaned backup is restored by the next mutating op") {
+    val repo = new TableRepo(scratch("pmeta-restore"), spark, maxRecordsPerFile = 40)
+    repo.extend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    assert(repo.paths.size >= 2)
+    val f = new Path(repo.paths.head)
+    val bak = new Path(f.getParent, s".${f.getName}.kvbak")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash shape: embed staged the original aside and died before the
+    // swap — the data file exists only under the invisible backup name
+    assert(fs.rename(f, bak))
+    assert(repo.count() < 100, "sanity: rows go missing while the backup is orphaned")
+    repo.extend(Seq((1000L, "extra")).toDF("id", "payload")) // any mutating op repairs
+    assert(repo.count() == 101, "restored backup rows plus the appended row")
+    assert(!fs.exists(bak))
+    assert(fs.exists(f), "the original name is back")
+  }
+
   test("embed merges with existing KV, extra wins on collision") {
     val repo = new TableRepo(scratch("pmeta2"), spark)
     repo.extend(Seq((1L, "a")).toDF("id", "s"))
