@@ -39,6 +39,32 @@ object ObjIngestor {
     case _ => true
   }
 
+  /** Column reference with the name QUOTED: JSON keys are caller data and
+    * may contain dots (`{"a.b": 1}`), which a bare `col(name)` would parse
+    * as a struct access (wrong column or AnalysisException). Backticks in
+    * the name itself are doubled, per Spark's quoting rule.
+    */
+  private def qcol(name: String) = col(s"`${name.replace("`", "``")}`")
+
+  private def quoted(name: String): String = s"`${name.replace("`", "``")}`"
+
+  /** Names the shredder injects; user data must not collide with them —
+    * a same-named input field would be silently overwritten/dropped.
+    */
+  private val ReservedCols = Set("__id", "__parent_id", "__pos", "__shape")
+
+  private def assertNoReserved(dt: DataType, at: String): Unit = dt match {
+    case st: StructType => st.fields.foreach { f =>
+      require(!ReservedCols.contains(f.name),
+        s"reserved column name '${f.name}' in the input at $at — the shredder injects " +
+          "__id/__parent_id/__pos (and routeByShape __shape); rename the field before shredding")
+      assertNoReserved(f.dataType, s"$at.${f.name}")
+    }
+    case ArrayType(et, _)   => assertNoReserved(et, s"$at[]")
+    case MapType(_, vt, _)  => assertNoReserved(vt, s"$at{}")
+    case _                  => ()
+  }
+
   /** Shred a DataFrame whose columns may be nested structs/arrays/maps into
     * flat tables. Returns path -> DataFrame; the root table is at `rootName`.
     *
@@ -47,30 +73,45 @@ object ObjIngestor {
     *              deterministic content hash id is injected.
     */
   def shred(df: DataFrame, rootName: String = "root", idCol: Option[String] = None): Map[String, DataFrame] = {
+    assertNoReserved(df.schema, rootName)
     val withId = idCol match {
-      case Some(c) => df.withColumn("__id", col(c).cast(StringType))
+      case Some(c) => df.withColumn("__id", qcol(c).cast(StringType))
       case None =>
-        df.withColumn("__id", md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+        // DETERMINISTIC content hash (the reference injects uuid4; made
+        // reproducible here so oracle runs replay). Consequence: duplicate
+        // input objects share an __id — and their children key to the same
+        // parent id — so joins treat them as one logical entity. Pre-dedupe
+        // the input, or pass a unique idCol, when PK semantics matter.
+        df.withColumn("__id", md5(to_json(struct(df.columns.map(qcol).toIndexedSeq: _*))))
     }
     val out = mutable.LinkedHashMap[String, DataFrame]()
+
+    def emit(path: String, t: DataFrame): Unit = {
+      // e.g. an array field "a" (child table at "<p>.a.list") next to a
+      // struct field literally named "a.list" — a silent overwrite would
+      // merge unrelated tables, so refuse the ambiguity loudly
+      require(!out.contains(path),
+        s"shred path collision: two distinct fields map to table path '$path'")
+      out(path) = t
+    }
 
     def walk(t: DataFrame, path: String): Unit = {
       val fields = t.schema.fields.filterNot(f => f.name == "__id" || f.name == "__parent_id")
       val atomCols = fields.filter(f => isAtom(f.dataType)).map(_.name)
       val keyCols = t.columns.filter(c => c == "__id" || c == "__parent_id")
-      out(path) = t.select((keyCols ++ atomCols).toIndexedSeq.map(col): _*)
+      emit(path, t.select((keyCols.map(col) ++ atomCols.map(qcol)).toIndexedSeq: _*))
 
       fields.filterNot(f => isAtom(f.dataType)).foreach { f =>
         val childPath = s"$path.${f.name}"
         f.dataType match {
           case _: StructType =>
-            val child = t.filter(col(f.name).isNotNull)
-              .select(col("__id").as("__parent_id"), col(s"`${f.name}`.*"))
+            val child = t.filter(qcol(f.name).isNotNull)
+              .select(col("__id").as("__parent_id"), col(s"${quoted(f.name)}.*"))
               .withColumn("__id", md5(concat_ws("\u0001", lit(childPath), col("__parent_id"))))
             walk(child, childPath)
           case ArrayType(et, _) =>
-            val exploded = t.filter(col(f.name).isNotNull)
-              .select(col("__id").as("__parent_id"), posexplode(col(f.name)).as(Seq("__pos", "element")))
+            val exploded = t.filter(qcol(f.name).isNotNull)
+              .select(col("__id").as("__parent_id"), posexplode(qcol(f.name)).as(Seq("__pos", "element")))
               .withColumn("__id",
                 md5(concat_ws("\u0001", lit(childPath), col("__parent_id"), col("__pos"))))
             val listPath = s"$childPath.list"
@@ -79,11 +120,11 @@ object ObjIngestor {
                 val child = exploded.select(col("__parent_id"), col("__id"), col("__pos"), col("element.*"))
                 walk(child, listPath)
               case _ =>
-                out(listPath) = exploded.select(col("__parent_id"), col("__id"), col("__pos"), col("element"))
+                emit(listPath, exploded.select(col("__parent_id"), col("__id"), col("__pos"), col("element")))
             }
           case _: MapType =>
-            val child = t.filter(col(f.name).isNotNull)
-              .select(col("__id").as("__parent_id"), explode(col(f.name)).as(Seq("key", "value")))
+            val child = t.filter(qcol(f.name).isNotNull)
+              .select(col("__id").as("__parent_id"), explode(qcol(f.name)).as(Seq("key", "value")))
               .withColumn("__id", md5(concat_ws("\u0001", lit(childPath), col("__parent_id"), col("key"))))
             walk(child, childPath)
           case _ => ()
@@ -103,19 +144,39 @@ object ObjIngestor {
       idCol: Option[String] = None): Map[String, DataFrame] =
     shred(spark.read.json(jsons), rootName, idCol)
 
+  /** Directory-safe table names, COLLISION-FREE across the dump: plain
+    * sanitization maps distinct paths like `root.a b` and `root.a/b` to
+    * one name, silently interleaving unrelated tables in one repo — so
+    * colliding sanitizations get a short path-hash suffix (non-colliding
+    * names, the overwhelmingly common case, stay readable and stable).
+    */
+  private def safeNames(paths: Iterable[String]): Map[String, String] = {
+    val base = paths.toSeq.map(p => p -> p.replaceAll("[^A-Za-z0-9_.-]", "_"))
+    base.groupBy(_._2).valuesIterator.flatMap {
+      case Seq((p, s)) => Seq(p -> s)
+      case many        => many.map { case (p, s) => p -> s"$s-${md5Hex(p).take(8)}" }
+    }.toMap
+  }
+
   /** Write every shredded table into a TableRepo under `baseDir` — the
     * reference's `dump_all` (ingestor.py:87-98). Table-name sanitization
     * replaces the reference's md5-coded names + `key-map.json` sidecar with
-    * readable path-derived names. For the reference's heterogeneous-shape
-    * splitting, see [[dumpAllRouted]].
+    * readable path-derived names (hash-suffixed only on sanitization
+    * collision). For the reference's heterogeneous-shape splitting, see
+    * [[dumpAllRouted]].
+    *
+    * Each table's write executes the shred lineage from the source once;
+    * when the source parse is expensive (raw JSON), persist the input
+    * DataFrame before [[shred]] so the k writes share one parse.
     */
-  def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] =
+  def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] = {
+    val safe = safeNames(tables.keys)
     tables.map { case (path, t) =>
-      val safe = path.replaceAll("[^A-Za-z0-9_.-]", "_")
-      val repo = new TableRepo(s"$baseDir/$safe", spark)
+      val repo = new TableRepo(s"$baseDir/${safe(path)}", spark)
       repo.extend(t)
       path -> repo
     }
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -173,26 +234,42 @@ object ObjIngestor {
     val cached = tables.view.mapValues(_.persist()).toMap
     try {
       val routed = routeByShape(cached)
+      val safe = safeNames(routed.keys)
       val repos = for ((path, byShape) <- routed; (code, t) <- byShape) yield {
-        val safe = path.replaceAll("[^A-Za-z0-9_.-]", "_")
-        val repo = new TableRepo(s"$baseDir/$safe/$code", spark)
+        val repo = new TableRepo(s"$baseDir/${safe(path)}/$code", spark)
         repo.extend(t)
         (path, code) -> repo
       }
-      val entries = routed.toSeq.sortBy(_._1).flatMap { case (path, byShape) =>
-        byShape.toSeq.sortBy(_._1).map { case (code, t) =>
-          val fields = t.columns.filterNot(MetaCols.contains).sorted.mkString(",")
-          s"${TableRepo.jq(code)}: ${TableRepo.jq(s"$path|$fields")}"
-        }
-      }
-      // through the Hadoop FileSystem like every other repo write, so a
-      // non-local baseDir (hdfs://, s3a://) gets its sidecar next to its
-      // tables instead of a bogus local path
+      // The sidecar must MERGE with any existing one (repo.extend appends,
+      // so incremental dumps into one baseDir are supported — a wholesale
+      // overwrite would orphan every earlier dump's schema-<md5> dirs) and
+      // must land atomically (temp + rename): a crash mid-create would
+      // truncate the only map from md5 codes back to source paths.
       val fs = org.apache.hadoop.fs.FileSystem.get(
         java.net.URI.create(baseDir), spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(new org.apache.hadoop.fs.Path(s"$baseDir/key-map.json"), true)
+      val sidecar = new org.apache.hadoop.fs.Path(s"$baseDir/key-map.json")
+      val existing: Map[String, String] =
+        if (!fs.exists(sidecar)) Map.empty
+        else {
+          val in = fs.open(sidecar)
+          val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          TableRepo.parseFlatJson(raw)
+        }
+      val fresh = routed.toSeq.flatMap { case (path, byShape) =>
+        byShape.toSeq.map { case (code, t) =>
+          val fields = t.columns.filterNot(MetaCols.contains).sorted.mkString(",")
+          code -> s"$path|$fields"
+        }
+      }.toMap
+      val entries = (existing ++ fresh).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${TableRepo.jq(k)}: ${TableRepo.jq(v)}" }
+      val tmp = new org.apache.hadoop.fs.Path(s"$baseDir/.key-map.json.tmp")
+      val out = fs.create(tmp, true)
       try out.write(entries.mkString("{", ", ", "}").getBytes("UTF-8"))
       finally out.close()
+      fs.delete(sidecar, false)
+      if (!fs.rename(tmp, sidecar))
+        throw new java.io.IOException(s"failed to commit $sidecar")
       repos.toMap
     } finally cached.values.foreach(_.unpersist(): Unit)
   }

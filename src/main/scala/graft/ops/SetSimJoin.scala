@@ -56,7 +56,14 @@ object SetSimJoin {
     *
     * @param dd        one row per set: `idCol`, `blockCols`, `setCol`
     *                  (array&lt;bigint&gt;; need not be sorted — sorted
-    *                  once here, amortized across all pairs)
+    *                  once here, amortized across all pairs). `idCol`
+    *                  must be GLOBALLY unique — across blocks, not just
+    *                  within one: the output schema names pairs by id
+    *                  alone, so per-block ids could not even be
+    *                  represented, and internally the prefix ranking and
+    *                  the verify joins key on the id (a reused id would
+    *                  mix two sets' tokens into one prefix and verify
+    *                  candidates against the wrong set).
     * @return columns (`id_a`, `id_b`, `jaccard`)
     * @note `idCol`/`blockCols` may not use the reserved internal names
     *       `__set __n __h __df __rk id_a id_b jaccard`.

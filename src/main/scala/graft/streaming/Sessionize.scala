@@ -42,13 +42,34 @@ object Sessionize {
       val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
       var open = state.getOption
       val out = Vector.newBuilder[Session]
+      // Only WITHIN-batch order is guaranteed by the sort: a later
+      // micro-batch can deliver an on-time event BELOW the open session's
+      // lastUs (any watermark delay > 0 admits this). Such an event must
+      // merge without REWINDING the session bounds — a naive
+      // `lastUs = e.ts_us` would emit t_end < t_start and re-arm the
+      // event-time timeout early, closing the session under its own
+      // still-arriving events. With watermark delay <= gap this min/max
+      // merge reproduces the globally-sorted batch semantics EXACTLY
+      // (an admitted event satisfies ts >= watermark >= lastUs - delay
+      // >= lastUs - gap, so it always lands within the open session's
+      // reach); with a larger delay, an event more than gap before the
+      // open session's start closes instantly as its own singleton — the
+      // one approximation a single-open-session state forces.
       sorted.foreach { e =>
         open = open match {
-          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-            Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+          case Some(s) if e.ts_us >= s.lastUs =>
+            if (e.ts_us - s.lastUs <= gapUs) Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
+            else {
+              out += Session(userId, s.startUs, s.lastUs, s.n)
+              Some(OpenSession(e.ts_us, e.ts_us, 1))
+            }
+          case Some(s) if e.ts_us >= s.startUs - gapUs =>
+            // out-of-order but within the session's reach: merge, and
+            // never move lastUs (or startUs) backward
+            Some(OpenSession(math.min(s.startUs, e.ts_us), s.lastUs, s.n + 1))
           case Some(s) =>
-            out += Session(userId, s.startUs, s.lastUs, s.n)
-            Some(OpenSession(e.ts_us, e.ts_us, 1))
+            out += Session(userId, e.ts_us, e.ts_us, 1)
+            Some(s)
           case None =>
             Some(OpenSession(e.ts_us, e.ts_us, 1))
         }

@@ -77,6 +77,12 @@ object StreamNearDup {
     val sigd = docs
       .select(col("doc_id").cast(LongType).as("doc_id"), col("text"),
         col("ts_us").cast(LongType).as("ts_us"))
+      // a null doc_id/ts_us would be a POISON PILL: the typed BandRow
+      // encoder NPEs on its non-nullable Long fields, killing the query,
+      // and the checkpoint replays the same offsets on every restart —
+      // the stream would be permanently wedged on one bad row. (A null
+      // text is already dropped by the size(toks) filter.)
+      .filter(col("doc_id").isNotNull && col("ts_us").isNotNull)
       .withColumn("toks", TextFns.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sig", sigArray(col("toks")))

@@ -73,6 +73,54 @@ class ObjIngestorSpec extends SparkSuite {
     assert(byShape.values.map(_.count()).toSeq.sorted == Seq(1L, 1L))
   }
 
+  test("JSON keys containing dots shred as plain columns, not struct accesses") {
+    val js = Seq("""{"id_": "x1", "a.b": 7, "c": {"d.e": 8}, "l.s": [1, 2]}""")
+    val t = ObjIngestor.shredJson(spark, js.toDS(), rootName = "r", idCol = Some("id_"))
+    assert(t("r").columns.contains("a.b"), t("r").columns.toSeq.toString)
+    assert(t("r").select(org.apache.spark.sql.functions.col("`a.b`")).head().getLong(0) == 7L)
+    assert(t("r.c").columns.contains("d.e"))
+    assert(t("r.l.s.list").count() == 2)
+  }
+
+  test("reserved meta names in the input are refused, not silently clobbered") {
+    val js = Seq("""{"id_": "x1", "__id": "boom"}""")
+    val ex = intercept[IllegalArgumentException] {
+      ObjIngestor.shredJson(spark, js.toDS(), rootName = "r", idCol = Some("id_"))
+    }
+    assert(ex.getMessage.contains("reserved column name"), ex.getMessage)
+    val nested = Seq("""{"id_": "x1", "c": {"__pos": 1}}""")
+    intercept[IllegalArgumentException] {
+      ObjIngestor.shredJson(spark, nested.toDS(), rootName = "r", idCol = Some("id_"))
+    }
+  }
+
+  test("distinct paths whose sanitized names collide get distinct repos") {
+    val df1 = Seq(("a", 1L)).toDF("k", "v")
+    val df2 = Seq(("b", 2L), ("c", 3L)).toDF("k", "v")
+    // both sanitize to "root.a_b" under the plain replaceAll
+    val repos = ObjIngestor.dumpAll(spark,
+      Map("root.a b" -> df1, "root.a/b" -> df2), scratch("shred-collide"))
+    assert(repos("root.a b").root != repos("root.a/b").root,
+      "colliding sanitizations must not share a repo directory")
+    assert(repos("root.a b").count() == 1)
+    assert(repos("root.a/b").count() == 2)
+  }
+
+  test("key-map.json merges across incremental dumps instead of overwriting") {
+    val base = scratch("shred-routed-incr")
+    val t1 = ObjIngestor.shredJson(spark,
+      Seq("""{"id_": "x1", "a": 1}""").toDS(), rootName = "r", idCol = Some("id_"))
+    val codes1 = ObjIngestor.dumpAllRouted(spark, t1, base).keys.map(_._2).toSet
+    val t2 = ObjIngestor.shredJson(spark,
+      Seq("""{"id_": "x2", "b": "u"}""").toDS(), rootName = "r", idCol = Some("id_"))
+    val codes2 = ObjIngestor.dumpAllRouted(spark, t2, base).keys.map(_._2).toSet
+    assert(codes1 != codes2, "sanity: the two dumps carry different shapes")
+    val keyMap = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/key-map.json")), "UTF-8")
+    (codes1 ++ codes2).foreach(code =>
+      assert(keyMap.contains(code), s"sidecar lost $code after the second dump"))
+  }
+
   test("heterogeneous shapes split into md5-coded tables + key-map (ingestor.py:77-109)") {
     val js = Seq(
       """{"id_": "x1", "a": 1, "b": "u"}""",

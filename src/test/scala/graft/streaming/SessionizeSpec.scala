@@ -57,6 +57,44 @@ class SessionizeSpec extends SparkSuite {
     assert(streamed.size == batch.size - batch.keys.map(_._1).toSet.size)
   }
 
+  test("cross-batch out-of-order events merge without rewinding the open session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (user_id, event_id, ts_us)
+    val min = 60L * 1000000L
+    val gap = 5 * min
+    val stream = ms.toDF()
+      .withColumn("ts", timestamp_micros($"_3"))
+      .withWatermark("ts", "30 minutes") // delay > 0 admits below-lastUs events
+      .select($"_1".as("user_id"), $"_2".as("event_id"), $"_3".as("ts_us"), $"ts")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessions(stream, gap).writeStream
+      .outputMode("append").format("memory").queryName("sess_ooo").start()
+    // batch 1: open sessions for users 1 and 2
+    ms.addData((1L, 1L, 100 * min), (1L, 2L, 102 * min),
+      (2L, 3L, 100 * min), (2L, 4L, 101 * min))
+    q.processAllAvailable()
+    // batch 2: on-time (within the 30 min watermark delay) but BELOW each
+    // open session's lastUs — a naive lastUs = e.ts would emit
+    // t_end < t_start and re-arm the timeout early
+    ms.addData(
+      (1L, 5L, 98 * min), // within gap of user 1's session: merge, extend start down
+      (2L, 6L, 80 * min)) // > gap before user 2's start: its own singleton
+    q.processAllAvailable()
+    // push the watermark past every horizon, then fire the timeouts
+    ms.addData((9L, 7L, 100000 * min)); q.processAllAvailable()
+    ms.addData((9L, 8L, 100001 * min)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_ooo").as[Sessionize.Session].collect()
+      .map(s => (s.user_id, s.t_start, s.t_end, s.n_events)).toSet
+    assert(got.contains((1L, 98 * min, 102 * min, 3L)),
+      s"out-of-order merge must extend start down and never rewind end: $got")
+    assert(got.contains((2L, 80 * min, 80 * min, 1L)),
+      s"an event > gap before the open session closes as its own singleton: $got")
+    assert(got.contains((2L, 100 * min, 101 * min, 2L)),
+      s"the open session must survive the ancient event untouched: $got")
+  }
+
   test("watermark closes a trailing open session via event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

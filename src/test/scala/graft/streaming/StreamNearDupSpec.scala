@@ -44,6 +44,29 @@ class StreamNearDupSpec extends SparkSuite {
     assert(!got.contains(1L) && !got.contains(2L))
   }
 
+  test("a null doc_id/ts_us row is dropped instead of wedging the query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Option[Long], String, Option[Long])]
+    val stream = ms.toDF().toDF("doc_id", "text", "ts_us")
+    val q = StreamNearDup.candidates(stream, 600 * sec)
+      .writeStream.outputMode("append").format("memory").queryName("snd_null").start()
+    // pre-fix the null rows were poison pills: the typed BandRow encoder
+    // NPEs on its non-nullable Longs, the query dies, and the checkpoint
+    // replays the same offsets forever
+    ms.addData((Some(1L), textA, Some(10 * sec)),
+      (None, textA, Some(11 * sec)), (Some(2L), textA, None))
+    q.processAllAvailable()
+    ms.addData((Some(3L), textA, Some(20 * sec)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("snd_null").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty && got.forall(_ == (3L, 1L)),
+      s"doc 3 must hit doc 1 (null rows dropped, occupancy undisturbed): ${got.toSeq}")
+    assert(got.length == graft.functions.TextFns.MinhashBands.size,
+      "the exact duplicate hits on every band")
+  }
+
   test("an exact duplicate hits on every band with est_sim 1.0") {
     val got = run(Seq(
       Seq((1L, textA, 10 * sec)),
