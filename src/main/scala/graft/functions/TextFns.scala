@@ -12,7 +12,17 @@ import org.apache.spark.sql.types._
   */
 object TextFns {
 
-  /** Whitespace tokens of trimmed text. */
+  /** Whitespace tokens of trimmed text.
+    *
+    * CONVENTION: empty or whitespace-only text yields `[""]` — ONE empty
+    * token — because both engines' regex split of "" returns one empty
+    * element (Spark `split` and DuckDB `regexp_split_to_array` agree, so
+    * every oracle replays bit-for-bit). Consequences callers rely on:
+    * `tokenCount("") = 1` (a min-token quality screen never passes empty
+    * docs anyway, its thresholds being >= 3), and empty docs share the
+    * `hash32("")` token. Filter empty documents upstream when that
+    * matters; "fixing" one engine alone would silently break parity.
+    */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
   def tokenCount(c: Column): Column = size(tokens(c))

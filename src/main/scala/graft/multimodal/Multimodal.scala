@@ -111,12 +111,38 @@ object Multimodal {
       std_luma: Double,
       luma_hist: Array[Float])
 
+  /** Ceiling on DECLARED image pixels (64 M ≈ a 256 MB ARGB raster): a
+    * decompression bomb — a tiny payload whose header declares huge
+    * dimensions — makes ImageIO pre-allocate the full raster before any
+    * pixel data is validated, and the resulting OutOfMemoryError is a
+    * VirtualMachineError that escapes every Exception handler and kills
+    * the executor. The header probe below is the only way to honor the
+    * drop-not-fail contract against such payloads.
+    */
+  val MaxImagePixels: Long = 64L * 1024 * 1024
+
   /** Decode one payload with `javax.imageio`. None for anything ImageIO
-    * can't parse — corrupt bytes, truncated files, unknown formats.
+    * can't parse — corrupt bytes, truncated files, unknown formats — and
+    * for payloads whose header DECLARES more than [[MaxImagePixels]]
+    * (probed header-only, before any raster allocation).
     */
   def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-    catch { case _: Exception => None }
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
+            if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
 
   /** Real distributed image decode: one `javax.imageio` decode per row in
     * a streaming partition pass. Undecodable payloads are dropped (never
@@ -308,32 +334,48 @@ object Multimodal {
         (payload(off + 2) & 0xffL) << 16 | (payload(off + 3) & 0xffL) << 24
     def fourcc(off: Int): String = new String(payload, off, 4, "US-ASCII")
     val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
-      var off = from
-      while (off + 8 <= until) {
-        val id = fourcc(off)
-        val size = u32(off + 4)
-        val body = off + 8
-        // Bounds math in Long: a declared size near 2^31 would wrap an Int
-        // `body + size` negative and bypass the truncation guard.
-        val end = body.toLong + size
-        if (size < 0 || end > until) return // truncated/corrupt: stop
-        if (id == "RIFF" || id == "LIST") {
-          if (body + 4 <= until) {
-            val listType = fourcc(body)
-            walk(body + 4, end.toInt, inMovi || listType == "movi")
+    // EXPLICIT stack, not recursion: nesting depth is attacker-controlled
+    // (12 bytes of payload buy one level, so ~600 KB buys ~50k levels) and
+    // a StackOverflowError is a VirtualMachineError that NonFatal does NOT
+    // catch — a recursive walk would fail the task despite the
+    // drop-not-fail contract below. Child ranges are processed before the
+    // parent's continuation, so frame order matches the recursive walk.
+    def walkAll(): Unit = {
+      val stack = scala.collection.mutable.Stack[(Int, Int, Boolean)]((0, payload.length, false))
+      while (stack.nonEmpty) {
+        var (off, until, inMovi) = stack.pop()
+        var live = true
+        while (live && off + 8 <= until) {
+          val id = fourcc(off)
+          val size = u32(off + 4)
+          val body = off + 8
+          // Bounds math in Long: a declared size near 2^31 would wrap an Int
+          // `body + size` negative and bypass the truncation guard.
+          val end = body.toLong + size
+          if (size < 0 || end > until) live = false // truncated/corrupt: stop this range
+          else {
+            val next = (end + (size & 1)).toInt // chunks are word-aligned
+            if (id == "RIFF" || id == "LIST") {
+              if (body + 4 <= until) {
+                val listType = fourcc(body)
+                stack.push((next, until, inMovi)) // resume here after the child
+                stack.push((body + 4, end.toInt, inMovi || listType == "movi"))
+                live = false
+              } else off = next
+            } else {
+              if (inMovi && id.length == 4 && id.endsWith("dc") && size > 0)
+                out += java.util.Arrays.copyOfRange(payload, body, end.toInt)
+              off = next
+            }
           }
-        } else if (inMovi && id.length == 4 && id.endsWith("dc") && size > 0) {
-          out += java.util.Arrays.copyOfRange(payload, body, end.toInt)
         }
-        off = (end + (size & 1)).toInt // chunks are word-aligned
       }
     }
     // Drop-not-fail: no malformed container may ever fail a task, so any
     // escape from the walk (however the bytes were crafted) yields Nil.
     try {
       if (payload.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ")
-        walk(0, payload.length, inMovi = false)
+        walkAll()
       out.toSeq
     } catch { case scala.util.control.NonFatal(_) => Nil }
   }
@@ -381,6 +423,11 @@ object Multimodal {
   case class Frame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
   def sampleFrames(media: Dataset[Media], frameSize: Int, stride: Int): Dataset[Frame] = {
+    // validate on the DRIVER like every sibling transform: a zero stride
+    // would otherwise surface as a lazy per-task IllegalArgumentException
+    // (Iterator.range step) with an opaque executor stack trace
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     implicit val enc = Encoders.product[Frame]
     media.mapPartitions { it =>
       it.flatMap { m =>

@@ -52,15 +52,25 @@ object Components {
     // rounds <=> elementwise fixpoint. One single-column aggregate per
     // round instead of a join-based diff. (id sums fit a long with
     // orders of magnitude to spare.)
-    def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).head().getLong(0)
+    // null-safe: sum over ZERO rows is NULL — an empty pair set (a clean
+    // corpus with no dups above threshold is a legitimate caller state)
+    // must converge to an empty result, not NPE on the witness read
+    def lblSum(df: DataFrame): Long = {
+      val v = df.agg(sum(col("lbl"))).head().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
     var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      // materialized before the doubling self-join: its two sides are
+      // different projections of this plan, so exchange reuse does not
+      // dedupe them and the edges-join-plus-aggregate — the round's
+      // dominant cost — would execute TWICE per round
       val prop = edges
         .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
       // POINTER DOUBLING: follow the label's own label (label(label(v)))
       // each round. Neighbor propagation alone needs diameter rounds — a
       // pathological chain of length d costs d joins; the jump collapses

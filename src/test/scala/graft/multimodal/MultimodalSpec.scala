@@ -183,6 +183,56 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.mjpegFrames("RIFF    AVI ".getBytes("US-ASCII")) == Nil)
   }
 
+  test("a deeply nested LIST tree walks iteratively — no StackOverflowError") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // 60k nesting levels (12 bytes each): a recursive walk overflows the
+    // JVM stack, and StackOverflowError is a VirtualMachineError that
+    // NonFatal does NOT catch — it would fail the task. Innermost level
+    // is a movi LIST holding one dc frame, so the walk must also still
+    // REACH it (order and reachability preserved by the explicit stack).
+    val levels = 60000
+    val dc = "00dc".getBytes("US-ASCII") ++ le32(4L) ++ "JPEG".getBytes("US-ASCII")
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4L + dc.length) ++
+      "movi".getBytes("US-ASCII") ++ dc
+    var body = movi
+    (1 to levels).foreach { _ =>
+      body = "LIST".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+        "hdrl".getBytes("US-ASCII") ++ body
+    }
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4L + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    val frames = Multimodal.mjpegFrames(avi)
+    assert(frames.size == 1 && new String(frames.head, "US-ASCII") == "JPEG",
+      "the innermost movi frame must still be reached")
+  }
+
+  test("a decompression-bomb image header is dropped before raster allocation") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // hand-built PNG signature + IHDR declaring 50000x50000 (2.5 G pixels;
+    // a real decode would pre-allocate a ~10 GB raster and die with an
+    // OutOfMemoryError no Exception handler catches). The probe must
+    // reject it from the DECLARED dimensions alone.
+    val ihdrBody = be32(50000L) ++ be32(50000L) ++
+      Array[Byte](8, 6, 0, 0, 0) // bit depth 8, RGBA
+    val crc = new java.util.zip.CRC32()
+    crc.update("IHDR".getBytes("US-ASCII")); crc.update(ihdrBody)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13L) ++ "IHDR".getBytes("US-ASCII") ++ ihdrBody ++ be32(crc.getValue)
+    assert(Multimodal.decodeImage(png).isEmpty, "bomb header must be dropped")
+    // …and a legitimate image still decodes through the probed path
+    assert(Multimodal.decodeImage(this.png(8, 8)((x, y) => x * y)).isDefined)
+  }
+
+  test("frame sampling validates its parameters on the driver") {
+    val media = Multimodal.withPayload(Seq((1L, "abcdefgh")).toDF("doc_id", "text"), "text", "doc_id")
+    intercept[IllegalArgumentException] { Multimodal.sampleFrames(media, 4, 0) }
+    intercept[IllegalArgumentException] { Multimodal.sampleFrames(media, 0, 2) }
+  }
+
   test("RIFF walk never throws on seeded random bytes (drop-not-fail fuzz)") {
     // 100 TB sweeps see arbitrary garbage; the walk's contract is Nil or
     // frames, never an exception out of the task. Seeded, so failures

@@ -60,4 +60,12 @@ class ComponentsSpec extends SparkSuite {
       Components.minLabel(Seq((1L, 2L, 3L)).toDF("a", "b", "c"))
     }
   }
+
+  test("an empty pair set converges to an empty result, not an NPE") {
+    // a clean corpus with no dups above threshold is a legitimate caller
+    // state (docDupPairs/embDupPairs are threshold-filtered); sum() over
+    // zero rows is NULL, which the convergence witness must tolerate
+    val got = cc(Seq.empty)
+    assert(got.isEmpty)
+  }
 }
