@@ -1023,6 +1023,7 @@ class TableRepo(
     // .pending manifests would pin same-numbered future version dirs
     fs.delete(new Path(s"$root/_graft_ledger"), true)
     fs.delete(new Path(s"$root/_graft_staging"), true)
+    fs.delete(new Path(footerRewriteMarker), false)
     fs.delete(new Path(schemaPath), false)
     fs.delete(new Path(metaPath), false)
   }
@@ -1337,7 +1338,11 @@ class TableRepo(
       fs.delete(pendingDeletePath, false): Unit
     }
     sweepStaleLedgerManifests()
-    restoreFooterBackups()
+    // the backup-restore scan is a RECURSIVE listing of the data dir —
+    // real money on a repo with many small files (exactly compact's
+    // pre-state) — and .kvbak files can only exist where embedMetadata
+    // has ever run, which it marks; everyone else pays one exists()
+    if (fs.exists(new Path(footerRewriteMarker))) restoreFooterBackups()
   }
 
   /** A `.pending` manifest whose batch already has its commit marker (or
@@ -1697,6 +1702,11 @@ class TableRepo(
     * engine-owned KV entries.
     */
   def embedMetadata(prefix: String = "graft."): Unit = withWriteLock {
+    // the marker lands FIRST: it is what tells every later mutating op
+    // that .kvbak crash artifacts are possible here, so a crash anywhere
+    // in the rewrite loop below is always covered by the gated restore
+    val mp = new Path(footerRewriteMarker)
+    if (!fs.exists(mp)) fs.create(mp, true).close()
     // under the write lock: the per-file swap stages each data file aside
     // (rename-to-backup), and a concurrent pruned upsert deleting or
     // rewriting the same file mid-swap would race the renames
@@ -1708,15 +1718,21 @@ class TableRepo(
     }
   }
 
+  /** Sentinel telling mutating ops this repo has footer-rewritten files
+    * (so the backup-restore scan is worth its recursive listing).
+    */
+  private def footerRewriteMarker: String = s"$root/_graft_footer_rewrites"
+
   /** Crash repair for [[ParquetMeta.embed]]'s swap window: a crash after
     * the stage-aside rename leaves the data file only under its invisible
     * `.kvbak` name — reads silently miss its rows until it is restored,
     * and a full rewrite would then LOSE them. Restores every orphaned
     * backup (original missing) and drops superseded ones (original
     * present: the crash was after the swap completed, the backup is the
-    * pre-rewrite copy). Runs at the head of [[embedMetadata]] and of every
-    * mutating op (inside the write lock), same pattern as the
-    * pending-delete replay.
+    * pre-rewrite copy). Runs at the head of [[embedMetadata]] and — for
+    * repos whose footer-rewrite marker exists, i.e. where .kvbak
+    * artifacts are possible at all — of every mutating op (inside the
+    * write lock), same pattern as the pending-delete replay.
     */
   private def restoreFooterBackups(): Unit = {
     val dp = new Path(dataPath)

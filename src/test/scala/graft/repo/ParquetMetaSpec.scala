@@ -59,11 +59,16 @@ class ParquetMetaSpec extends SparkSuite {
     val repo = new TableRepo(scratch("pmeta-restore"), spark, maxRecordsPerFile = 40)
     repo.extend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"))
     assert(repo.paths.size >= 2)
+    // a real (clean) embed first: it lands the footer-rewrite marker that
+    // tells later mutating ops .kvbak artifacts are possible here (repos
+    // that never embed pay one exists() instead of a recursive scan)
+    repo.setMetadata(Map("owner" -> "graft"))
+    repo.embedMetadata()
     val f = new Path(repo.paths.head)
     val bak = new Path(f.getParent, s".${f.getName}.kvbak")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash shape: embed staged the original aside and died before the
-    // swap — the data file exists only under the invisible backup name
+    // crash shape: a later embed staged the original aside and died before
+    // the swap — the data file exists only under the invisible backup name
     assert(fs.rename(f, bak))
     assert(repo.count() < 100, "sanity: rows go missing while the backup is orphaned")
     repo.extend(Seq((1000L, "extra")).toDF("id", "payload")) // any mutating op repairs
