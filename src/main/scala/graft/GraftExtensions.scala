@@ -40,7 +40,13 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_md5_mod"),
       new ExpressionInfo(classOf[Md5ModExpr].getName, "graft_md5_mod"),
-      (args: Seq[Expression]) => Md5ModExpr(args.head, litInt(args(1), "graft_md5_mod"))),
+      // coerce to STRING like the Column-API helper (HashBucket.bucket):
+      // a BIGINT key would otherwise pass analysis and ClassCastException
+      // mid-job on the interpreted path — same class of failure the
+      // graft_topk builder's casts prevent
+      (args: Seq[Expression]) => Md5ModExpr(
+        Cast(args.head, org.apache.spark.sql.types.StringType),
+        litInt(args(1), "graft_md5_mod"))),
     (FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDotExpr].getName, "graft_vec_dot"),
       (args: Seq[Expression]) => FloatVecDotExpr(args.head, args(1))),

@@ -34,6 +34,19 @@ object BloomPrune {
     */
   def filterFor(keys: DataFrame, keyCol: String, expectedItems: Long,
       fpp: Double = 0.03)(probe: Column): Column = {
+    // The probe side always hashes LONGs (mightContainLong), so the build
+    // side must insert from the same hash domain: Spark's stat.bloomFilter
+    // happily builds from a STRING column via putBinary — a different hash
+    // input — and every genuinely-present key would then probe FALSE.
+    // False positives are semantically transparent here; false NEGATIVES
+    // silently drop matching fact rows, so a non-integral build column is
+    // an error, not a degradation.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = keys.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"bloom pruning probes the LONG hash domain; build column '$keyCol' is $dt — " +
+        "cast it to an integral key first (a mismatched domain would produce false " +
+        "negatives, which a pruning filter must never do)")
     val bf = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
     val bytes = new ByteArrayOutputStream()
     bf.writeTo(bytes)
@@ -49,7 +62,14 @@ object BloomPrune {
   * bitmap.
   */
 case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // LongType expected, enforced at ANALYSIS: narrower integrals (and
+  // parseable strings) arrive through an implicit VALUE cast — the same
+  // hash domain the sketch was built from — instead of a raw operand
+  // hashing a different domain and returning false for present keys
+  override def inputTypes = Seq(org.apache.spark.sql.types.LongType)
 
   override def dataType: DataType = BooleanType
 

@@ -30,10 +30,19 @@ object SetOps {
   def intersectCount(a: Column, b: Column): Column =
     GraftSql.column(IntersectCountExpr(GraftSql.expression(a), GraftSql.expression(b)))
 
-  /** Called from generated code — merge walk over two sorted ArrayData. */
+  /** Called from generated code — merge walk over two sorted ArrayData.
+    * Leading NULL slots are skipped, not read: `sort_array` places nulls
+    * FIRST, and `ArrayData.getLong` on a null slot returns the zeroed
+    * backing word — a phantom 0 that both under-counts (walks past real
+    * negatives) and over-counts (matches a genuine 0 on the other side).
+    * A null element is not a set member on either engine (DuckDB's
+    * `list_intersect` ignores nulls too), so skipping keeps oracle parity.
+    */
   def count(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
@@ -45,9 +54,18 @@ object SetOps {
 }
 
 /** Codegen'd merge-intersection count; inputs MUST be sorted distinct
-  * `array<bigint>` (produce them with [[SetOps.sortedSet]]).
+  * `array<bigint>` (produce them with [[SetOps.sortedSet]]). The element
+  * type is ENFORCED at analysis: the merge walk reads 8-byte slots, so an
+  * `array<int>` operand slipping through would silently misread two
+  * packed ints as one long — the same silent-misread class
+  * [[FloatVecDotExpr]] guards against with its `inputTypes`.
   */
-case class IntersectCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
   override def dataType: DataType = IntegerType
   override def nullSafeEval(l: Any, r: Any): Any =
     SetOps.count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

@@ -29,10 +29,29 @@ object ZOrder {
     x
   }
 
-  /** 64-bit Morton code of the low 32 bits of two non-negative longs.
+  /** 64-bit Morton code over each input's 32-bit window, SIGN-BIASED
+    * (offset binary: bit 31 of the window is flipped, i.e. +2^31) so
+    * negative values interleave BELOW positive ones — raw two's-complement
+    * low bits would sort every negative above every positive and split
+    * each dimension's locality at zero, degrading the z-sort's clustering
+    * (never correctness: the code is a sort key only). For values already
+    * in [0, 2^31) the bias is a uniform constant, so their relative order
+    * — and any existing layout built from them — is unchanged. Values
+    * outside ±2^31 still alias in the dropped high bits (documented).
+    *
+    * The final sign-bit flip makes the code a SIGNED-sortable key: the
+    * biased interleave of dimension b's top window bit lands in bit 63,
+    * which a signed long sort reads as the sign — without the flip, all
+    * b >= 0 rows (negative codes) would sort BEFORE all b < 0 rows. The
+    * flip is uniform and order-preserving (x^MIN < y^MIN signed iff
+    * x < y unsigned), so layouts built from the previously-valid
+    * non-negative domain are unchanged.
     * Called from generated code — keep signature (long, long) -> long.
     */
-  def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+  def morton(a: Long, b: Long): Long =
+    (spread(biased32(a)) | (spread(biased32(b)) << 1)) ^ java.lang.Long.MIN_VALUE
+
+  private def biased32(v: Long): Long = (v & 0xffffffffL) ^ 0x80000000L
 
   /** Column API: `morton(a, b)` with both inputs cast to long. */
   def code(a: Column, b: Column): Column =
@@ -57,9 +76,14 @@ object ZOrder {
     else {
       import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
       val bitsPer = 64 / k
+      // same sign bias as [[morton]], at this k's window width (flip the
+      // window's top bit so negatives interleave below positives), and
+      // the same final sign-bit flip so the code stays signed-sortable
+      // (k=4 also reaches bit 63: position 15*4+3)
       val terms = for { d <- 0 until k; i <- 0 until bitsPer } yield
-        shiftleft(shiftright(cols(d).cast("long"), i).bitwiseAND(lit(1L)), i * k + d)
-      terms.reduce(_.bitwiseOR(_))
+        shiftleft(shiftright(cols(d).cast("long")
+          .bitwiseXOR(lit(1L << (bitsPer - 1))), i).bitwiseAND(lit(1L)), i * k + d)
+      terms.reduce(_.bitwiseOR(_)).bitwiseXOR(lit(java.lang.Long.MIN_VALUE))
     }
   }
 }

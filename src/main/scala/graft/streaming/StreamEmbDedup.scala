@@ -67,9 +67,18 @@ object StreamEmbDedup {
     * per-table union would re-read a streaming source once per table.
     */
   private def explodeBuckets(vecs: DataFrame, bits: Int, tables: Int, dim: Int): DataFrame = {
-    val base = vecs.select(col("vec_id").cast(LongType).as("vec_id"),
-      col("ts_us").cast(LongType).as("ts_us"), col("embedding"),
-      VectorFns.norm2(col("embedding")).as("nrm"))
+    // null vec_id/ts_us would be poison pills (the typed VecRow encoder
+    // NPEs on non-nullable fields and the checkpoint replays the batch
+    // forever); a null or all-zero embedding has no cosine — every hit
+    // against it would be a silent NaN — so both are dropped at ingest,
+    // on the stream and its batch twin alike (this frame is shared)
+    val base = vecs
+      .filter(col("vec_id").isNotNull && col("ts_us").isNotNull &&
+        col("embedding").isNotNull)
+      .select(col("vec_id").cast(LongType).as("vec_id"),
+        col("ts_us").cast(LongType).as("ts_us"), col("embedding"),
+        VectorFns.norm2(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
     val bucketArr = array((0 until tables).map(tb =>
       VectorFns.srpBucket(col("embedding"), bits, dim, tb)): _*)
     base.select(col("vec_id"), col("ts_us"), col("embedding"), col("nrm"),

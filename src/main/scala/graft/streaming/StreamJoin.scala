@@ -26,32 +26,16 @@ object StreamJoin {
     * TimestampType column (micros precision) so watermarks apply.
     */
   def correlate(trigger: DataFrame, response: DataFrame, horizonUs: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
-    val a = trigger
-      .select(col("user_id"), col("ts_us").as("a_ts_us"), col("event_id").as("a_id"),
-        timestamp_micros(col("ts_us")).as("a_ts"))
-      .withWatermark("a_ts", watermarkDelay)
-    val b = response
-      .select(col("user_id").as("b_user"), col("ts_us").as("b_ts_us"), col("event_id").as("b_id"),
-        timestamp_micros(col("ts_us")).as("b_ts"))
-      .withWatermark("b_ts", watermarkDelay)
-    a.join(b,
-        col("user_id") === col("b_user") &&
-          col("b_ts") >= col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"))
-      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts_us"), col("b_ts_us"))
-  }
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    correlateImpl(trigger, response, horizonUs, watermarkDelay, "inner")
 
-  /** Left-outer form: every trigger appears exactly once with a null
-    * response if nothing matched inside the horizon. In streaming this is
-    * the semantically hard case — "no match" is only knowable once the
-    * watermark proves no in-horizon response can still arrive, so
-    * unmatched rows emit with watermark latency while matches emit
-    * immediately. Same state bound as the inner form. Batch: a plain
-    * left outer interval join, same code.
+  /** One implementation for both join flavors: the interval condition,
+    * watermark wiring, and output projection are tie-break- and
+    * state-bound-sensitive — two hand-synchronized copies could silently
+    * drift on a boundary (`>=` vs `>`) or horizon change.
     */
-  def correlateOuter(trigger: DataFrame, response: DataFrame, horizonUs: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+  private def correlateImpl(trigger: DataFrame, response: DataFrame, horizonUs: Long,
+      watermarkDelay: String, joinType: String): DataFrame = {
     val a = trigger
       .select(col("user_id"), col("ts_us").as("a_ts_us"), col("event_id").as("a_id"),
         timestamp_micros(col("ts_us")).as("a_ts"))
@@ -64,7 +48,19 @@ object StreamJoin {
         col("user_id") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonUs MICROSECOND"),
-        "left_outer")
+        joinType)
       .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts_us"), col("b_ts_us"))
   }
+
+  /** Left-outer form: every trigger appears exactly once with a null
+    * response if nothing matched inside the horizon. In streaming this is
+    * the semantically hard case — "no match" is only knowable once the
+    * watermark proves no in-horizon response can still arrive, so
+    * unmatched rows emit with watermark latency while matches emit
+    * immediately. Same state bound as the inner form. Batch: a plain
+    * left outer interval join, same code.
+    */
+  def correlateOuter(trigger: DataFrame, response: DataFrame, horizonUs: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    correlateImpl(trigger, response, horizonUs, watermarkDelay, "left_outer")
 }

@@ -23,6 +23,11 @@ class GraftExtensionsSpec extends SparkSuite {
     val err = intercept[Exception](
       spark.sql("SELECT graft_md5_mod('e', CAST(rand() * 10 AS INT))").head())
     assert(err.getMessage.contains("literal INT"))
+    // a non-string key coerces like the Column API (cast to its string
+    // rendering) instead of a mid-job ClassCastException
+    val n = spark.sql("SELECT graft_md5_mod(CAST(7 AS BIGINT), 3) AS a").head().getInt(0)
+    val s = spark.sql("SELECT graft_md5_mod('7', 3) AS a").head().getInt(0)
+    assert(n == s, "BIGINT key must hash as its string rendering")
   }
 
   test("the extensions class injects without error at builder time") {

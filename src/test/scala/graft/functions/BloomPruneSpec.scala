@@ -28,6 +28,18 @@ class BloomPruneSpec extends SparkSuite {
     assert(dim.filter(pred).count() == 2000L)
   }
 
+  test("a non-integral build column is refused — it would produce false negatives") {
+    // Spark's stat.bloomFilter happily builds from strings via putBinary,
+    // a different hash domain than the probe's mightContainLong: every
+    // genuinely-present key would probe FALSE and the pre-join filter
+    // would silently drop matching fact rows
+    val dim = Seq("1", "2", "3").toDF("k")
+    val ex = intercept[IllegalArgumentException] {
+      BloomPrune.filterFor(dim, "k", 10L)(col("k").cast("long"))
+    }
+    assert(ex.getMessage.contains("false"), ex.getMessage)
+  }
+
   test("predicate survives the codegen path (non-trivial projection)") {
     val dim = Seq(1L, 3L, 5L).toDF("k")
     val pred = BloomPrune.filterFor(dim, "k", 10L)(col("k") + 1L)

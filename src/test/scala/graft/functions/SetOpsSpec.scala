@@ -27,6 +27,36 @@ class SetOpsSpec extends SparkSuite {
     assert(bad == 0L)
   }
 
+  test("null elements are not set members and never alias the zeroed slot") {
+    // sort_array places nulls FIRST, and a naive getLong on a null slot
+    // reads the zeroed backing word — a phantom 0 that both under-counts
+    // (walks past real negatives) and over-counts (matches a real 0)
+    val df = Seq(
+      (Seq[java.lang.Long](null, -5L), Seq[java.lang.Long](-5L)), // phantom 0 would skip -5
+      (Seq[java.lang.Long](null, 5L), Seq[java.lang.Long](0L, 5L)), // phantom 0 would match 0
+      (Seq[java.lang.Long](null, null), Seq[java.lang.Long](null, 1L))
+    ).toDF("ra", "rb")
+      .select(SetOps.sortedSet(col("ra")).as("a"), SetOps.sortedSet(col("rb")).as("b"))
+    val counts = df.select(SetOps.intersectCount(col("a"), col("b"))).collect().map(_.getInt(0))
+    assert(counts.toSeq == Seq(1, 1, 0), s"got ${counts.toSeq}")
+  }
+
+  test("an array<int> operand is an analysis-time error, never a silent 8-byte misread") {
+    // the merge walk reads 8-byte slots; without declared inputTypes an
+    // int array would read two packed ints as one garbage long and every
+    // pairwise count would be silently wrong
+    val df = Seq((Seq(1, 2, 3), Seq(2, 3, 4))).toDF("ra", "rb")
+      .select(SetOps.sortedSet(col("ra")).as("a"), SetOps.sortedSet(col("rb")).as("b"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(SetOps.intersectCount(col("a"), col("b"))).head()
+    }
+    assert(ex.getMessage.contains("ARRAY<BIGINT>"), ex.getMessage)
+    // an explicit element cast is the caller's sanctioned route
+    val n = df.select(SetOps.intersectCount(
+      col("a").cast("array<bigint>"), col("b").cast("array<bigint>"))).head().getInt(0)
+    assert(n == 2)
+  }
+
   test("empty and disjoint sets") {
     val df = Seq(
       (Seq.empty[Long], Seq(1L, 2L)),

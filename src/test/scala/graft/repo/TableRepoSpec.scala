@@ -360,12 +360,20 @@ class TableRepoSpec extends SparkSuite {
 
   test("zOrderCols clusters files into compact 2-D boxes") {
     import scala.jdk.CollectionConverters._
-    // morton unit semantics first
-    assert(ZOrder.morton(0L, 0L) == 0L)
-    assert(ZOrder.morton(1L, 0L) == 1L)
-    assert(ZOrder.morton(0L, 1L) == 2L)
-    assert(ZOrder.morton(3L, 3L) == 15L)
-    assert(ZOrder.morton(0xffffffffL, 0L) == 0x5555555555555555L)
+    // morton unit semantics first: offset-binary sign bias (window top
+    // bit flipped per dimension) + final sign-bit flip for signed
+    // sortability — for the non-negative 32-bit domain that is a uniform
+    // +2^62, so interleave structure is unchanged below it
+    val B = 1L << 62
+    assert(ZOrder.morton(0L, 0L) == B)
+    assert(ZOrder.morton(1L, 0L) == (B | 1L))
+    assert(ZOrder.morton(0L, 1L) == (B | 2L))
+    assert(ZOrder.morton(3L, 3L) == (B | 15L))
+    // 0xffffffff reads as -1 in the 32-bit window: biased BELOW 0, so its
+    // even-position bits drop the top one and no bias bit is added
+    assert(ZOrder.morton(0xffffffffL, 0L) == 0x1555555555555555L)
+    // the point of the bias: signed sort order puts negatives first
+    assert(ZOrder.morton(-1L, 0L) < ZOrder.morton(0L, 0L))
 
     val repo = new TableRepo(scratch("zorder"), spark,
       maxRecordsPerFile = 256, zOrderCols = Seq("x", "y"))

@@ -35,24 +35,28 @@ class ZOrderPruneSpec extends SparkSuite {
     }
 
   test("codeK equals a bit-loop interleave model for k=2..6 on a seeded sweep") {
-    // dimension d of k must land at bit positions i*k + d of the code —
-    // asserted bit-for-bit against a straight loop, through codegen, for
-    // BOTH construction paths (k=2 native ZOrderExpr, k>2 composed
-    // shift/and/or)
+    // dimension d of k must land at bit positions i*k + d of the
+    // SIGN-BIASED value (window's top bit flipped — offset binary, so
+    // negatives interleave below positives) — asserted bit-for-bit
+    // against a straight loop, through codegen, for BOTH construction
+    // paths (k=2 native ZOrderExpr, k>2 composed shift/and/or), on
+    // positive AND negative inputs
     import spark.implicits._
     def model(vals: Seq[Long], k: Int): Long = {
       val bitsPer = 64 / k
       var out = 0L
       for (d <- 0 until k; i <- 0 until bitsPer)
-        out |= ((vals(d) >> i) & 1L) << (i * k + d)
-      out
+        out |= (((vals(d) ^ (1L << (bitsPer - 1))) >> i) & 1L) << (i * k + d)
+      out ^ java.lang.Long.MIN_VALUE // signed-sortable (see ZOrder.morton)
     }
     val rng = new scala.util.Random(2718)
     for (k <- 2 to 6) {
       val bitsPer = 64 / k
       val rows = (1 to 200).map { _ =>
-        Seq.fill(k)(rng.nextLong().abs % (1L << math.min(bitsPer, 62)))
-      } ++ Seq(Seq.fill(k)(0L), Seq.fill(k)((1L << bitsPer) - 1))
+        val m = 1L << math.min(bitsPer, 62)
+        val v = rng.nextLong().abs % m
+        Seq.fill(k)(if (rng.nextBoolean()) v else -(v % (m >> 1)))
+      } ++ Seq(Seq.fill(k)(0L), Seq.fill(k)((1L << bitsPer) - 1), Seq.fill(k)(-1L))
       val df = rows.toDF("arr")
       val cols = (0 until k).map(d => col("arr").getItem(d))
       df.select(ZOrder.codeK(cols).as("z"), col("arr")).collect().foreach { r =>
@@ -60,6 +64,13 @@ class ZOrderPruneSpec extends SparkSuite {
           s"k=$k mismatch for ${r.getSeq[Long](1)}")
       }
     }
+    // the point of the bias + final flip: under the SIGNED long sort
+    // Spark applies to the z column, negatives order below non-negatives
+    // in EITHER dimension — raw two's-complement bits would invert that
+    // and split clustering at 0
+    assert(ZOrder.morton(-5L, 7L) < ZOrder.morton(3L, 7L))
+    assert(ZOrder.morton(-1L, 0L) < ZOrder.morton(0L, 0L))
+    assert(ZOrder.morton(0L, -1L) < ZOrder.morton(0L, 0L))
   }
 
   test("z-order files cover compact 2-D boxes; a corner box query skips most files") {

@@ -52,6 +52,30 @@ class StreamEmbDedupSpec extends SparkSuite {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("null and zero-norm rows are dropped instead of wedging the query") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Option[Long], Array[Float], Option[Long])]
+    val stream = ms.toDF().toDF("vec_id", "embedding", "ts_us")
+    val q = StreamEmbDedup.candidates(stream, 600 * sec)
+      .writeStream.outputMode("append").format("memory").queryName("sed_null").start()
+    val v = vec(1)
+    // pre-fix: a null vec_id/ts_us NPE'd the typed VecRow encoder and the
+    // checkpoint replayed the same batch forever; an all-zero embedding
+    // has no cosine, so every hit against it was a silent NaN
+    ms.addData((Some(1L), v, Some(10 * sec)),
+      (None, v, Some(11 * sec)), (Some(8L), v, None),
+      (Some(9L), Array.fill(64)(0.0f), Some(12 * sec)))
+    q.processAllAvailable()
+    ms.addData((Some(3L), near(v), Some(20 * sec)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sed_null").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.nonEmpty && got.forall(h => h._1 == 3L && h._2 == 1L && h._3 > 0.99),
+      s"the near-twin must hit doc 1 with dropped rows never occupying: ${got.toSeq}")
+  }
+
   test("streamed hits equal the batch bucket-collision cut on the same data") {
     val data = (0 until 40).map { i =>
       val base = if (i % 4 == 0) near(vec(i / 4)) else vec(i % 7)
