@@ -33,6 +33,10 @@ object Explain {
     names.foreach { n =>
       println(s"\n======== $n ========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // constructing a write-path query executes its writes AND its Ckpt
+      // barriers; sweep them per query like Verify/Bench, or the dump's
+      // storage footprint is the sum over all 128 queries
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // checkpoint-ending queries explain as one `Scan ExistingRDD` line —
     // dump their stage pipelines with the barriers disabled so the

@@ -28,6 +28,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop each query's Ckpt/localCheckpoint blocks before the next one
+      // (Bench does the same per rep): without the sweep the run's storage
+      // footprint is the SUM of every query's checkpointed frames instead
+      // of the max of one — a scale cliff the per-query results never show
+      finally spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -43,6 +43,11 @@ object Queries {
     * DuckDB's `epoch_us(ts)` on the same file.
     */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    // set and deliberately LEFT set: the flag is consulted at scan time,
+    // so restoring it here would flip it back under this very frame's
+    // lazy execution. Harness sessions (Bench/Verify/Explain) pre-set it
+    // at build; library embedders should know any events query makes the
+    // session read TIMESTAMP(NANOS) parquet as longs from then on.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(spark, dir, "events")
     val tsUs = ev.schema("ts").dataType match {
@@ -64,6 +69,13 @@ object Queries {
   private lazy val scratchBase: String = {
     val b = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/scratch") +
       s"/run-${ProcessHandle.current().pid()}"
+    // each run cleans its OWN scratch at JVM exit — without this every
+    // Bench/Verify/Explain invocation leaves ~30 write-path repos behind
+    // and run-* dirs accumulate until the volume fills mid-write. A
+    // startup sweep of FOREIGN run-* dirs would race a concurrent driver,
+    // so cleanup is strictly per-pid; a crashed run's leftovers need a
+    // manual sweep (documented trade-off).
+    sys.addShutdownHook(deleteRec(new java.io.File(b)))
     b
   }
 
@@ -75,6 +87,11 @@ object Queries {
   private def freshRoot(name: String): String = {
     val dir = new java.io.File(s"$scratchBase/$name")
     if (dir.exists()) deleteRec(dir)
+    // VERIFY the reset: File.delete failures are silent, and a leftover
+    // parquet file would make this repo accrete rows across repetitions —
+    // the bench would then measure a per-rep-growing table with no error
+    require(!dir.exists(),
+      s"scratch reset failed for $dir — refusing to reuse a non-empty root")
     dir.getParentFile.mkdirs()
     dir.getAbsolutePath
   }

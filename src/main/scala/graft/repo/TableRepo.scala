@@ -1215,6 +1215,14 @@ class TableRepo(
   /** Arbitrary per-group computation — the reference's `map_partitions`
     * (core.py:138-151; tests/test_parallel.py:41-76). Distribution is native:
     * one shuffle on the level columns, then `flatMapGroups` per group.
+    *
+    * MEMORY CONTRACT (inherent to the arbitrary-function shape, exactly
+    * like the reference's per-group pandas frames): `f` receives a
+    * one-pass iterator, and any function that must see the whole group
+    * before emitting (a mean, a sort) buffers that group in one task.
+    * Each group must therefore fit an executor's task memory — use a
+    * high-cardinality level, or express aggregable logic as
+    * groupBy/window plans instead, where Spark streams and spills.
     */
   def mapGroups(level: Seq[String], out: StructType)(
       f: (Seq[String], Iterator[Row]) => Iterator[Row]): DataFrame = {

@@ -88,9 +88,21 @@ class DfBatchWriter(
     if (bufferedRows >= rowLimit) flush()
   }
 
+  /** Same raced-deleted-directory retry contract as [[RecordWriter.flush]]
+    * (the family's shared `_write` recreates and retries, core.py:488-497)
+    * — previously only the record writer honored it, so this writer threw
+    * on the exact transient the family doc says is retried.
+    */
   def flush(): Unit = if (buf.nonEmpty) {
     val union = buf.reduce(_.unionByName(_, allowMissingColumns = true))
-    if (replace) repo.replaceRecords(union) else repo.extend(union)
+    def write(): Unit =
+      if (replace) repo.replaceRecords(union) else repo.extend(union)
+    try write()
+    catch {
+      case scala.util.control.NonFatal(_) if !repo.exists =>
+        repo.mkdirs()
+        write()
+    }
     buf.clear()
     bufferedRows = 0L
   }
