@@ -88,7 +88,10 @@ object IvfDriftStudy {
     // make the row_number re-key below order duplicate keys arbitrarily,
     // breaking the study's "fully deterministic" protocol; refuse instead
     if (replicas > 1) {
-      val maxId = embsBase.agg(max(col("vec_id"))).head().getLong(0)
+      val maxIdRow = embsBase.agg(max(col("vec_id"))).head()
+      require(!maxIdRow.isNullAt(0),
+        "replicas > 1 needs a non-empty embeddings input (max over zero rows is NULL)")
+      val maxId = maxIdRow.getLong(0)
       require(maxId < 100000000L,
         s"replicas=$replicas over an input whose vec_ids reach $maxId (>= 1e8): already a " +
           "replicated stress dir — replicate the base corpus instead, or pass replicas=1")

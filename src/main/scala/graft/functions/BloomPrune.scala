@@ -63,12 +63,14 @@ object BloomPrune {
   */
 case class BloomContainsExpr(child: Expression, filterBytes: Array[Byte])
     extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
-  // LongType expected, enforced at ANALYSIS: narrower integrals (and
-  // parseable strings) arrive through an implicit VALUE cast — the same
-  // hash domain the sketch was built from — instead of a raw operand
-  // hashing a different domain and returning false for present keys
+  // LongType expected, with IMPLICIT-cast semantics (plain
+  // ExpectsInputTypes only validates — an int probe that has always
+  // worked would suddenly fail analysis): narrower integrals arrive
+  // through a value cast into the same hash domain the sketch was built
+  // from, instead of a raw operand hashing a different domain and
+  // returning false for present keys
   override def inputTypes = Seq(org.apache.spark.sql.types.LongType)
 
   override def dataType: DataType = BooleanType

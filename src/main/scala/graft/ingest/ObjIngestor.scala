@@ -144,18 +144,20 @@ object ObjIngestor {
       idCol: Option[String] = None): Map[String, DataFrame] =
     shred(spark.read.json(jsons), rootName, idCol)
 
-  /** Directory-safe table names, COLLISION-FREE across the dump: plain
-    * sanitization maps distinct paths like `root.a b` and `root.a/b` to
-    * one name, silently interleaving unrelated tables in one repo — so
-    * colliding sanitizations get a short path-hash suffix (non-colliding
-    * names, the overwhelmingly common case, stay readable and stable).
+  /** Directory-safe table name, COLLISION-FREE and a pure function of the
+    * single path: plain sanitization maps distinct paths like `root.a b`
+    * and `root.a/b` to one name, silently interleaving unrelated tables
+    * in one repo — so any path the sanitizer CHANGED gets a short
+    * path-hash suffix. Keying the suffix off the call's colliding SET
+    * would be wrong for incremental dumps into one baseDir (a later dump
+    * introducing the collision would relocate an earlier dump's table);
+    * per-path determinism keeps every dump addressing the same directory
+    * forever. Clean paths — the overwhelmingly common case — stay
+    * readable and unchanged, and cannot collide with a suffixed one.
     */
-  private def safeNames(paths: Iterable[String]): Map[String, String] = {
-    val base = paths.toSeq.map(p => p -> p.replaceAll("[^A-Za-z0-9_.-]", "_"))
-    base.groupBy(_._2).valuesIterator.flatMap {
-      case Seq((p, s)) => Seq(p -> s)
-      case many        => many.map { case (p, s) => p -> s"$s-${md5Hex(p).take(8)}" }
-    }.toMap
+  private def safeName(path: String): String = {
+    val s = path.replaceAll("[^A-Za-z0-9_.-]", "_")
+    if (s == path) s else s"$s-${md5Hex(path).take(8)}"
   }
 
   /** Write every shredded table into a TableRepo under `baseDir` — the
@@ -169,14 +171,12 @@ object ObjIngestor {
     * when the source parse is expensive (raw JSON), persist the input
     * DataFrame before [[shred]] so the k writes share one parse.
     */
-  def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] = {
-    val safe = safeNames(tables.keys)
+  def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] =
     tables.map { case (path, t) =>
-      val repo = new TableRepo(s"$baseDir/${safe(path)}", spark)
+      val repo = new TableRepo(s"$baseDir/${safeName(path)}", spark)
       repo.extend(t)
       path -> repo
     }
-  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -234,9 +234,8 @@ object ObjIngestor {
     val cached = tables.view.mapValues(_.persist()).toMap
     try {
       val routed = routeByShape(cached)
-      val safe = safeNames(routed.keys)
       val repos = for ((path, byShape) <- routed; (code, t) <- byShape) yield {
-        val repo = new TableRepo(s"$baseDir/${safe(path)}/$code", spark)
+        val repo = new TableRepo(s"$baseDir/${safeName(path)}/$code", spark)
         repo.extend(t)
         (path, code) -> repo
       }

@@ -111,22 +111,27 @@ object Multimodal {
       std_luma: Double,
       luma_hist: Array[Float])
 
-  /** Ceiling on DECLARED image pixels (64 M ≈ a 256 MB ARGB raster): a
-    * decompression bomb — a tiny payload whose header declares huge
-    * dimensions — makes ImageIO pre-allocate the full raster before any
-    * pixel data is validated, and the resulting OutOfMemoryError is a
+  /** Ceiling on DECLARED image pixels (default 64 M ≈ a 256 MB ARGB
+    * raster): a decompression bomb — a tiny payload whose header declares
+    * huge dimensions — makes ImageIO pre-allocate the full raster before
+    * any pixel data is validated, and the resulting OutOfMemoryError is a
     * VirtualMachineError that escapes every Exception handler and kills
     * the executor. The header probe below is the only way to honor the
-    * drop-not-fail contract against such payloads.
+    * drop-not-fail contract against such payloads. A deliberate knob
+    * (same shape as Pillow's MAX_IMAGE_PIXELS): corpora of legitimately
+    * huge images — medium-format photos, stitched panoramas — RAISE it
+    * on the driver; the Dataset-level transforms capture the value at
+    * plan time so it reaches executors through the task closure.
     */
-  val MaxImagePixels: Long = 64L * 1024 * 1024
+  @volatile var MaxImagePixels: Long = 64L * 1024 * 1024
 
   /** Decode one payload with `javax.imageio`. None for anything ImageIO
     * can't parse — corrupt bytes, truncated files, unknown formats — and
-    * for payloads whose header DECLARES more than [[MaxImagePixels]]
+    * for payloads whose header DECLARES more than `maxPixels`
     * (probed header-only, before any raster allocation).
     */
-  def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+  def decodeImage(payload: Array[Byte],
+      maxPixels: Long = MaxImagePixels): Option[BufferedImage] =
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
       try {
@@ -137,7 +142,7 @@ object Multimodal {
           try {
             r.setInput(iis)
             val (w, h) = (r.getWidth(0).toLong, r.getHeight(0).toLong)
-            if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+            if (w <= 0 || h <= 0 || w * h > maxPixels) None
             else Option(r.read(0))
           } finally r.dispose()
         }
@@ -150,9 +155,10 @@ object Multimodal {
     */
   def decodeImageFeatures(media: Dataset[Media]): Dataset[ImageFeatures] = {
     implicit val enc = Encoders.product[ImageFeatures]
+    val maxPx = MaxImagePixels // captured at plan time, ships in the closure
     media.mapPartitions { it =>
       it.flatMap { m =>
-        decodeImage(m.payload).map { img =>
+        decodeImage(m.payload, maxPx).map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           val hist = new Array[Float](8)
           var sum = 0.0; var sumSq = 0.0
@@ -192,9 +198,10 @@ object Multimodal {
   def resizeImages(media: Dataset[Media], maxDim: Int): Dataset[Media] = {
     require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
     implicit val enc = Encoders.product[Media]
+    val maxPx = MaxImagePixels // captured at plan time, ships in the closure
     media.mapPartitions { it =>
       it.flatMap { m =>
-        decodeImage(m.payload).map { img =>
+        decodeImage(m.payload, maxPx).map { img =>
           val longSide = math.max(img.getWidth, img.getHeight)
           if (longSide <= maxDim) m
           else {
@@ -390,12 +397,13 @@ object Multimodal {
       : Dataset[VideoFrameFeatures] = {
     require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
     implicit val enc = Encoders.product[VideoFrameFeatures]
+    val maxPx = MaxImagePixels // captured at plan time, ships in the closure
     media.mapPartitions { it =>
       it.flatMap { m =>
         mjpegFrames(m.payload).zipWithIndex
           .collect { case (bytes, no) if no % everyNth == 0 => (bytes, no) }
           .flatMap { case (bytes, no) =>
-            decodeImage(bytes).map { img =>
+            decodeImage(bytes, maxPx).map { img =>
               val (w, h) = (img.getWidth, img.getHeight)
               var sum = 0.0
               var y = 0

@@ -80,7 +80,11 @@ object Queries {
   }
 
   private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    // null-safe: listFiles returns NULL (not empty) when the dir vanished
+    // or turned unreadable concurrently — e.g. this sweep racing Spark's
+    // own shutdown hooks — and an NPE here would abort the cleanup
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteRec)
     f.delete(): Unit
   }
 

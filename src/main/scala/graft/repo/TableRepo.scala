@@ -64,8 +64,8 @@ class TableRepo(
 ) {
   require(snapshotRetention >= 1, "snapshotRetention keeps at least the one grace version")
   require(zOrderCols.isEmpty || (zOrderCols.length >= 2 && zOrderCols.length <= 6),
-    "zOrderCols interleaves 2 to 6 numeric columns (64/k bits per dimension; " +
-      "beyond ~4 the resolution is usually too coarse to prune well)")
+    "zOrderCols interleaves 2 to 6 numeric columns (a signed 64/k-bit window per " +
+      "dimension; beyond ~4 the resolution is usually too coarse to prune well)")
   require(zOrderCols.isEmpty || clusterCols.isEmpty,
     "zOrderCols and clusterCols are alternative clustering policies")
 
@@ -1710,17 +1710,18 @@ class TableRepo(
     * engine-owned KV entries.
     */
   def embedMetadata(prefix: String = "graft."): Unit = withWriteLock {
-    // the marker lands FIRST: it is what tells every later mutating op
-    // that .kvbak crash artifacts are possible here, so a crash anywhere
-    // in the rewrite loop below is always covered by the gated restore
-    val mp = new Path(footerRewriteMarker)
-    if (!fs.exists(mp)) fs.create(mp, true).close()
     // under the write lock: the per-file swap stages each data file aside
     // (rename-to-backup), and a concurrent pruned upsert deleting or
     // rewriting the same file mid-swap would race the renames
-    restoreFooterBackups()
+    val mp = new Path(footerRewriteMarker)
+    if (fs.exists(mp)) restoreFooterBackups() // repair a prior crashed embed
     val meta = fullMetadata.map { case (k, v) => (prefix + k, v) }
     if (meta.nonEmpty) {
+      // the marker lands BEFORE the first rewrite (a crash anywhere in
+      // the loop is covered by the gated restore) but ONLY when a rewrite
+      // will actually run — an empty-metadata call must not tax every
+      // future mutating op with the recursive restore scan for nothing
+      if (!fs.exists(mp)) fs.create(mp, true).close()
       val conf = spark.sparkContext.hadoopConfiguration
       paths.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
     }

@@ -34,10 +34,12 @@ object ZOrder {
     * negative values interleave BELOW positive ones — raw two's-complement
     * low bits would sort every negative above every positive and split
     * each dimension's locality at zero, degrading the z-sort's clustering
-    * (never correctness: the code is a sort key only). For values already
-    * in [0, 2^31) the bias is a uniform constant, so their relative order
-    * — and any existing layout built from them — is unchanged. Values
-    * outside ±2^31 still alias in the dropped high bits (documented).
+    * (never correctness: the code is a sort key only). For values in
+    * [0, 2^31) the bias is a uniform constant, so their relative order
+    * — and any existing layout built from them — is unchanged; the
+    * usable domain is the SIGNED window ±2^31 (one former magnitude bit
+    * now carries the sign), and values outside it alias in the dropped
+    * bits (documented).
     *
     * The final sign-bit flip makes the code a SIGNED-sortable key: the
     * biased interleave of dimension b's top window bit lands in bit 63,
@@ -58,16 +60,22 @@ object ZOrder {
     GraftSql.column(ZOrderExpr(
       GraftSql.expression(a.cast("long")), GraftSql.expression(b.cast("long"))))
 
-  /** k-D Morton code (k = 2..6): interleave the low 64/k bits of each
-    * column, dimension d at bit positions i*k + d. The 2-D case routes
-    * through the native [[ZOrderExpr]] fast path; higher k composes
-    * built-in shift/and/or functions — every term is codegen'd, so the
-    * write path stays inside whole-stage codegen either way. Precision
-    * drops with k (32/21/16/12/10 bits per dimension): values wider than
-    * 64/k bits alias in the top bits, which weakens clustering but never
-    * correctness (the z-code is a SORT key only). Beyond ~4 columns the
-    * per-dimension resolution is usually too coarse to prune well —
-    * prefer partitioning on the extra columns instead.
+  /** k-D Morton code (k = 2..6): interleave each column's SIGNED window
+    * of 64/k bits (sign-biased like [[morton]] — one window bit is spent
+    * on the sign so negatives cluster below positives), dimension d at
+    * bit positions i*k + d, and the final code sign-flipped so it stays
+    * signed-sortable. The 2-D case routes through the native
+    * [[ZOrderExpr]] fast path; higher k composes built-in shift/and/or
+    * functions — every term is codegen'd, so the write path stays inside
+    * whole-stage codegen either way. Precision drops with k: the usable
+    * per-dimension domain is ±2^(64/k − 1), i.e. 31/20/15/11/9 magnitude
+    * bits for k = 2..6; values outside it alias in the dropped bits,
+    * which weakens clustering but never correctness (the z-code is a
+    * SORT key only). Relative order — and therefore existing layouts —
+    * is unchanged for values within the signed window's non-negative
+    * half. Beyond ~4 columns the per-dimension resolution is usually too
+    * coarse to prune well — prefer partitioning on the extra columns
+    * instead.
     */
   def codeK(cols: Seq[Column]): Column = {
     val k = cols.size

@@ -39,39 +39,44 @@ object Sessionize {
       state.remove()
       out.iterator
     } else {
-      val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
-      var open = state.getOption
-      val out = Vector.newBuilder[Session]
       // Only WITHIN-batch order is guaranteed by the sort: a later
       // micro-batch can deliver an on-time event BELOW the open session's
-      // lastUs (any watermark delay > 0 admits this). Such an event must
-      // merge without REWINDING the session bounds — a naive
+      // lastUs (any watermark delay > 0 admits this), and a naive
       // `lastUs = e.ts_us` would emit t_end < t_start and re-arm the
-      // event-time timeout early, closing the session under its own
-      // still-arriving events. With watermark delay <= gap this min/max
-      // merge reproduces the globally-sorted batch semantics EXACTLY
-      // (an admitted event satisfies ts >= watermark >= lastUs - delay
-      // >= lastUs - gap, so it always lands within the open session's
-      // reach); with a larger delay, an event more than gap before the
-      // open session's start closes instantly as its own singleton — the
-      // one approximation a single-open-session state forces.
-      sorted.foreach { e =>
+      // event-time timeout early. Fold the batch as a standard gap
+      // sessionization over INTERVAL items — each event a point, the open
+      // session its [startUs, lastUs] span (gap-chained internally by
+      // construction), everything ordered by interval start — which
+      // reproduces the globally-sorted batch semantics exactly whenever
+      // the events the state has already EMITTED are not involved: chains
+      // of admitted late events merge with each other and into the open
+      // session precisely as closeAll would merge them. With watermark
+      // delay <= gap no event can even arrive below the open session's
+      // reach; with a larger delay, only an event chain that should have
+      // merged into an ALREADY-EMITTED session diverges (it emits as its
+      // own session) — the one approximation single-open-session state
+      // forces.
+      val sorted = events.toVector.sortBy(e => (e.ts_us, e.event_id))
+      val evSpans = sorted.map(e => OpenSession(e.ts_us, e.ts_us, 1))
+      val items = state.getOption match {
+        case Some(os) =>
+          val i = evSpans.indexWhere(_.startUs > os.startUs) match {
+            case -1 => evSpans.length
+            case x  => x
+          }
+          (evSpans.take(i) :+ os) ++ evSpans.drop(i)
+        case None => evSpans
+      }
+      var open: Option[OpenSession] = None
+      val out = Vector.newBuilder[Session]
+      items.foreach { it =>
         open = open match {
-          case Some(s) if e.ts_us >= s.lastUs =>
-            if (e.ts_us - s.lastUs <= gapUs) Some(s.copy(lastUs = e.ts_us, n = s.n + 1))
-            else {
-              out += Session(userId, s.startUs, s.lastUs, s.n)
-              Some(OpenSession(e.ts_us, e.ts_us, 1))
-            }
-          case Some(s) if e.ts_us >= s.startUs - gapUs =>
-            // out-of-order but within the session's reach: merge, and
-            // never move lastUs (or startUs) backward
-            Some(OpenSession(math.min(s.startUs, e.ts_us), s.lastUs, s.n + 1))
-          case Some(s) =>
-            out += Session(userId, e.ts_us, e.ts_us, 1)
-            Some(s)
-          case None =>
-            Some(OpenSession(e.ts_us, e.ts_us, 1))
+          case Some(c) if it.startUs - c.lastUs <= gapUs =>
+            Some(OpenSession(c.startUs, math.max(c.lastUs, it.lastUs), c.n + it.n))
+          case Some(c) =>
+            out += Session(userId, c.startUs, c.lastUs, c.n)
+            Some(it)
+          case None => Some(it)
         }
       }
       open.foreach { s =>

@@ -28,6 +28,17 @@ class BloomPruneSpec extends SparkSuite {
     assert(dim.filter(pred).count() == 2000L)
   }
 
+  test("an INTEGER probe column analyzes and probes correctly via the implicit cast") {
+    // the build guard accepts int columns, so the probe must too —
+    // ImplicitCastInputTypes widens the int probe into the long hash
+    // domain; a validate-only inputTypes would reject it at analysis
+    val dim = Seq(1, 3, 5).toDF("k") // IntegerType on both sides
+    val pred = BloomPrune.filterFor(dim, "k", 10L)(col("k"))
+    val hits = Seq(1, 2, 3, 4, 5, 6).toDF("k").filter(pred)
+      .collect().map(_.getInt(0)).toSet
+    assert(Set(1, 3, 5).subsetOf(hits), s"present keys must probe true: $hits")
+  }
+
   test("a non-integral build column is refused — it would produce false negatives") {
     // Spark's stat.bloomFilter happily builds from strings via putBinary,
     // a different hash domain than the probe's mightContainLong: every

@@ -106,6 +106,21 @@ class ObjIngestorSpec extends SparkSuite {
     assert(repos("root.a/b").count() == 2)
   }
 
+  test("sanitized names are per-path stable: a later collision never relocates an earlier table") {
+    val base = scratch("shred-stable")
+    val df1 = Seq(("a", 1L)).toDF("k", "v")
+    val r1 = ObjIngestor.dumpAll(spark, Map("root.a b" -> df1), base)
+    // the second dump INTRODUCES the sanitization collision; were suffixes
+    // keyed off the call's colliding set, 'root.a b' would now resolve to
+    // a different directory and split one logical table across two repos
+    val r2 = ObjIngestor.dumpAll(spark,
+      Map("root.a b" -> df1, "root.a/b" -> Seq(("b", 2L)).toDF("k", "v")), base)
+    assert(r1("root.a b").root == r2("root.a b").root,
+      "safeName must be a pure function of the path")
+    assert(r2("root.a b").count() == 2, "the incremental dump extends in place")
+    assert(r2("root.a/b").count() == 1)
+  }
+
   test("key-map.json merges across incremental dumps instead of overwriting") {
     val base = scratch("shred-routed-incr")
     val t1 = ObjIngestor.shredJson(spark,

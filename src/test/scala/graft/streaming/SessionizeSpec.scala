@@ -70,16 +70,22 @@ class SessionizeSpec extends SparkSuite {
       .as[Sessionize.Event]
     val q = Sessionize.sessions(stream, gap).writeStream
       .outputMode("append").format("memory").queryName("sess_ooo").start()
-    // batch 1: open sessions for users 1 and 2
+    // batch 1: open sessions for users 1, 2, and 4
     ms.addData((1L, 1L, 100 * min), (1L, 2L, 102 * min),
-      (2L, 3L, 100 * min), (2L, 4L, 101 * min))
+      (2L, 3L, 100 * min), (2L, 4L, 101 * min),
+      (4L, 7L, 100 * min), (4L, 8L, 101 * min))
     q.processAllAvailable()
     // batch 2: on-time (within the 30 min watermark delay) but BELOW each
     // open session's lastUs — a naive lastUs = e.ts would emit
     // t_end < t_start and re-arm the timeout early
     ms.addData(
       (1L, 5L, 98 * min), // within gap of user 1's session: merge, extend start down
-      (2L, 6L, 80 * min)) // > gap before user 2's start: its own singleton
+      (2L, 6L, 80 * min), // > gap before user 2's start: its own singleton
+      // user 4: a CHAIN of late events — 93 is beyond gap of the session
+      // start on its own, but chains through 97 into it; an
+      // ascending-order event-at-a-time merge would emit 93 as a
+      // spurious singleton before 97 extends the session's reach
+      (4L, 9L, 93 * min), (4L, 10L, 97 * min))
     q.processAllAvailable()
     // push the watermark past every horizon, then fire the timeouts
     ms.addData((9L, 7L, 100000 * min)); q.processAllAvailable()
@@ -93,6 +99,8 @@ class SessionizeSpec extends SparkSuite {
       s"an event > gap before the open session closes as its own singleton: $got")
     assert(got.contains((2L, 100 * min, 101 * min, 2L)),
       s"the open session must survive the ancient event untouched: $got")
+    assert(got.contains((4L, 93 * min, 101 * min, 4L)),
+      s"a late chain must merge as one session, exactly like the sorted batch: $got")
   }
 
   test("watermark closes a trailing open session via event-time timeout") {
