@@ -79,11 +79,12 @@ object IvfDriftStudy {
     val root = sys.env.getOrElse("GRAFT_SCRATCH", "/root/repo/target/scratch") +
       s"/ivfdrift-${ProcessHandle.current().pid()}"
     // re-key to contiguous ranks: the ScaleUp stress dirs offset replica
-    // vec_ids by r·1e8, which would break the id-window base/slice split
+    // vec_ids by a large stride, which would break the id-window base/slice split
     // below (a global window is fine in a measurement harness)
     val embsBase = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    // replication reuses the r·1e8 offset the ScaleUp stress dirs ALREADY
+    // replication reuses a large-stride offset like the one ScaleUp
+    // stress dirs ALREADY
     // carry on disk — replicating such a dir would collide orig_ids and
     // make the row_number re-key below order duplicate keys arbitrarily,
     // breaking the study's "fully deterministic" protocol; refuse instead

@@ -76,6 +76,14 @@ object IvfServeStudy {
       s"/ivfserve-${ProcessHandle.current().pid()}"
     val embsBase = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    // same already-replicated-input guard as IvfDriftStudy: stacking this
+    // stride on a ScaleUp stress dir's existing offsets would collide ids
+    if (replicas > 1) {
+      val maxIdRow = embsBase.agg(max(col("vec_id"))).head()
+      require(!maxIdRow.isNullAt(0) && maxIdRow.getLong(0) < 100000000L,
+        s"replicas=$replicas needs a base corpus with vec_ids below 1e8 — " +
+          "replicate the base, not an already-replicated stress dir")
+    }
     val embs = (if (replicas <= 1) embsBase
       else (0 until replicas).map { r =>
         embsBase.select(

@@ -31,12 +31,21 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Replica key stride: MUST be divisible by every modulus the bench
+    // filters use (lcm of 3/4/8/10) so each `key % m` class scales
+    // EXACTLY k x — 1e8 % 3 == 1 would rotate the mod-3 classes and the
+    // %3-filtered stress subsets would not be k x replicas of sf0.1's.
+    val Shift = 120000000L
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val reps = (0 until k).map { r =>
       docs.select(
-        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        (col("doc_id") + lit(r.toLong * Shift)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"x$r" + "$1").as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+        // n_chars must track the SALTED text (each token grew by the "x<r>"
+        // prefix) or the stress corpus silently breaks the n_chars ==
+        // length(text) invariant every n_chars-consuming query relies on
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
     reps.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
     // Embeddings: per-replica deterministic sign flips — a diagonal ±1
@@ -55,7 +64,7 @@ object ScaleUp {
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     val embReps = (0 until k).map { r =>
       embs.select(
-        (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+        (col("vec_id") + lit(r.toLong * Shift)).as("vec_id"),
         transform(col("embedding"), (x, j) =>
           when(pmod(hash(lit(r), j), lit(2)) === 0 && lit(r) =!= 0, -x).otherwise(x)
         ).as("embedding"),
@@ -65,17 +74,17 @@ object ScaleUp {
     // Keyed tables for the WRITE-path stress family (q_compact,
     // q_upsert_pruned*, q_sized_append…): replicate orders/lineitem with
     // key shifts that keep keys unique across replicas. The shift is a
-    // multiple of 10/8/4/3 (1e8), so every `key % m` class the bench
+    // multiple of 10/8/4/3 (1.2e8), so every `key % m` class the bench
     // queries filter on scales exactly k× — the same subset-shape at k×
     // rows, which is what a clean exponent needs.
     val orders = spark.read.parquet(s"$src/orders.parquet")
     (0 until k).map { r =>
-      orders.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * 100000000L))
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(r.toLong * Shift))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     (0 until k).map { r =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(r.toLong * 100000000L))
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r.toLong * Shift))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // Events for the sessionization/window stress family: shift event_id
@@ -90,8 +99,8 @@ object ScaleUp {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     (0 until k).map { r =>
-      ev.withColumn("event_id", col("event_id") + lit(r.toLong * 100000000L))
-        .withColumn("user_id", col("user_id") + lit(r.toLong * 100000000L))
+      ev.withColumn("event_id", col("event_id") + lit(r.toLong * Shift))
+        .withColumn("user_id", col("user_id") + lit(r.toLong * Shift))
     }.reduce(_ unionByName _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"wrote ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +

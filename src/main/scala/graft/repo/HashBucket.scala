@@ -35,8 +35,15 @@ object Md5Mod {
   }
 }
 
-case class Md5ModExpr(child: Expression, n: Int) extends UnaryExpression {
+case class Md5ModExpr(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(n > 0, s"modulus must be positive, got $n")
+  // STRING input with implicit-cast semantics, declared at the expression
+  // itself: a raw long child used to pass analysis and ClassCastException
+  // mid-job (interpreted) or fail Janino compilation (codegen) — each
+  // wrapper re-added its own Cast to compensate; now any castable child
+  // hashes its string rendering, matching the wrappers' behavior
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(v: Any): Any = Md5Mod.md5mod(v.asInstanceOf[UTF8String], n)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,6 +64,17 @@ case class HashBucketLayout(col: String, numGroups: Int = 128)
 /** Column-level API for md5 bucketing. `numGroups` buckets over the string
   * form of `c` (non-string inputs are cast to string first, mirroring the
   * reference's `str(v)`).
+  *
+  * PARITY DOMAIN: bucket ids match the reference bit-for-bit for STRING
+  * and INTEGRAL keys — the domains its contract tests exercise
+  * (tests/test_core.py:270-280) — because Python `str(v)` and Spark
+  * `cast(string)` render them identically. Outside that domain the
+  * engines' renderings differ by design and this library keeps SPARK's:
+  * booleans render 'true'/'false' (Python 'True'/'False'), large doubles
+  * '1.0E16' (Python '1e+16'), and a NULL key buckets to the engine's
+  * null partition rather than Python's md5('None') bucket — emulating
+  * CPython repr quirks would make the layout alien to every other Spark
+  * reader of the same table.
   */
 object HashBucket {
   /** Bucket id as an int in [0, numGroups). */
