@@ -167,16 +167,43 @@ object ObjIngestor {
     * collision). For the reference's heterogeneous-shape splitting, see
     * [[dumpAllRouted]].
     *
+    * NAMING-SCHEME MIGRATION NOTE: sanitization-altered paths are
+    * hash-suffixed (see [[safeName]]); an earlier scheme wrote them under
+    * the plain sanitized name. An incremental dump into such a baseDir
+    * would silently fork one logical table across two directories, so a
+    * pre-existing directory under the old name — with no directory under
+    * the new one, and no path in THIS dump legitimately owning the old
+    * name — is refused loudly; migrate by renaming the old directory to
+    * the suffixed name printed in the error.
+    *
     * Each table's write executes the shred lineage from the source once;
     * when the source parse is expensive (raw JSON), persist the input
     * DataFrame before [[shred]] so the k writes share one parse.
     */
-  def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] =
+  def dumpAll(spark: SparkSession, tables: Map[String, DataFrame], baseDir: String): Map[String, TableRepo] = {
+    val claimed = tables.keysIterator.map(safeName).toSet
     tables.map { case (path, t) =>
-      val repo = new TableRepo(s"$baseDir/${safeName(path)}", spark)
+      val name = safeName(path)
+      val plain = path.replaceAll("[^A-Za-z0-9_.-]", "_")
+      if (name != plain && !claimed.contains(plain)) {
+        val fs = new org.apache.hadoop.fs.Path(baseDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val legacyDir = new org.apache.hadoop.fs.Path(s"$baseDir/$plain")
+        val newDir = new org.apache.hadoop.fs.Path(s"$baseDir/$name")
+        if (fs.exists(legacyDir) && !fs.exists(newDir))
+          throw new IllegalStateException(
+            s"dumpAll: shred path '$path' now writes to '$name', but '$baseDir/$plain' " +
+              "already exists — likely this table under the pre-hash-suffix naming " +
+              s"scheme. Writing would fork one logical table across two directories. " +
+              s"Rename '$baseDir/$plain' to '$baseDir/$name' if it is this table, or " +
+              "create the new directory explicitly if the old one belongs to a " +
+              "different (clean-named) table.")
+      }
+      val repo = new TableRepo(s"$baseDir/$name", spark)
       repo.extend(t)
       path -> repo
     }
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

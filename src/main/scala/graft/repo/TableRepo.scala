@@ -1045,6 +1045,7 @@ class TableRepo(
     * back to a merged-schema inference read.
     */
   private def readRaw(): DataFrame = {
+    repairFooterRewrites()
     val rd = pinnedSchema match {
       case Some(p) => spark.read.schema(p)
       case None    => spark.read.option("mergeSchema", "true")
@@ -1236,6 +1237,7 @@ class TableRepo(
     * pruned merge already replaced (pending-delete manifest).
     */
   def paths: Seq[String] = {
+    repairFooterRewrites()
     val pend = invisibleFiles()
     listParquetFiles(dataPath).filterNot(pend.contains)
   }
@@ -1350,8 +1352,28 @@ class TableRepo(
     // real money on a repo with many small files (exactly compact's
     // pre-state) — and .kvbak files can only exist where embedMetadata
     // has ever run, which it marks; everyone else pays one exists()
-    if (fs.exists(new Path(footerRewriteMarker))) restoreFooterBackups()
+    repairFooterRewrites()
   }
+
+  /** Restore crashed-embed artifacts and CLEAR the marker once the scan
+    * proves the state clean. The marker now brackets each embed (set
+    * before the first rewrite, cleared after the last backup is gone), so
+    * outside a crash window it does not exist and this gate costs one
+    * `exists()` — cheap enough that READ planning runs it too
+    * ([[readRaw]]/[[paths]]): a crashed embed's staged-aside file lives
+    * only under its invisible `.kvbak` name, and before this gate a
+    * read-only consumer silently missed its rows indefinitely, until some
+    * mutating op happened to run. Taking the write monitor from a read is
+    * transient by the same argument — the marker only exists while an
+    * embed is in flight or after one crashed.
+    */
+  private def repairFooterRewrites(): Unit =
+    if (fs.exists(new Path(footerRewriteMarker))) withWriteLock {
+      if (fs.exists(new Path(footerRewriteMarker))) {
+        restoreFooterBackups() // throws on a failed rename: marker survives
+        fs.delete(new Path(footerRewriteMarker), false): Unit
+      }
+    }
 
   /** A `.pending` manifest whose batch already has its commit marker (or
     * sits below the writer's hwm) is the leftover of a crash between the
@@ -1373,11 +1395,16 @@ class TableRepo(
         .filter(_.getPath.getName.endsWith(".pending"))
         .foreach { m =>
           val bid = m.getPath.getName.stripSuffix(".pending")
-          if (bid.nonEmpty && bid.forall(_.isDigit) &&
-              isBatchCommitted(writerId, bid.toLong)) {
-            fs.delete(m.getPath, false)
-            fs.delete(new Path(batchStaging(writerId, bid.toLong)), true): Unit
-          }
+          // Try, not forall(isDigit) alone: a foreign digit-only name
+          // past Long range would throw here and wedge EVERY mutating op
+          // on the table — the opposite of this sweep's repair intent.
+          // Unparseable manifests are skipped, never fatal.
+          scala.util.Try(bid.toLong).toOption
+            .filter(b => bid.nonEmpty && bid.forall(_.isDigit) && isBatchCommitted(writerId, b))
+            .foreach { b =>
+              fs.delete(m.getPath, false)
+              fs.delete(new Path(batchStaging(writerId, b)), true): Unit
+            }
         }
     }
   }
@@ -1717,13 +1744,22 @@ class TableRepo(
     if (fs.exists(mp)) restoreFooterBackups() // repair a prior crashed embed
     val meta = fullMetadata.map { case (k, v) => (prefix + k, v) }
     if (meta.nonEmpty) {
+      // list the files BEFORE the marker lands: `paths` runs the
+      // marker-gated repair, which would otherwise clear the fresh
+      // marker (and scan for nothing) before the first rewrite
+      val ps = paths
       // the marker lands BEFORE the first rewrite (a crash anywhere in
       // the loop is covered by the gated restore) but ONLY when a rewrite
       // will actually run — an empty-metadata call must not tax every
       // future mutating op with the recursive restore scan for nothing
       if (!fs.exists(mp)) fs.create(mp, true).close()
       val conf = spark.sparkContext.hadoopConfiguration
-      paths.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
+      ps.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
+      // every per-file swap completed and deleted its backup — clearing
+      // the marker here (and in repairFooterRewrites after a clean
+      // restore) keeps it scoped to crash windows, so the read-path
+      // repair gate costs one exists() in steady state
+      fs.delete(mp, false): Unit
     }
   }
 

@@ -121,6 +121,30 @@ class ObjIngestorSpec extends SparkSuite {
     assert(r2("root.a/b").count() == 1)
   }
 
+  test("dumpAll refuses a suffixed path whose legacy-named directory exists unclaimed") {
+    val base = scratch("shred-legacy")
+    // a clean path legitimately owns the un-suffixed directory
+    ObjIngestor.dumpAll(spark, Map("root.a_b" -> Seq(("a", 1L)).toDF("k", "v")), base)
+    // "root.a b" sanitizes to that same name (so it gets hash-suffixed);
+    // dumped ALONE it cannot tell the clean table's directory from its
+    // own pre-suffix legacy directory — forking silently would split one
+    // logical table, so the dump must refuse with migration instructions
+    val ex = intercept[IllegalStateException] {
+      ObjIngestor.dumpAll(spark, Map("root.a b" -> Seq(("x", 9L)).toDF("k", "v")), base)
+    }
+    assert(ex.getMessage.contains("pre-hash-suffix"), ex.getMessage)
+    // dumped together, the clean path CLAIMS the legacy name: no ambiguity
+    val both = ObjIngestor.dumpAll(spark, Map(
+      "root.a b" -> Seq(("x", 9L)).toDF("k", "v"),
+      "root.a_b" -> Seq(("b", 2L)).toDF("k", "v")), base)
+    assert(both("root.a b").count() == 1)
+    assert(both("root.a_b").count() == 2)
+    // once the suffixed directory exists, the lone incremental dump is
+    // unambiguous again and extends in place
+    val again = ObjIngestor.dumpAll(spark, Map("root.a b" -> Seq(("y", 8L)).toDF("k", "v")), base)
+    assert(again("root.a b").count() == 2)
+  }
+
   test("key-map.json merges across incremental dumps instead of overwriting") {
     val base = scratch("shred-routed-incr")
     val t1 = ObjIngestor.shredJson(spark,

@@ -302,6 +302,20 @@ class ExactlyOnceAppendSpec extends SparkSuite {
     assert(!fs.exists(new Path(s"${repo.root}/_graft_ledger/w/1.pending")))
   }
 
+  test("a foreign digit-only .pending name past Long range is skipped, not fatal") {
+    val repo = new TableRepo(scratch("eo-overflow-manifest"), spark)
+    assert(repo.extendExactlyOnce(batch(0, 10), "w", 0L))
+    // 20 digits: passes forall(_.isDigit) but overflows Long — before the
+    // Try-parse the sweep threw NumberFormatException here, wedging EVERY
+    // mutating op on the table until manual cleanup
+    val p = new Path(s"${repo.root}/_graft_ledger/w/99999999999999999999.pending")
+    val out = fs.create(p, true)
+    out.write("/nonexistent-foreign-target\n".getBytes("UTF-8")); out.close()
+    repo.extend(batch(10, 13))
+    assert(repo.count() == 13, "mutating ops proceed past the unparseable manifest")
+    assert(fs.exists(p), "an unparseable foreign manifest is skipped, not deleted")
+  }
+
   test("a corrupt (empty-target) manifest is refused, not 'recovered' into a partial batch") {
     val repo = new TableRepo(scratch("eo-corrupt-manifest"), spark)
     repo.extendExactlyOnce(batch(0, 5), "w", 0L)

@@ -59,22 +59,43 @@ class ParquetMetaSpec extends SparkSuite {
     val repo = new TableRepo(scratch("pmeta-restore"), spark, maxRecordsPerFile = 40)
     repo.extend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"))
     assert(repo.paths.size >= 2)
-    // a real (clean) embed first: it lands the footer-rewrite marker that
-    // tells later mutating ops .kvbak artifacts are possible here (repos
-    // that never embed pay one exists() instead of a recursive scan)
     repo.setMetadata(Map("owner" -> "graft"))
     repo.embedMetadata()
     val f = new Path(repo.paths.head)
     val bak = new Path(f.getParent, s".${f.getName}.kvbak")
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash shape: a later embed staged the original aside and died before
-    // the swap — the data file exists only under the invisible backup name
+    // real crash shape: the data file exists only under the invisible
+    // backup name AND the footer-rewrite marker is still up — embed
+    // creates it before the first rewrite and clears it only after the
+    // last backup is gone, so a crash anywhere in the loop leaves it
     assert(fs.rename(f, bak))
-    assert(repo.count() < 100, "sanity: rows go missing while the backup is orphaned")
+    val marker = new Path(s"${repo.root}/_graft_footer_rewrites")
+    fs.create(marker, true).close()
     repo.extend(Seq((1000L, "extra")).toDF("id", "payload")) // any mutating op repairs
     assert(repo.count() == 101, "restored backup rows plus the appended row")
     assert(!fs.exists(bak))
     assert(fs.exists(f), "the original name is back")
+    assert(!fs.exists(marker), "marker cleared after a clean restore")
+  }
+
+  test("a crashed footer rewrite is repaired by read-only consumers too") {
+    // before the read-path gate, the staged-aside file's rows went
+    // silently missing from getFullDf/count/paths INDEFINITELY — until
+    // some mutating op happened to run
+    val repo = new TableRepo(scratch("pmeta-read-repair"), spark, maxRecordsPerFile = 40)
+    repo.extend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    repo.setMetadata(Map("owner" -> "graft"))
+    repo.embedMetadata()
+    val fs = new Path(repo.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"${repo.root}/_graft_footer_rewrites")
+    assert(!fs.exists(marker), "a clean embed clears its marker")
+    val f = new Path(repo.paths.head)
+    val bak = new Path(f.getParent, s".${f.getName}.kvbak")
+    assert(fs.rename(f, bak))
+    fs.create(marker, true).close()
+    assert(repo.count() == 100, "a pure read restores the orphaned backup")
+    assert(fs.exists(f) && !fs.exists(bak))
+    assert(!fs.exists(marker), "the read's repair clears the marker")
   }
 
   test("embed merges with existing KV, extra wins on collision") {
