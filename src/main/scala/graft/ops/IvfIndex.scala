@@ -49,6 +49,23 @@ object IvfIndex {
   // one monitor per physical root via [[IvfIndex.rootLock]])
   private[ops] def lockFor(qualifiedRoot: String): Object =
     rootLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
+
+  // The batch-vs-swap lock (per qualified root, like the manifest
+  // monitor): ingestion batches hold the READ side for their whole
+  // foreachBatch body — many batches/streams may interleave freely —
+  // while a rebuild's table swap and an index-level compact hold the
+  // WRITE side, so a swap can never run while a batch is mid-flight
+  // (and vice versa). This closes the last serving race the manifest
+  // alone could not: a batch that had already read generation G's
+  // centroids landing its rows into (or being dropped by) generation
+  // G+1's `replaceAll`. Both racers are driver threads in one JVM —
+  // cross-process writers remain excluded by the single-maintainer
+  // contract, same scope as the manifest monitor above.
+  private val rootSwapLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+  private[ops] def swapLockFor(qualifiedRoot: String): java.util.concurrent.locks.ReentrantReadWriteLock =
+    rootSwapLocks.computeIfAbsent(qualifiedRoot,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock)
 }
 
 /** Manifest-pinned lifecycle wrapper over [[IvfRepo]] — closes the one
@@ -82,17 +99,20 @@ object IvfIndex {
   * and top-k windows are byte-identical to [[IvfRepo.probe]]
   * ([[IvfRepo.probeFrames]] is the shared plan).
   *
-  * What the manifest does NOT cover (documented, unchanged from the raw
-  * layout): concurrent [[append]]/[[startAppendStream]] DURING a rebuild
-  * — an in-flight batch could assign against one generation's centroids
-  * and land in the other's assignment version, so ingestion must be
-  * quiesced across the SWAP WINDOW of a rebuild (or the rebuild input
-  * must include the in-flight batches). Both entry points fence the
-  * obvious half of that hazard by refusing to ingest while the manifest
-  * lags the table versions, and [[startAppendStream]] additionally
-  * re-checks the manifest at EVERY micro-batch, failing the stream when
-  * a k-changing rebuild re-pinned it mid-stream — so only batches in
-  * flight during the swap itself remain the operator's problem.
+  * Concurrent ingestion DURING a rebuild is covered by a second, per-root
+  * READ-WRITE lock ([[IvfIndex.swapLockFor]]): every batch body —
+  * [[append]] and each [[startAppendStream]] micro-batch — holds the
+  * shared side for its whole execution, while [[build]]/[[rebuild]]'s
+  * table swap and [[compact]] hold the exclusive side. An in-flight
+  * batch that already read one generation's centroids therefore drains
+  * BEFORE the swap begins (its rows land in the generation it was keyed
+  * to, and a k-changing rebuild's input sees them); a batch arriving
+  * mid-swap queues until the flip, where the per-batch fence fails a
+  * k-change loudly with nothing landed. Both entry points additionally
+  * refuse to ingest while the manifest lags the table versions (a
+  * CRASHED swap, which no lock can cover). Cross-process writers remain
+  * excluded by the single-maintainer contract — the locks close the
+  * in-JVM story, the only place the serving lifecycle puts racers.
   */
 class IvfIndex(val root: String, val spark: SparkSession,
     val snapshotRetention: Int = 1) {
@@ -114,6 +134,31 @@ class IvfIndex(val root: String, val spark: SparkSession,
     */
   private[ops] lazy val rootLock: Object =
     IvfIndex.lockFor(fs.makeQualified(new Path(root)).toString)
+
+  /** The per-root batch-vs-swap read-write lock (see the companion's
+    * scaladoc). Qualified-path keyed for the same reason as [[rootLock]].
+    */
+  private[ops] lazy val swapLock: java.util.concurrent.locks.ReentrantReadWriteLock =
+    IvfIndex.swapLockFor(fs.makeQualified(new Path(root)).toString)
+
+  /** Run `body` holding the SHARED side of the swap lock — ingestion
+    * batches and stats reads, which may interleave with each other but
+    * never with an exclusive table swap.
+    */
+  private def withSharedSwapLock[T](body: => T): T = {
+    val l = swapLock.readLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  /** Run `body` holding the EXCLUSIVE side: a rebuild's table swap or an
+    * index-level compaction. Blocks until every in-flight batch drains;
+    * batches arriving meanwhile queue behind it (and a k-changing swap
+    * then fails them loudly at the per-batch fence).
+    */
+  private def withExclusiveSwapLock[T](body: => T): T = {
+    val l = swapLock.writeLock(); l.lock()
+    try body finally l.unlock()
+  }
 
   /** The manifest-commit rename, alone in a method so specs can drive the
     * failure path (local-filesystem renames essentially never fail, but
@@ -256,14 +301,32 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * survive as grace snapshots), and the atomic manifest rename is the
     * single instant the index generation changes.
     */
-  def build(embs: DataFrame, k: Int, iters: Int,
+  def build(embs: => DataFrame, k: Int, iters: Int,
       trainOn: Option[DataFrame] = None): Manifest = {
-    val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
-    val t = trainOn.fold(e)(d => Ckpt(d.select(col("vec_id"), col("embedding"))))
+    // The TRAINING snapshot materializes eagerly OUTSIDE the exclusive
+    // lock: the Lloyd iterations are the long part of a rebuild, and
+    // holding the swap lock across them would quiesce live ingestion for
+    // the whole retrain. Training on a corpus snapshot that misses a
+    // batch draining meanwhile only nudges the centroids; ASSIGNMENT
+    // completeness is what correctness needs, and that is handled below.
+    val t = Ckpt(trainOn.getOrElse(embs).select(col("vec_id"), col("embedding")))
     val c = Ckpt(Ivf.train(t, k, iters))
-    cent.replaceAll(c)
-    asg.replaceAll(Ivf.assign(e, c))
-    commitManifest(k)
+    withExclusiveSwapLock {
+      // `embs` is BY-NAME and re-evaluated HERE, inside the exclusive
+      // lock — deliberately: a parquet read snapshots its file listing
+      // when the plan is CONSTRUCTED, so a pre-lock corpus plan (or the
+      // training checkpoint above) would silently drop any ingestion
+      // batch that committed between construction and the swap. Every
+      // batch holds the shared side for its whole body, so by the time
+      // this expression constructs its plan all drained batches are
+      // listed and none can land mid-swap. A caller whose `embs`
+      // expression reads the live corpus (e.g. the index's own
+      // assignment table) therefore gets zero-dropped-rows by
+      // construction.
+      cent.replaceAll(c)
+      asg.replaceAll(Ivf.assign(embs.select(col("vec_id"), col("embedding")), c))
+      commitManifest(k)
+    }
   }
 
   /** Lifecycle alias of [[build]]: with the manifest, an in-place retrain
@@ -271,7 +334,7 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * fencing, any k. `trainOn` bounds the Lloyd input as in
     * [[IvfRepo.build]] (sampled training, full assignment).
     */
-  def rebuild(embs: DataFrame, k: Int, iters: Int,
+  def rebuild(embs: => DataFrame, k: Int, iters: Int,
       trainOn: Option[DataFrame] = None): Manifest =
     build(embs, k, iters, trainOn)
 
@@ -321,7 +384,7 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * grace version out from under any concurrent probe — recovery only
     * lands the manifest flip the crash lost, touching no table files.
     */
-  def compact(targetRecordsPerFile: Long): Manifest = {
+  def compact(targetRecordsPerFile: Long): Manifest = withExclusiveSwapLock {
     val m = manifest.getOrElse(throw new IllegalStateException(
       s"no IVF manifest under $root — build() before compact"))
     require(m.centVersion == cent.snapshotVersions.max,
@@ -350,7 +413,7 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * the pinned assignment version — visible to the next probe at the
     * same pruned cost, no manifest flip needed.
     */
-  def append(newVecs: DataFrame): Unit = {
+  def append(newVecs: DataFrame): Unit = withSharedSwapLock {
     requireCurrent("append"): Unit
     IvfRepo.append(newVecs, cent, asg)
   }
@@ -369,11 +432,12 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * against the new generation (the restart's start-fence sees a
     * current manifest and the checkpoint resumes exactly-once). A
     * same-k rebuild is still picked up gracefully at the next
-    * micro-batch (centroids re-read per batch). What remains on the
-    * operator (class doc): batches IN FLIGHT while the rebuild's table
-    * swap runs assign against one generation and can be dropped by its
-    * `replaceAll` — quiesce across the swap, or feed the rebuild the
-    * in-flight input; the fence bounds the damage to that one window.
+    * micro-batch (centroids re-read per batch). Batches IN FLIGHT while
+    * a rebuild swaps are excluded by construction: each micro-batch body
+    * holds the shared side of the per-root swap lock (class doc), so the
+    * rebuild's exclusive swap waits for the batch's ledger commit and no
+    * batch can assign against one generation and be dropped by the
+    * other's `replaceAll` — no operator quiescing required at all.
     *
     * `compactEvery` is safe HERE (unlike on the raw [[IvfRepo]] path):
     * each mid-stream compaction re-pins the manifest through the sink's
@@ -391,6 +455,14 @@ class IvfIndex(val root: String, val spark: SparkSession,
     val k0 = requireCurrent("startAppendStream").k
     IvfRepo.startAppendStream(stream, cent, asg, checkpointDir,
       trigger = trigger, writerId = writerId, compactEvery = compactEvery,
+      // the WHOLE batch body (fence, assignment, ledger commit, in-batch
+      // compaction) runs under the shared side of the swap lock: a
+      // rebuild's exclusive table swap waits for the batch to drain, and
+      // a batch arriving mid-swap queues until the flip completes — then
+      // the k fence below converts a k-change into a loud failure. This
+      // closes the in-flight-batch window that used to be the operator's
+      // problem (quiesce-across-the-swap).
+      around = f => withSharedSwapLock(f()),
       onBatch = () => {
         val m = manifest.getOrElse(throw new IllegalStateException(
           s"manifest vanished under $root during streamed ingestion"))
@@ -432,7 +504,7 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * When the fence passes, current == pinned, so the stats read exactly
     * the generation probes serve.
     */
-  def driftStats: IvfRepo.DriftStats = {
+  def driftStats: IvfRepo.DriftStats = withSharedSwapLock {
     requireCurrent("driftStats"): Unit
     IvfRepo.driftStats(cent, asg)
   }
@@ -454,7 +526,7 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * thresholds would mis-fire across generations — [[build]] re-anchors
     * automatically. Defaults are the study's operating point.
     */
-  def needsRebuild(occFactor: Double = 2.5, cosDropFrac: Double = 0.05): Boolean = {
+  def needsRebuild(occFactor: Double = 2.5, cosDropFrac: Double = 0.05): Boolean = withSharedSwapLock {
     val m = requireCurrent("needsRebuild") // mid-swap stats would mix generations
     val b = m.baseline.getOrElse(throw new IllegalStateException(
       s"manifest under $root carries no drift baseline (written by a pre-baseline " +

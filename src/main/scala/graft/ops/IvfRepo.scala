@@ -122,14 +122,15 @@ object IvfRepo {
         org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       writerId: String = "", compactEvery: Int = 0,
       onCompact: () => Unit = () => (),
-      onBatch: () => Unit = () => ())
+      onBatch: () => Unit = () => (),
+      around: (() => Unit) => Unit = f => f())
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.RepoSink.start(stream, asgRepo, checkpointDir,
       trigger = trigger, exactlyOnce = true, writerId = writerId,
       compactEvery = compactEvery,
       transform = b =>
         Ivf.assign(b.select(col("vec_id"), col("embedding")), centRepo.getFullDf),
-      onCompact = onCompact, onBatch = onBatch)
+      onCompact = onCompact, onBatch = onBatch, around = around)
 
   /** Rebuild-trigger observables, computed from the index AT REST — no
     * probes, no brute-force recall, no retrain. Under [[append]]-only

@@ -99,20 +99,28 @@ object RepoSink {
       compactTargetRecords: Long = 1000000L,
       transform: DataFrame => DataFrame = identity,
       onCompact: () => Unit = () => (),
-      onBatch: () => Unit = () => ()): StreamingQuery = {
+      onBatch: () => Unit = () => (),
+      around: (() => Unit) => Unit = f => f()): StreamingQuery = {
     val wid = resolveWriterId(repo, checkpointDir, writerId, exactlyOnce)
     val writer: DataStreamWriter[org.apache.spark.sql.Row] = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
-        onBatch()
-        val batch = transform(raw)
-        if (replace) repo.replaceRecords(batch)
-        else if (exactlyOnce) { repo.extendExactlyOnce(batch, wid, batchId): Unit }
-        else repo.extend(batch)
-        if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
-          repo.compact(compactTargetRecords)
-          onCompact()
+        // `around` brackets the WHOLE batch body (fence, transform, land,
+        // in-batch compaction) — the hook a sink owner uses to hold a
+        // shared lock across the batch so a concurrent exclusive swap
+        // (e.g. IvfIndex.rebuild's table flip) can never interleave with
+        // an executing batch. Default is a plain call.
+        around { () =>
+          onBatch()
+          val batch = transform(raw)
+          if (replace) repo.replaceRecords(batch)
+          else if (exactlyOnce) { repo.extendExactlyOnce(batch, wid, batchId): Unit }
+          else repo.extend(batch)
+          if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1)) {
+            repo.compact(compactTargetRecords)
+            onCompact()
+          }
         }
       }
     writer.start()

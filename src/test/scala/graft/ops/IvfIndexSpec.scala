@@ -611,4 +611,130 @@ class IvfIndexSpec extends SparkSuite {
     val ex = intercept[IllegalStateException] { idx.probe(q, 2, 5) }
     assert(ex.getMessage.contains("no IVF manifest"))
   }
+
+  test("a rebuild fired mid-batch waits for the batch's ledger commit (swap-lock barrier)") {
+    import java.util.concurrent.TimeUnit
+    import org.apache.spark.sql.streaming.Trigger
+    val e = embs8(40)
+    val idx = new IvfIndex(scratch("ivfidx-barrier"), spark)
+    idx.build(e.filter(col("vec_id") < 32), 4, 2)
+    val m0 = idx.manifest.get
+    val srcDir = scratch("ivfidx-barrier-src")
+    val ckptDir = scratch("ivfidx-barrier-ckpt")
+    new java.io.File(srcDir).mkdirs() // readStream refuses a missing path
+    // a stream whose batch TASKS block on a latch: the foreachBatch body
+    // holds the shared side of the swap lock for its whole execution, so
+    // while the tasks are stalled the batch is provably mid-flight
+    IvfIndexSpec.resetBarrier()
+    val gate = udf { (id: Long) =>
+      IvfIndexSpec.batchStarted.countDown()
+      IvfIndexSpec.batchRelease.await(120, TimeUnit.SECONDS)
+      true
+    }
+    val sq = idx.startAppendStream(
+      spark.readStream.schema(e.schema).parquet(srcDir).filter(gate(col("vec_id"))),
+      ckptDir, trigger = Trigger.ProcessingTime("50 milliseconds"))
+    var rebuildThread: Thread = null
+    try {
+      e.filter(col("vec_id") >= 32).write.mode("append").parquet(srcDir)
+      assert(IvfIndexSpec.batchStarted.await(60, TimeUnit.SECONDS),
+        "the gated batch must start executing")
+      // mid-batch: fire a same-k rebuild whose corpus is the LIVE table —
+      // the swap must wait for the batch to drain, then include its rows
+      @volatile var rebuildErr: Throwable = null
+      rebuildThread = new Thread(() => {
+        try idx.rebuild(idx.asg.getFullDf.select(col("vec_id"), col("embedding")), 4, 2)
+        catch { case t: Throwable => rebuildErr = t }
+      })
+      rebuildThread.start()
+      // while the batch is stalled, the swap must not land: the manifest
+      // stays at generation 0 however long we watch. (If training is
+      // still running when the window closes the check is vacuous but
+      // never false — only a genuine mid-batch swap can fail it.)
+      val deadline = System.nanoTime() + 3000L * 1000 * 1000
+      while (System.nanoTime() < deadline) {
+        assert(idx.manifest.contains(m0),
+          "the rebuild's swap landed while a batch was mid-flight")
+        Thread.sleep(50)
+      }
+      IvfIndexSpec.batchRelease.countDown()
+      sq.processAllAvailable()
+      rebuildThread.join(120000)
+      assert(!rebuildThread.isAlive, "rebuild must complete once the batch drains")
+      assert(rebuildErr == null, s"rebuild failed: $rebuildErr")
+    } finally {
+      IvfIndexSpec.batchRelease.countDown() // idempotent; frees a failed run
+      sq.stop()
+      if (rebuildThread != null) rebuildThread.join(120000)
+    }
+    // zero dropped rows: the batch committed BEFORE the swap, so the
+    // rebuild's under-lock corpus read saw its rows — all 40 survive,
+    // each exactly once, carrying the REBUILT generation's assignments
+    assert(!idx.manifest.contains(m0), "the rebuild re-pinned a new generation")
+    val landed = idx.asg.getFullDf.select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(landed.map(_._1).sorted == (0L until 40L), s"expected all 40 rows once, got ${landed.size}")
+    val fresh = Ivf.assign(e, idx.cent.getFullDf)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(landed.forall { case (v, c) => fresh(v) == c },
+      "every row carries the rebuilt generation's assignment")
+  }
+
+  test("zero dropped rows across 20 rounds of append racing a k-alternating rebuild") {
+    val n = 32 + 20 * 4
+    val all = embs8(n)
+    val idx = new IvfIndex(scratch("ivfidx-race20"), spark)
+    idx.build(all.filter(col("vec_id") < 32), 4, 2)
+    val rnd = new scala.util.Random(20)
+    for (r <- 0 until 20) {
+      val lo = 32 + r * 4
+      val batch = all.filter(col("vec_id") >= lo && col("vec_id") < lo + 4)
+      val k = if (r % 2 == 0) 5 else 4 // alternate so every rebuild is k-changing
+      @volatile var err: Throwable = null
+      val appender = new Thread(() => {
+        try { Thread.sleep(rnd.nextInt(120).toLong); idx.append(batch) }
+        catch { case t: Throwable => err = t }
+      })
+      val rebuilder = new Thread(() => {
+        try {
+          Thread.sleep(rnd.nextInt(120).toLong)
+          idx.rebuild(idx.asg.getFullDf.select(col("vec_id"), col("embedding")), k, 2)
+        } catch { case t: Throwable => err = t }
+      })
+      appender.start(); rebuilder.start()
+      appender.join(180000); rebuilder.join(180000)
+      assert(!appender.isAlive && !rebuilder.isAlive, s"round $r wedged")
+      if (err != null) throw new AssertionError(s"round $r failed", err)
+      // the serialization invariant: whichever order the lock imposed,
+      // every row ingested so far is present exactly once — the rebuild
+      // either waited for the append (live-table corpus includes it) or
+      // preceded it (the append lands into the rebuilt generation)
+      val ids = idx.asg.getFullDf.select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == (0L until (lo + 4).toLong),
+        s"round $r: expected ${lo + 4} distinct rows, got ${ids.size} (${ids.distinct.size} distinct)")
+    }
+    // rows appended after the final rebuild were assigned against the
+    // final centroids, rebuilt rows by the final replaceAll — so the
+    // whole table must agree with a fresh assignment
+    val fresh = Ivf.assign(all, idx.cent.getFullDf)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val landed = idx.asg.getFullDf.select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(landed.forall { case (v, c) => fresh(v) == c },
+      "no row may carry a superseded generation's assignment")
+  }
+}
+
+object IvfIndexSpec {
+  // latches for the swap-lock barrier test: static so the blocking udf's
+  // executor-side tasks (same JVM under local[*]) can reach them
+  @volatile var batchStarted: java.util.concurrent.CountDownLatch = _
+  @volatile var batchRelease: java.util.concurrent.CountDownLatch = _
+  def resetBarrier(): Unit = {
+    batchStarted = new java.util.concurrent.CountDownLatch(1)
+    batchRelease = new java.util.concurrent.CountDownLatch(1)
+  }
 }
