@@ -225,7 +225,37 @@ class TableRepo(
     * leaves a claim without a commit — readers never see it (no marker)
     * and later writers just skip the number; `purge()` sweeps both.
     */
-  private def commitNewVersion(write: String => Unit): Unit = {
+  /** With `guardSource = true` (content-preserving rewrites: compact,
+    * schema backfill) the commit is guarded against CROSS-PROCESS
+    * appenders: the current version's visible-file set is snapshotted
+    * right after the claim, `write` must list its source AFTER that
+    * snapshot (its plan is constructed inside the callback), and right
+    * before the commit marker the set is re-listed — files landed since
+    * (a concurrent extend in another process; same-process writers are
+    * serialized by the write monitor) ABORT this attempt, which deletes
+    * its target and claim and retries with a fresh listing. Without the
+    * guard, every file an external appender landed during the rewrite
+    * job was silently absent from the committed version even though the
+    * append had already reported success — a silent-loss window as wide
+    * as the rewrite job. The residual window is the re-list→marker gap
+    * (two metadata ops, ~ms): see SCALE.md "Cross-process contracts".
+    */
+  private def commitNewVersion(write: String => Unit, guardSource: Boolean = false): Unit = {
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      attempt += 1
+      if (attempt > TableRepo.MaxGuardedRewriteAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"content-preserving rewrite under $root aborted ${attempt - 1} times: external " +
+            "appenders keep landing files mid-rewrite; quiesce them or run maintenance " +
+            "from the single writer that owns the table")
+      committed = commitNewVersionOnce(write, guardSource)
+    }
+  }
+
+  /** One [[commitNewVersion]] attempt; false = guarded abort (retry). */
+  private def commitNewVersionOnce(write: String => Unit, guardSource: Boolean): Boolean = {
     val prior = committedVersions
     // SEAL the outgoing current dir's reader schema before the swap: a
     // time-travel read of the grace version must see the schema its data
@@ -256,7 +286,22 @@ class TableRepo(
     }
     val target = s"$root/data-v$next"
     fs.delete(new Path(target), true) // leftover of our own failed predecessor job
+    // the guard snapshot comes AFTER the claim, and `write`'s source plan
+    // is constructed after this line — so its content is a superset of
+    // this set, and any file missing from it is caught by the re-list
+    val preFiles = if (guardSource) visibleFiles().toSet else Set.empty[String]
     write(target)
+    if (guardSource && visibleFiles().toSet != preFiles) {
+      // an external appender landed (or a crashed batch's replay surfaced)
+      // files mid-rewrite: committing would silently drop them — abort
+      // this attempt and retry against a fresh listing
+      fs.delete(new Path(target), true)
+      fs.delete(new Path(s"$root/_graft_claim-v$next"), false)
+      org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+        s"guarded rewrite of $root aborted: the source file set changed during the " +
+          "rewrite job (external appender); retrying with a fresh listing")
+      return false
+    }
     fs.create(new Path(s"$target/_GRAFT_COMMIT"), true).close()
     // Readers resolve the HIGHEST committed version: if a concurrent
     // rewrite claimed a higher number and committed before us, our rewrite
@@ -270,6 +315,50 @@ class TableRepo(
     // grace versions time travel can reach); the legacy plain `data` dir
     // acts as the oldest link of the chain (version -1)
     dropOldSnapshots(prior, snapshotRetention)
+    true
+  }
+
+  /** The current version's reader-visible data files: the raw listing
+    * minus crashed-artifact exclusions — the exact set a content-
+    * preserving rewrite must carry forward, hence the guard currency in
+    * [[commitNewVersionOnce]].
+    */
+  private def visibleFiles(): Seq[String] = {
+    // the recursive walk can race a CONCURRENT writer's committer (its
+    // `_temporary` task files vanish between list and stat, and local
+    // FileSystem throws FileNotFound mid-iteration) — exactly the
+    // situation the guard exists for; retry until a walk completes
+    // (bounded: each retry means the set changed, which the guard's
+    // compare handles anyway)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val pend = invisibleFiles()
+        // a manual walk that NEVER DESCENDS into hidden dirs: a foreign
+        // committer's `_temporary` task files flicker (listed, then gone
+        // before the stat — local FS throws from deep inside the
+        // LocatedFileStatus iterator), and they are not content anyway —
+        // Spark's reads filter hidden segments identically
+        val out = mutable.ArrayBuffer[String]()
+        def walk(dir: Path): Unit =
+          fs.listStatus(dir).foreach { st =>
+            val n = st.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".")) {
+              if (st.isDirectory) walk(st.getPath)
+              else if (n.endsWith(".parquet")) out += st.getPath.toString
+            }
+          }
+        val dp = new Path(dataPath)
+        if (fs.exists(dp)) walk(dp)
+        return out.toSeq.filterNot(pend.contains)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= 10) throw e
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Delete every superseded snapshot older than the newest `keep` of
@@ -448,7 +537,9 @@ class TableRepo(
           val widened = StructType(pinned.fields ++ newFields)
           if (exists) {
             // Backfill rewrite of all existing files (core.py:411-421).
-            writeData(harmonize(readRaw(), widened), overwrite = true)
+            // Content-preserving, so the cross-process source guard
+            // applies (the by-name plan lists after the version claim).
+            writeData(harmonize(readRaw(), widened), overwrite = true, guardSource = true)
           }
           pinSchema(widened)
           widened
@@ -469,9 +560,14 @@ class TableRepo(
     * it is reading). Dynamic variant rewrites only partitions present in
     * `df` (the reference's `replace_groups`, core.py:153-155).
     */
-  private def writeData(dfIn: DataFrame, overwrite: Boolean, dynamic: Boolean = false,
-      alreadyStaged: Boolean = false): Unit = {
-    val df = clustered(routeToBuckets(withLayout(dfIn)))
+  private def writeData(dfIn: => DataFrame, overwrite: Boolean, dynamic: Boolean = false,
+      alreadyStaged: Boolean = false, guardSource: Boolean = false): Unit = {
+    // `dfIn` is BY-NAME and `df` a def: for guarded snapshot rewrites the
+    // plan (and its parquet file listing) must be constructed INSIDE
+    // commitNewVersion's callback — after the version claim — or the
+    // source-guard re-list could not vouch for it (each branch below
+    // references `df` exactly once, so nothing is built twice)
+    def df = clustered(routeToBuckets(withLayout(dfIn)))
     if (!overwrite) {
       val target = dataPath
       configuredWriter(df, "append").parquet(target)
@@ -490,12 +586,12 @@ class TableRepo(
       // snapshot swap: the replacement lands in a fresh version dir, so
       // the input plan may freely read the current one (different paths —
       // no "cannot overwrite a path being read from", no staging copy)
-      commitNewVersion { target =>
+      commitNewVersion({ target =>
         var w = df.write.mode("overwrite")
         if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
         if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
         w.parquet(target)
-      }
+      }, guardSource = guardSource)
     }
   }
 
@@ -617,28 +713,31 @@ class TableRepo(
     val n = count()
     if (n == 0) return
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-    // readLayout surfaces the bucket column from the partition DIRECTORIES
-    // (free) instead of re-running md5 over every row
-    val base = readLayout()
-    // partitioned layouts rebalance BY the layout cols so each partition
-    // dir is written by one task (round-robin would cross every task with
-    // every dir: parts x dirs small files — the opposite of compaction)
-    val (keyed, sortCols) = clusterKeyed(base)
-    val rebalanced0 =
-      if (layoutCols.nonEmpty) keyed.repartition(parts, layoutCols.map(col): _*)
-      else if (sortCols.nonEmpty) keyed.repartitionByRange(parts, sortCols.map(col): _*)
-      else keyed.repartition(parts)
-    // compaction preserves the clustering contract: rewritten files keep
-    // narrow min-max ranges (or compact z-order boxes) on the cluster cols
-    val rebalanced =
-      if (sortCols.isEmpty) rebalanced0
-      else rebalanced0.sortWithinPartitions((layoutCols ++ sortCols).map(col): _*).drop(zColName)
-    commitNewVersion { target =>
+    // the whole content plan is constructed INSIDE the guarded callback —
+    // after the version claim — so its parquet listing is one the guard's
+    // re-list can vouch for (`n`/`parts` above are sizing hints only)
+    commitNewVersion({ target =>
+      // readLayout surfaces the bucket column from the partition DIRECTORIES
+      // (free) instead of re-running md5 over every row
+      val base = readLayout()
+      // partitioned layouts rebalance BY the layout cols so each partition
+      // dir is written by one task (round-robin would cross every task with
+      // every dir: parts x dirs small files — the opposite of compaction)
+      val (keyed, sortCols) = clusterKeyed(base)
+      val rebalanced0 =
+        if (layoutCols.nonEmpty) keyed.repartition(parts, layoutCols.map(col): _*)
+        else if (sortCols.nonEmpty) keyed.repartitionByRange(parts, sortCols.map(col): _*)
+        else keyed.repartition(parts)
+      // compaction preserves the clustering contract: rewritten files keep
+      // narrow min-max ranges (or compact z-order boxes) on the cluster cols
+      val rebalanced =
+        if (sortCols.isEmpty) rebalanced0
+        else rebalanced0.sortWithinPartitions((layoutCols ++ sortCols).map(col): _*).drop(zColName)
       var w = rebalanced.write.mode("overwrite")
         .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
       if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
       w.parquet(target)
-    }
+    }, guardSource = true)
   }
 
   /** Overwrite everything (core.py:157-160). */
@@ -1806,6 +1905,13 @@ object TableRepo {
     * above this the merge uses a distributed semi-join instead.
     */
   val MaxPartitionPredicateLiterals: Int = 512
+
+  /** Attempts a source-guarded rewrite makes before concluding external
+    * appenders will never let it commit (each abort means the visible
+    * file set changed during the rewrite job — legitimate concurrent
+    * ingestion, so the failure names the fix: quiesce or single-writer).
+    */
+  val MaxGuardedRewriteAttempts: Int = 5
 
   /** Partition-dir value types whose `toString` matches Spark's writer-side
     * dir rendering exactly (dates render ISO `yyyy-MM-dd`). Timestamps,

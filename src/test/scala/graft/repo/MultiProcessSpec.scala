@@ -1,0 +1,245 @@
+package graft.repo
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Cross-PROCESS concurrency: a REAL second JVM (own SparkSession, no
+  * shared monitors) hammering the same table root as this suite's
+  * session. The reference's whole concurrency story was process-pool
+  * named locks (core.py:18, tests/test_parallel.py:14-38); graft's is
+  * lock-free claim-then-commit, and until this spec it was tested
+  * in-process only. What must hold without any shared JVM state:
+  *
+  *  - concurrent appenders lose nothing (pure file addition under
+  *    unique committer names);
+  *  - racing full rewrites claim DISTINCT version numbers (atomic
+  *    CREATE_NEW) and never clobber each other's dirs;
+  *  - an append landing DURING another process's compact is either
+  *    carried into the compacted version (source-guard re-list) or the
+  *    compact aborts and retries — never silently dropped (the pre-r16
+  *    behavior lost every file landed during the rewrite job);
+  *  - a foreign writer's exactly-once ledger replays cleanly under this
+  *    process's sweeps.
+  */
+class MultiProcessSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Spawn `MultiProcessChild` in a fresh JVM with this JVM's classpath.
+    * Returns the process; stdout/stderr stream to files for post-mortem.
+    */
+  private def spawnChild(log: String, args: String*): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.repo.MultiProcessChild") ++ args)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(new java.io.File(log + ".out"))
+    pb.redirectErrorStream(false)
+    pb.redirectError(new java.io.File(log + ".err"))
+    pb.start()
+  }
+
+  private def awaitExit(p: Process, log: String, seconds: Long = 300): Unit = {
+    assert(p.waitFor(seconds, java.util.concurrent.TimeUnit.SECONDS), {
+      p.destroyForcibly(); s"child JVM did not finish within ${seconds}s"
+    })
+    assert(p.exitValue() == 0, {
+      val err = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(log + ".err")), "UTF-8")).getOrElse("<no stderr>")
+      s"child JVM exited ${p.exitValue()}; stderr tail:\n${err.takeRight(4000)}"
+    })
+  }
+
+  test("a second JVM appending while this one compacts: zero lost rows, distinct version claims") {
+    val root = scratch("mp-churn")
+    val repo = new TableRepo(root, spark)
+    repo.extend((0L until 100L).toDF("id").withColumn("src", lit("seed")))
+
+    // child: 10 batches of 50 rows (ids 100000+), retrying on the loud
+    // concurrent-rewrite failure, a short pause between batches
+    val log = scratch("mp-churn-log")
+    val child = spawnChild(log, root, "extend", "100000", "10", "50", "400")
+    // parent: compact repeatedly while the child appends — each compact
+    // either carries every landed file forward, aborts-and-retries on the
+    // source-guard, or (under relentless appending) fails LOUDLY as
+    // starved; what it must never do is commit a version that silently
+    // drops a landed file
+    var raced = 0
+    var starved = 0
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (child.isAlive && System.nanoTime() < deadline) {
+      try { repo.compact(1000000L); raced += 1 }
+      catch { case _: java.util.ConcurrentModificationException => starved += 1 }
+      Thread.sleep(150)
+    }
+    awaitExit(child, log)
+    assert(raced + starved >= 2,
+      s"the race needs compacts attempted mid-append, got $raced ok + $starved starved")
+    // once the appender quiesces, compaction must go through
+    repo.compact(1000000L)
+
+    // zero lost rows: every row either process reported committed is here
+    val ids = repo.getFullDf.select(col("id")).collect().map(_.getLong(0)).sorted
+    val expected = ((0L until 100L) ++ (100000L until 100500L)).toArray.sorted
+    assert(ids.length == expected.length && ids.sameElements(expected),
+      s"lost/duplicated rows: got ${ids.length}, expected ${expected.length} " +
+        s"(missing: ${expected.diff(ids).take(10).toSeq}, extra: ${ids.diff(expected).take(10).toSeq})")
+
+    // exactly one claim per committed version number, and no committed
+    // version dir without its claim (the atomic CREATE_NEW worked across
+    // the two processes — two racers never blessed one dir)
+    val claims = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_claim-v")).map(_.stripPrefix("_graft_claim-v").toInt).toSet
+    val committed = repo.snapshotVersions.toSet
+    assert(committed.subsetOf(claims),
+      s"committed versions $committed must all carry claims (claims: $claims)")
+  }
+
+  test("racing full rewrites from two JVMs: highest claim wins, content is one writer's, never interleaved") {
+    val root = scratch("mp-rewrite")
+    val repo = new TableRepo(root, spark)
+    repo.extend((0L until 50L).toDF("id").withColumn("src", lit("seed")))
+    val log = scratch("mp-rewrite-log")
+    // child replaces all content 8 times with its own marker rows
+    val child = spawnChild(log, root, "replace", "200000", "8", "40", "30")
+    // parent does the same, racing the child's claims
+    for (_ <- 0 until 8) {
+      retryLoud(repo.replaceAll((0L until 60L).toDF("id").withColumn("src", lit("parent"))))
+      Thread.sleep(60)
+    }
+    awaitExit(child, log)
+    // whatever committed last, the table is EXACTLY one writer's content —
+    // a torn state (mix of parent and child rows) means a clobbered dir
+    val srcs = repo.getFullDf.select(col("src")).distinct().collect().map(_.getString(0)).toSet
+    assert(srcs.size == 1 && srcs != Set("seed"),
+      s"table must hold exactly one rewriter's content, got sources $srcs")
+    val n = repo.count()
+    assert(n == 60 || n == 40, s"content must be one full rewrite, got $n rows")
+  }
+
+  test("a foreign writer's exactly-once ledger survives this process's sweeps and replays") {
+    val root = scratch("mp-ledger")
+    val repo = new TableRepo(root, spark)
+    repo.extend((0L until 20L).toDF("id").withColumn("src", lit("seed")))
+    val log = scratch("mp-ledger-log")
+    // child lands 6 exactly-once batches then REPLAYS them all (as a
+    // restarted stream would); parent keeps running mutating ops whose
+    // head-of-op sweeps must not eat the foreign in-flight protocol
+    val child = spawnChild(log, root, "eo", "300000", "6", "25", "50")
+    while (child.isAlive) {
+      repo.extend(Seq((-1L, "parent")).toDF("id", "src"))
+      Thread.sleep(100)
+    }
+    awaitExit(child, log)
+    val childRows = repo.getFullDf.filter(col("id") >= 300000L).count()
+    assert(childRows == 6 * 25,
+      s"every exactly-once batch lands exactly once across processes, got $childRows")
+  }
+
+  /** Retry the loud cross-process failure modes (superseded in-place
+    * write, guarded-rewrite starvation) — the documented caller contract.
+    */
+  private def retryLoud[T](body: => T, attempts: Int = 6): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          left -= 1
+          if (left == 0) throw e
+          Thread.sleep(100)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Child-JVM main driven by [[MultiProcessSpec]]: its own SparkSession
+  * against the SAME table root as the parent suite — no shared monitors,
+  * the real cross-process shape. args: root mode idBase batches rowsPerBatch pauseMs.
+  */
+object MultiProcessChild {
+  def main(args: Array[String]): Unit = {
+    val Array(root, mode, idBaseS, batchesS, rowsS, pauseS) = args
+    val idBase = idBaseS.toLong
+    val batches = batchesS.toInt
+    val rows = rowsS.toLong
+    val pause = pauseS.toLong
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-mp-child")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val repo = new TableRepo(root, spark)
+
+    def retry[T](body: => T): T = {
+      var left = 8
+      while (true) {
+        try return body
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            left -= 1
+            if (left == 0) throw e
+            Thread.sleep(100)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    mode match {
+      case "extend" =>
+        for (b <- 0 until batches) {
+          val lo = idBase + b * rows
+          retry(repo.extend((lo until lo + rows).toDF("id").withColumn("src", lit("child"))))
+          println(s"CHILD EXTENDED $b")
+          Thread.sleep(pause)
+        }
+      case "replace" =>
+        for (b <- 0 until batches) {
+          retry(repo.replaceAll(
+            (idBase until idBase + rows).toDF("id").withColumn("src", lit("child"))))
+          println(s"CHILD REPLACED $b")
+          Thread.sleep(pause)
+        }
+      case "eo" =>
+        for (b <- 0 until batches) {
+          val lo = idBase + b * rows
+          val df = (lo until lo + rows).toDF("id").withColumn("src", lit("child"))
+          retry(repo.extendExactlyOnce(df, "mp-child-writer", b.toLong))
+          Thread.sleep(pause)
+        }
+        // a restarted stream replays every batch: all must be dropped as
+        // already-committed, across processes
+        for (b <- 0 until batches) {
+          val lo = idBase + b * rows
+          val df = (lo until lo + rows).toDF("id").withColumn("src", lit("child"))
+          val landed = retry(repo.extendExactlyOnce(df, "mp-child-writer", b.toLong))
+          if (landed) { System.err.println(s"REPLAYED BATCH $b LANDED TWICE"); sys.exit(3) }
+        }
+        println("CHILD EO DONE")
+      case other =>
+        System.err.println(s"unknown mode $other"); sys.exit(2)
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}
