@@ -36,11 +36,19 @@ def load(path):
     arrays = {}
     for k, v in re.findall(r'"(q_\w+)":(\[[0-9.,\-]*\])', txt):
         arrays[k] = json.loads(v)  # later (raw) fragment wins over kept
-    if not arrays:
+    # scalar fragments: whichever of the queries / queries_min maps the
+    # truncation window caught (later in the line wins = queries_min)
+    scalars = {}
+    for k, v in re.findall(r'"(q_\w+)":(-?\d+(?:\.\d+)?)(?=[,}])', txt):
+        scalars[k] = float(v)
+    if not arrays and not scalars:
         raise SystemExit(f"no bench line found in {path}")
     raw = {k: v for k, v in arrays.items() if v}
     med = {k: sorted(v)[len(v) // 2] for k, v in raw.items()}
-    out = {"value": sum(med.values()), "queries": med, "rep_times_raw": raw}
+    for k, v in scalars.items():
+        med.setdefault(k, v)
+    out = {"value": sum(med.values()), "queries": med, "rep_times_raw": raw,
+           "queries_min": scalars or None}
     for field in ("sweep_load", "sweep_ts"):
         fm = re.search(r'"%s":(\[[0-9.,\-]*\])' % field, txt)
         if fm:
