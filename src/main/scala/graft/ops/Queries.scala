@@ -2499,10 +2499,12 @@ object Queries {
     // touching a new corpus drop: per-column null and exact distinct
     // counts plus the row total, one row per column. Spark shape: ONE
     // scan into one aggregate; the multi-distinct aggregate plans as a
-    // single Expand(×columns) pass — the standard exact strategy. At
-    // 100 TB the drop-in scale path is approx_count_distinct (HLL, no
-    // Expand), traded here for oracle-exact counts. Timestamps profile
-    // at µs grain on both engines (ns truncation, see class doc).
+    // single Expand(×columns) pass — the standard exact strategy. The
+    // 100 TB drop-in is CODE, not a comment: `Queries.profile(s, d,
+    // approx = true)` swaps in approx_count_distinct (HLL++, no Expand);
+    // ProfileApproxSpec pins its <5% relative error against this exact
+    // oracle mode at sf0.1. Timestamps profile at µs grain on both
+    // engines (ns truncation, see class doc).
     Q("q_profile", Some {
       val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
       val aggs = cols.map { c =>
@@ -2515,20 +2517,7 @@ object Queries {
       s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events),
          | a AS (SELECT count(*) AS n_rows, $aggs FROM e)
          | $rows""".stripMargin.replaceAll("\n", "")
-    }) { (s, d) =>
-      val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
-      val e = eventsUs(s, d).select(col("event_id"), col("ts_us"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
-      val aggCols = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
-        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-          countDistinct(col(c)).as(s"nd_$c"))
-      }
-      val stackArgs = cols.zipWithIndex
-        .map { case (c, i) => s"CAST($i AS BIGINT), '$c', n_rows, nn_$c, nd_$c" }
-        .mkString(", ")
-      e.agg(aggCols.head, aggCols.tail: _*)
-        .select(expr(s"stack(${cols.size}, $stackArgs) AS (ord, column_name, n_rows, n_nulls, n_distinct)"))
-    },
+    }) { (s, d) => profile(s, d) },
 
     // ---- ordered sequence building (per-entity event history) ---------
     // Builds each user's time-ordered event-type sequence — the
@@ -3544,6 +3533,35 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("v_bin"), col("event_type"))
     }
   )
+
+  /** q_profile's body, parameterized on the distinct-count strategy:
+    * `approx = false` (the oracle mode, and the registry entry) plans the
+    * multi-distinct aggregate as one Expand(×columns) pass — exact, the
+    * right answer at verification scale; `approx = true` is the 100 TB
+    * drop-in: `approx_count_distinct` (HyperLogLog++ at rsd 0.02 — the
+    * default 0.05 measured 6.7% on one sf0.1 column, outside the 5%
+    * contract; 0.02 costs a ~4 KB sketch and lands ~2%) keeps the
+    * profile to ONE scan with NO Expand — the shuffle carries fixed-size
+    * sketches instead of (group, value) pairs per column, so profile
+    * cost stops scaling with per-column cardinality. Null and row
+    * counts are exact in both modes; only n_distinct trades.
+    * `ProfileApproxSpec` pins the trade: relative error < 5% per column
+    * against the exact mode at sf0.1.
+    */
+  def profile(s: SparkSession, d: String, approx: Boolean = false): DataFrame = {
+    val cols = Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val e = eventsUs(s, d).select(col("event_id"), col("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    val aggCols = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      val nd = if (approx) approx_count_distinct(col(c), 0.02) else countDistinct(col(c))
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"), nd.as(s"nd_$c"))
+    }
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"CAST($i AS BIGINT), '$c', n_rows, nn_$c, nd_$c" }
+      .mkString(", ")
+    e.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (ord, column_name, n_rows, n_nulls, n_distinct)"))
+  }
 
   def all: Map[String, Fn] = registry.map(q => q.name -> q.fn).toMap
   def oracles: Map[String, String] = registry.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -302,6 +302,62 @@ class ExactlyOnceAppendSpec extends SparkSuite {
     assert(!fs.exists(new Path(s"${repo.root}/_graft_ledger/w/1.pending")))
   }
 
+  test("two writers interleaving under injected stale manifests: every batch exactly once, no in-flight manifest swept") {
+    // Two concurrent exactly-once writers (their own ids, their own
+    // ledgers) hammer one repo while crash-shaped STALE manifests are
+    // repeatedly injected for ALREADY-COMMITTED batches. The head-of-op
+    // sweep each writer triggers must clean exactly the stale leftovers
+    // (theirs or the other writer's) and must never touch a genuinely
+    // in-flight batch — in-JVM that is enforced by the write monitor
+    // (the whole extendExactlyOnce protocol holds it, so a manifest the
+    // sweep can SEE with its commit marker present is definitively
+    // stale); this test drives the interleaving to prove the reasoning
+    // holds under real contention, not just in the single-writer specs.
+    val repo = new TableRepo(scratch("eo-two-writers"), spark)
+    val batches = 10
+    @volatile var err: Throwable = null
+    def writer(id: String, base: Int): Thread = new Thread(() => {
+      try {
+        for (b <- 0 until batches) {
+          val lo = base + b * 10
+          assert(repo.extendExactlyOnce(batch(lo, lo + 10), id, b.toLong),
+            s"$id batch $b must land (fresh id space)")
+          if (b % 3 == 1) {
+            // crash shape: this writer's PREVIOUS batch left its manifest
+            // behind (marker exists, manifest-delete lost) — the other
+            // writer's next op (or our own) must sweep it, not refuse it
+            val landed = repo.paths // any files; target line is what matters
+            staleManifestFor(repo, id, (b - 1).toLong, landed.take(1))
+          }
+        }
+      } catch { case t: Throwable => err = t }
+    })
+    val a = writer("wa", 0)
+    val c = writer("wc", 100000)
+    a.start(); c.start()
+    a.join(180000); c.join(180000)
+    assert(!a.isAlive && !c.isAlive, "writers wedged")
+    if (err != null) throw new AssertionError("writer failed", err)
+    // one final mutating op sweeps any stale manifest injected on the
+    // last iterations, then: every batch exactly once, ledgers clean
+    repo.extend(batch(-10, 0))
+    assert(repo.count() == 2L * batches * 10 + 10,
+      s"every batch exactly once, got ${repo.count()}")
+    val ks = repo.getFullDf.select(col("k")).collect().map(_.getLong(0)).sorted
+    assert(ks.distinct.length == ks.length, "no batch landed twice")
+    Seq("wa", "wc").foreach { id =>
+      val leftover = fs.listStatus(new Path(s"${repo.root}/_graft_ledger/$id"))
+        .map(_.getPath.getName).filter(_.endsWith(".pending"))
+      assert(leftover.isEmpty, s"$id stale manifests must be swept, got ${leftover.toSeq}")
+    }
+    // and replays of every batch from both writers are committed no-ops
+    for (b <- 0 until batches) {
+      assert(!repo.extendExactlyOnce(batch(b * 10, b * 10 + 10), "wa", b.toLong))
+      assert(!repo.extendExactlyOnce(batch(100000 + b * 10, 100000 + b * 10 + 10), "wc", b.toLong))
+    }
+    assert(repo.count() == 2L * batches * 10 + 10, "replays landed nothing")
+  }
+
   test("a foreign digit-only .pending name past Long range is skipped, not fatal") {
     val repo = new TableRepo(scratch("eo-overflow-manifest"), spark)
     assert(repo.extendExactlyOnce(batch(0, 10), "w", 0L))
