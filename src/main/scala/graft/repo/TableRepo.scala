@@ -185,9 +185,17 @@ class TableRepo(
   //     writes (append, dynamic partition overwrite) re-resolve the
   //     current version after the job and FAIL LOUDLY if a concurrent
   //     external rewrite superseded their target mid-write, instead of
-  //     silently losing the rows at the next GC. Multi-process writers
-  //     that need lost-update-free upserts still want a single writer per
-  //     table (the reference's lock scope is one process too).
+  //     silently losing the rows at the next GC. CONTENT-PRESERVING
+  //     rewrites (compact, schema backfill) are additionally
+  //     source-guarded: their content plan lists AFTER the version claim
+  //     and a re-list before the commit marker aborts-and-retries when
+  //     an external appender landed files mid-rewrite — so an append
+  //     that already returned success is never silently dropped by a
+  //     racing rewrite (MultiProcessSpec drives this with a real second
+  //     JVM; residual window = the re-list→marker metadata gap).
+  //     Multi-process writers that need lost-update-free UPSERTS still
+  //     want a single writer per table (the reference's lock scope is
+  //     one process too); see SCALE.md "Cross-process contracts".
   //
   // A plain `data` dir (pre-versioning layout, or a repo that has only
   // ever been appended to) acts as version -1.

@@ -325,9 +325,17 @@ class ExactlyOnceAppendSpec extends SparkSuite {
           if (b % 3 == 1) {
             // crash shape: this writer's PREVIOUS batch left its manifest
             // behind (marker exists, manifest-delete lost) — the other
-            // writer's next op (or our own) must sweep it, not refuse it
-            val landed = repo.paths // any files; target line is what matters
-            staleManifestFor(repo, id, (b - 1).toLong, landed.take(1))
+            // writer's next op (or our own) must sweep it, not refuse it.
+            // The injection holds the repo's write monitor like every real
+            // protocol step: a bare fs.create here races the OTHER
+            // writer's sweep deleting the same path mid-create, which on
+            // the local checksum filesystem dies in the .crc chmod — a
+            // harness artifact, not a protocol state (real manifests are
+            // only ever created under the monitor)
+            TableRepo.monitorFor(repo.root).synchronized {
+              val landed = repo.paths // any files; target line is what matters
+              staleManifestFor(repo, id, (b - 1).toLong, landed.take(1))
+            }
           }
         }
       } catch { case t: Throwable => err = t }
