@@ -343,23 +343,7 @@ class TableRepo(
       attempt += 1
       try {
         val pend = invisibleFiles()
-        // a manual walk that NEVER DESCENDS into hidden dirs: a foreign
-        // committer's `_temporary` task files flicker (listed, then gone
-        // before the stat — local FS throws from deep inside the
-        // LocatedFileStatus iterator), and they are not content anyway —
-        // Spark's reads filter hidden segments identically
-        val out = mutable.ArrayBuffer[String]()
-        def walk(dir: Path): Unit =
-          fs.listStatus(dir).foreach { st =>
-            val n = st.getPath.getName
-            if (!n.startsWith("_") && !n.startsWith(".")) {
-              if (st.isDirectory) walk(st.getPath)
-              else if (n.endsWith(".parquet")) out += st.getPath.toString
-            }
-          }
-        val dp = new Path(dataPath)
-        if (fs.exists(dp)) walk(dp)
-        return out.toSeq.filterNot(pend.contains)
+        return listParquetFiles(dataPath).filterNot(pend.contains)
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (attempt >= 10) throw e
@@ -1392,15 +1376,33 @@ class TableRepo(
     pendingDeleteSet() ++ pendingLandedFiles(dataPath)
 
   /** Recursive .parquet listing under `base` (no pending-delete filter). */
+  /** Recursive .parquet listing that never descends into hidden child
+    * dirs (`_temporary` committer state, dot-temps) and never returns
+    * hidden files — the same visibility rule Spark's reads apply. The
+    * BASE itself is exempt (staging dirs are underscore-prefixed by
+    * design). Besides matching read semantics, this is what makes the
+    * listing safe under a CONCURRENT foreign writer: its `_temporary`
+    * task files flicker (listed, then gone before the stat — the local
+    * FileSystem throws from deep inside the recursive iterator), and a
+    * committed-path walk never touches them.
+    */
   private def listParquetFiles(base: String): Seq[String] = {
     val out = mutable.ArrayBuffer[String]()
     val bp = new Path(base)
     if (!fs.exists(bp)) return out.toSeq
-    val it = fs.listFiles(bp, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toString
-    }
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        // Spark's exact visibility rule: hidden prefixes are filtered
+        // UNLESS the name carries a partition `=` — underscore-prefixed
+        // partition dirs (the grouped keep-layout's `__graft_grp_*__=v`
+        // helpers) are legitimate content
+        if (!n.startsWith("_") && !n.startsWith(".") || n.contains("=")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (n.endsWith(".parquet")) out += st.getPath.toString
+        }
+      }
+    walk(bp)
     out.toSeq
   }
 
