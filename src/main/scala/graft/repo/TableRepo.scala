@@ -1089,6 +1089,7 @@ class TableRepo(
     * wide — correctness is identical, only the skip rate changes).
     */
   def readWhereIn(needles: DataFrame, column: String): DataFrame = {
+    repairFooterRewrites() // a crashed embed must not silently hide rows
     val files = prunedFilesFor(needles, column)
     if (files.isEmpty) getFullDf.limit(0)
     else readFilesScoped(files)
@@ -1218,6 +1219,10 @@ class TableRepo(
     * applied exactly when `version` resolves to it.
     */
   def getDfAt(version: Int): DataFrame = {
+    // a crashed embed hides CURRENT-version files under .kvbak names;
+    // time-travel reads resolving to the current version (IvfIndex
+    // probes pin it) must repair like every other read surface
+    repairFooterRewrites()
     val vs = committedVersions
     require(vs.contains(version),
       s"no committed snapshot data-v$version under $root (on disk: ${vs.mkString(", ")})")

@@ -98,6 +98,25 @@ class ParquetMetaSpec extends SparkSuite {
     assert(!fs.exists(marker), "the read's repair clears the marker")
   }
 
+  test("a crashed footer rewrite is repaired by the pruned probe read too (readWhereIn)") {
+    import spark.implicits._
+    val repo = new TableRepo(scratch("pmeta-probe-repair"), spark, maxRecordsPerFile = 40)
+    repo.extend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    repo.setMetadata(Map("owner" -> "graft"))
+    repo.embedMetadata()
+    val fs = new Path(repo.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new Path(repo.paths.head)
+    val bak = new Path(f.getParent, s".${f.getName}.kvbak")
+    assert(fs.rename(f, bak))
+    val marker = new Path(s"${repo.root}/_graft_footer_rewrites")
+    fs.create(marker, true).close()
+    // the incremental-dedup probe path: every needle must hit even when
+    // its row sat in the staged-aside file
+    val hits = repo.readWhereIn((1L to 100L).toDF("id"), "id").count()
+    assert(hits == 100, s"pruned probe must see the restored rows, got $hits")
+    assert(fs.exists(f) && !fs.exists(bak) && !fs.exists(marker))
+  }
+
   test("embed merges with existing KV, extra wins on collision") {
     val repo = new TableRepo(scratch("pmeta2"), spark)
     repo.extend(Seq((1L, "a")).toDF("id", "s"))
