@@ -136,6 +136,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val sweepTsJson = sweepTs.mkString("[", ",", "]")
     val sweepLoadJson = sweepLoad.map(l => f"$l%.2f").mkString("[", ",", "]")
+    // two scalars that survive ANY truncation (they close the line):
+    // the floor total (sum of per-query raw minima — load-insensitive)
+    // and the stall count (queries whose raw reps span >= 3x). Together
+    // they adjudicate a noisy headline even when every map is cut.
+    val floorTotal = queryList.indices
+      .filter(fails(_).isEmpty).flatMap(qi => times(qi).minOption).sum
+    val stallCount = queryList.indices.count { qi =>
+      val ts = times(qi)
+      fails(qi).isEmpty && ts.nonEmpty && ts.min > 0 && ts.max / ts.min >= 3.0
+    }
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)
@@ -147,7 +157,7 @@ object Bench {
     // (queries_min, sweep_ts, sweep_load) sit at the END of the line —
     // they survive truncation while the fat rep maps get cut
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,"floor_total":${f"$floorTotal%.2f"},"stalls":$stallCount,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so
     // ALSO write to a committed path — docs/bench_last.json is the durable
     // all-queries artifact each round

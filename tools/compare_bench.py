@@ -41,7 +41,8 @@ def load(path):
     scalars = {}
     for k, v in re.findall(r'"(q_\w+)":(-?\d+(?:\.\d+)?)(?=[,}])', txt):
         scalars[k] = float(v)
-    if not arrays and not scalars:
+    if not arrays and not scalars and not re.search(
+            r'"(floor_total|stalls|sweep_load)":', txt):
         raise SystemExit(f"no bench line found in {path}")
     raw = {k: v for k, v in arrays.items() if v}
     med = {k: sorted(v)[len(v) // 2] for k, v in raw.items()}
@@ -53,6 +54,10 @@ def load(path):
         fm = re.search(r'"%s":(\[[0-9.,\-]*\])' % field, txt)
         if fm:
             out[field] = json.loads(fm.group(1))
+    for field in ("floor_total", "stalls"):
+        fm = re.search(r'"%s":(-?\d+(?:\.\d+)?)' % field, txt)
+        if fm:
+            out[field] = float(fm.group(1))
     print(f"note: {path} is a truncated driver artifact — salvaged "
           f"{len(raw)} rep arrays; its 'total' is the sum of their medians")
     return out
@@ -98,9 +103,13 @@ def main(old_p, new_p, ratio=2.0):
     st_old, st_new = stalled(old), stalled(new)
     mo, mn = mins(old), mins(new)
     shared = sorted(set(mo) & set(mn))
+    def stall_label(run, st):
+        if raw_reps(run):
+            return f"{len(st)}/{len(raw_reps(run))}"
+        s = run.get("stalls")
+        return f"{int(s)} (scalar)" if s is not None else "?"
     print(f"\nstall reps (raw max/min >= {STALL_SPAN:g}): "
-          f"old {len(st_old)}/{len(raw_reps(old)) or '?'}, "
-          f"new {len(st_new)}/{len(raw_reps(new)) or '?'}")
+          f"old {stall_label(old, st_old)}, new {stall_label(new, st_new)}")
     for k in st_new[:10]:
         v = raw_reps(new)[k]
         print(f"  stalled {k:24s} reps {v} (span {max(v) / min(v):.1f}x)")
@@ -134,6 +143,13 @@ def main(old_p, new_p, ratio=2.0):
                   "the FLOOR-SLOWER queries above")
         else:
             print("NOISE VERDICT: no floor regression; headline within noise")
+    else:
+        # maximally truncated artifacts: the two closing scalars survive
+        # any cut and still adjudicate the headline
+        fo, fn = old.get("floor_total"), new.get("floor_total")
+        if fo and fn:
+            print(f"floor totals (scalar fallback): {fo:.1f}s -> {fn:.1f}s "
+                  f"({fn / fo:.2f}x)")
 
 
 if __name__ == "__main__":
