@@ -1465,29 +1465,80 @@ class TableRepo(
     // the backup-restore scan is a RECURSIVE listing of the data dir —
     // real money on a repo with many small files (exactly compact's
     // pre-state) — and .kvbak files can only exist where embedMetadata
-    // has ever run, which it marks; everyone else pays one exists()
-    repairFooterRewrites()
+    // has ever run, which it marks; everyone else pays one exists().
+    // strict: a mutating op must never proceed while a live foreign
+    // embed has rows staged aside (a rewrite would lose them)
+    repairFooterRewrites(strict = true)
   }
 
   /** Restore crashed-embed artifacts and CLEAR the marker once the scan
-    * proves the state clean. The marker now brackets each embed (set
-    * before the first rewrite, cleared after the last backup is gone), so
+    * proves the state clean. The marker brackets each embed (set before
+    * the first rewrite, cleared after the last backup is gone), so
     * outside a crash window it does not exist and this gate costs one
     * `exists()` — cheap enough that READ planning runs it too
     * ([[readRaw]]/[[paths]]): a crashed embed's staged-aside file lives
     * only under its invisible `.kvbak` name, and before this gate a
     * read-only consumer silently missed its rows indefinitely, until some
-    * mutating op happened to run. Taking the write monitor from a read is
-    * transient by the same argument — the marker only exists while an
-    * embed is in flight or after one crashed.
+    * mutating op happened to run.
+    *
+    * OWNERSHIP GATE (cross-process): the marker carries its writer's
+    * [[TableRepo.ProcessToken]] and is heartbeat-refreshed before every
+    * file rewrite. Repair runs only when the marker is provably a crash
+    * leftover — our own token (a live embed in this JVM would be holding
+    * the write monitor we hold right now), or a foreign token whose
+    * heartbeat went stale ([[TableRepo.FooterMarkerStaleMs]]). Without
+    * the gate, a reader in a DIFFERENT JVM mid-embed would "restore" a
+    * `.kvbak` that is legitimately in flight — racing the embed's rename
+    * pair — and then delete the marker out from under it, re-opening the
+    * silent-loss window this repair exists to close. A fresh foreign
+    * marker makes reads proceed un-repaired (they can miss at most the
+    * one file currently staged aside, for the duration of its rewrite)
+    * and makes MUTATING ops fail loudly (`strict`): a full rewrite
+    * planned while rows hide under `.kvbak` names would lose them
+    * permanently, so it must wait out the embed (or its staleness TTL).
     */
-  private def repairFooterRewrites(): Unit =
-    if (fs.exists(new Path(footerRewriteMarker))) withWriteLock {
-      if (fs.exists(new Path(footerRewriteMarker))) {
-        restoreFooterBackups() // throws on a failed rename: marker survives
-        fs.delete(new Path(footerRewriteMarker), false): Unit
+  private def repairFooterRewrites(strict: Boolean = false): Unit = {
+    val mp = new Path(footerRewriteMarker)
+    if (fs.exists(mp)) withWriteLock {
+      if (fs.exists(mp)) {
+        if (footerMarkerRepairable(mp)) {
+          restoreFooterBackups() // throws on a failed rename: marker survives
+          fs.delete(mp, false): Unit
+        } else if (strict)
+          throw new java.util.ConcurrentModificationException(
+            s"footer-rewrite marker under $root has a fresh heartbeat from another " +
+              "process: an embedMetadata is (or very recently was) rewriting this " +
+              "table's files, and mutating it now would race those swaps or lose the " +
+              "rows it has staged aside — wait for the embed to finish (the marker " +
+              s"clears) or go stale (${TableRepo.FooterMarkerStaleMs} ms) and retry")
       }
     }
+  }
+
+  /** Is the footer-rewrite marker a crash leftover this process may
+    * repair? (Caller holds the write monitor.) Own token: yes — a live
+    * embed in this JVM would be holding the monitor. Foreign token
+    * (including legacy empty markers): only once the heartbeat mtime is
+    * stale. A marker that vanished mid-check means the embed completed.
+    */
+  private def footerMarkerRepairable(mp: Path): Boolean =
+    try {
+      val in = fs.open(mp)
+      val token = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      token == TableRepo.ProcessToken ||
+        System.currentTimeMillis() - fs.getFileStatus(mp).getModificationTime >
+          TableRepo.FooterMarkerStaleMs
+    } catch { case _: java.io.FileNotFoundException => false }
+
+  /** (Re)write the marker with this process's token — creation and the
+    * per-file heartbeat share this (a rewrite refreshes mtime portably;
+    * `setTimes` support varies by FileSystem).
+    */
+  private def writeFooterMarker(): Unit = {
+    val out = fs.create(new Path(footerRewriteMarker), true)
+    try out.write(TableRepo.ProcessToken.getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** A `.pending` manifest whose batch already has its commit marker (or
     * sits below the writer's hwm) is the leftover of a crash between the
@@ -1855,7 +1906,17 @@ class TableRepo(
     // (rename-to-backup), and a concurrent pruned upsert deleting or
     // rewriting the same file mid-swap would race the renames
     val mp = new Path(footerRewriteMarker)
-    if (fs.exists(mp)) restoreFooterBackups() // repair a prior crashed embed
+    if (fs.exists(mp)) {
+      // repair a prior crashed embed — but only a provable leftover: a
+      // marker with a fresh FOREIGN heartbeat is a live embed in another
+      // process, and racing its swaps would corrupt both
+      if (footerMarkerRepairable(mp)) restoreFooterBackups()
+      else throw new java.util.ConcurrentModificationException(
+        s"embedMetadata under $root: the footer-rewrite marker carries a fresh " +
+          "heartbeat from another process — a concurrent embed is rewriting these " +
+          "files; two embeds would race each other's stage-aside renames. Wait for " +
+          "it to finish or for its marker to go stale, then retry")
+    }
     val meta = fullMetadata.map { case (k, v) => (prefix + k, v) }
     if (meta.nonEmpty) {
       // list the files BEFORE the marker lands: `paths` runs the
@@ -1865,10 +1926,15 @@ class TableRepo(
       // the marker lands BEFORE the first rewrite (a crash anywhere in
       // the loop is covered by the gated restore) but ONLY when a rewrite
       // will actually run — an empty-metadata call must not tax every
-      // future mutating op with the recursive restore scan for nothing
-      if (!fs.exists(mp)) fs.create(mp, true).close()
+      // future mutating op with the recursive restore scan for nothing.
+      // It carries OUR process token, and the loop below re-stamps it
+      // before every file: foreign readers judge liveness by its mtime.
+      writeFooterMarker()
       val conf = spark.sparkContext.hadoopConfiguration
-      ps.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
+      ps.foreach { p =>
+        writeFooterMarker() // heartbeat: one tiny write per file byte-copy
+        ParquetMeta.embed(conf, new Path(p), meta)
+      }
       // every per-file swap completed and deleted its backup — clearing
       // the marker here (and in repairFooterRewrites after a clean
       // restore) keeps it scoped to crash windows, so the read-path
@@ -1916,6 +1982,26 @@ class TableRepo(
 }
 
 object TableRepo {
+  /** This JVM's identity for crash-artifact ownership (footer-rewrite
+    * markers; writer leases use a per-acquisition id derived from it).
+    * Every writer of those files holds the per-root write monitor, so a
+    * marker carrying OUR token seen while WE hold the monitor has no
+    * live owner — its embed crashed or threw — and repair is immediate.
+    * A foreign token means another process: live-vs-crashed is decided
+    * by heartbeat age, never guessed.
+    */
+  private[repo] val ProcessToken: String = java.util.UUID.randomUUID().toString
+
+  /** Age past which a FOREIGN footer-rewrite marker counts as a crash
+    * leftover. A live embed re-stamps the marker before every file
+    * rewrite, so going stale requires ONE file's footer rewrite (a
+    * row-group byte copy) to exceed this — generous at any sane file
+    * size. Until then foreign processes leave the marker alone: reads
+    * proceed un-repaired (missing at most the one file mid-swap),
+    * mutating ops fail loudly.
+    */
+  private[repo] val FooterMarkerStaleMs: Long = 5L * 60 * 1000
+
   /** Cap on the OR-of-literals partition filter in `replaceRecords` —
     * above this the merge uses a distributed semi-join instead.
     */

@@ -11,6 +11,16 @@ import graft.SparkSuite
 class ParquetMetaSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Simulate the marker a crashed embed of THIS process leaves (an
+    * embed that threw mid-loop): it carries our own token, so repair is
+    * immediate. Foreign-marker behavior is FooterMarkerSpec territory.
+    */
+  private def writeOwnMarker(fs: org.apache.hadoop.fs.FileSystem, marker: Path): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(TableRepo.ProcessToken.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   test("embedMetadata lands KV in every leaf file; data round-trips") {
     val repo = new TableRepo(scratch("pmeta"), spark,
       groupCols = Seq("g"), maxRecordsPerFile = 40)
@@ -70,7 +80,7 @@ class ParquetMetaSpec extends SparkSuite {
     // last backup is gone, so a crash anywhere in the loop leaves it
     assert(fs.rename(f, bak))
     val marker = new Path(s"${repo.root}/_graft_footer_rewrites")
-    fs.create(marker, true).close()
+    writeOwnMarker(fs, marker)
     repo.extend(Seq((1000L, "extra")).toDF("id", "payload")) // any mutating op repairs
     assert(repo.count() == 101, "restored backup rows plus the appended row")
     assert(!fs.exists(bak))
@@ -92,7 +102,7 @@ class ParquetMetaSpec extends SparkSuite {
     val f = new Path(repo.paths.head)
     val bak = new Path(f.getParent, s".${f.getName}.kvbak")
     assert(fs.rename(f, bak))
-    fs.create(marker, true).close()
+    writeOwnMarker(fs, marker)
     assert(repo.count() == 100, "a pure read restores the orphaned backup")
     assert(fs.exists(f) && !fs.exists(bak))
     assert(!fs.exists(marker), "the read's repair clears the marker")
@@ -109,7 +119,7 @@ class ParquetMetaSpec extends SparkSuite {
     val bak = new Path(f.getParent, s".${f.getName}.kvbak")
     assert(fs.rename(f, bak))
     val marker = new Path(s"${repo.root}/_graft_footer_rewrites")
-    fs.create(marker, true).close()
+    writeOwnMarker(fs, marker)
     // the incremental-dedup probe path: every needle must hit even when
     // its row sat in the staged-aside file
     val hits = repo.readWhereIn((1L to 100L).toDF("id"), "id").count()
