@@ -38,9 +38,10 @@ object IvfIndex {
   // can actually exist share one JVM (a stream's onCompact re-pin on
   // the driver vs a rebuild's flip on another driver thread), so a
   // per-root monitor serializes list -> re-check -> rename where it
-  // matters; cross-PROCESS writers stay excluded by the single-
-  // maintainer contract (and on HDFS-like filesystems by rename
-  // genuinely refusing an existing destination).
+  // matters; cross-PROCESS maintainers are excluded by the ENFORCED
+  // writer lease on the index root (build/rebuild/compact hold it —
+  // graft.repo.Lease; and on HDFS-like filesystems rename genuinely
+  // refuses an existing destination).
   private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   // callers must pass a FILESYSTEM-QUALIFIED root: Path("file:/x") and
   // Path("/x") stringify differently, so keying on the raw spelling would
@@ -59,8 +60,8 @@ object IvfIndex {
   // alone could not: a batch that had already read generation G's
   // centroids landing its rows into (or being dropped by) generation
   // G+1's `replaceAll`. Both racers are driver threads in one JVM —
-  // cross-process writers remain excluded by the single-maintainer
-  // contract, same scope as the manifest monitor above.
+  // cross-process MAINTAINERS are excluded by the enforced writer
+  // lease, same scope as the manifest monitor above.
   private val rootSwapLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantReadWriteLock]()
   private[ops] def swapLockFor(qualifiedRoot: String): java.util.concurrent.locks.ReentrantReadWriteLock =
@@ -110,9 +111,11 @@ object IvfIndex {
   * mid-swap queues until the flip, where the per-batch fence fails a
   * k-change loudly with nothing landed. Both entry points additionally
   * refuse to ingest while the manifest lags the table versions (a
-  * CRASHED swap, which no lock can cover). Cross-process writers remain
-  * excluded by the single-maintainer contract — the locks close the
-  * in-JVM story, the only place the serving lifecycle puts racers.
+  * CRASHED swap, which no lock can cover). Cross-process MAINTAINERS
+  * are excluded by the ENFORCED writer lease on the index root
+  * ([[graft.repo.Lease]] — build/rebuild/compact hold it for their
+  * whole run, a second process fails loudly, a crashed holder expires
+  * after the ttl); the in-JVM locks close the intra-process story.
   */
 class IvfIndex(val root: String, val spark: SparkSession,
     val snapshotRetention: Int = 1) {
@@ -302,7 +305,21 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * single instant the index generation changes.
     */
   def build(embs: => DataFrame, k: Int, iters: Int,
-      trainOn: Option[DataFrame] = None): Manifest = {
+      trainOn: Option[DataFrame] = None): Manifest =
+    // The single-MAINTAINER rule is enforced, not prose: the whole
+    // retrain (training included — failing a racing maintainer fast,
+    // before it burns Lloyd iterations, beats failing it at the swap)
+    // holds the index root's writer lease, so a second process's
+    // build/rebuild/compact fails loudly instead of interleaving table
+    // swaps with this one. Ingestion (append / streaming batches) stays
+    // lease-free — the swap lock below already orders it against the
+    // swap, and appends are not lost-update-prone.
+    graft.repo.Lease.withLease(fs, root, "IvfIndex.build/rebuild") {
+      buildLeased(embs, k, iters, trainOn)
+    }
+
+  private def buildLeased(embs: => DataFrame, k: Int, iters: Int,
+      trainOn: Option[DataFrame]): Manifest = {
     // The TRAINING snapshot materializes eagerly OUTSIDE the exclusive
     // lock: the Lloyd iterations are the long part of a rebuild, and
     // holding the swap lock across them would quiesce live ingestion for
@@ -384,7 +401,11 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * grace version out from under any concurrent probe — recovery only
     * lands the manifest flip the crash lost, touching no table files.
     */
-  def compact(targetRecordsPerFile: Long): Manifest = withExclusiveSwapLock {
+  def compact(targetRecordsPerFile: Long): Manifest =
+    // same enforced single-maintainer lease as [[build]]
+    graft.repo.Lease.withLease(fs, root, "IvfIndex.compact") { compactLeased(targetRecordsPerFile) }
+
+  private def compactLeased(targetRecordsPerFile: Long): Manifest = withExclusiveSwapLock {
     val m = manifest.getOrElse(throw new IllegalStateException(
       s"no IVF manifest under $root — build() before compact"))
     require(m.centVersion == cent.snapshotVersions.max,

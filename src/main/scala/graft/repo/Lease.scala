@@ -1,0 +1,207 @@
+package graft.repo
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.locks.ReentrantLock
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Cross-process writer lease — turns the "single writer per table"
+  * PROSE contract into an enforced one for the operations where two
+  * uncoordinated writers can silently lose an update: keyed upserts
+  * (`TableRepo.replaceRecords*`, an in-place read-modify-write) and IVF
+  * index maintenance (`IvfIndex.build/rebuild/compact`, a multi-table
+  * swap). Appends and guarded full rewrites stay lease-free — they are
+  * already safe under the claim/guard protocols.
+  *
+  * Mechanism (the same primitives as the version-claim protocol, with
+  * liveness added):
+  *   - ACQUIRE: exclusive create (`CREATE_NEW`, true O_EXCL on the file
+  *     scheme) of `_graft_lease` under the resource root, holding a
+  *     per-acquisition id. A concurrent holder makes the create fail.
+  *   - LIVENESS: a daemon heartbeat re-stamps the file every `ttl/4`
+  *     while held, so a LIVE holder's lease never goes stale. The
+  *     reference's analog was process-pool named locks
+  *     (/root/reference/parquetranger/core.py:18) — process-local;
+  *     this enforces the same exclusion across machines sharing a
+  *     filesystem.
+  *   - TAKEOVER: an acquirer finding an existing lease reads its age —
+  *     fresh means a live holder (fail LOUDLY, the caller must not
+  *     proceed), stale past `ttl` means the holder died mid-op (crash
+  *     leaves the file; the heartbeat died with it) and the lease is
+  *     deleted and re-claimed through the same exclusive create, so
+  *     racing takeover candidates resolve to exactly one winner.
+  *   - LOSS DETECTION: the heartbeat re-reads the file before each
+  *     stamp and release re-checks it — a foreign id means a takeover
+  *     happened (only possible if OUR heartbeat stalled past the TTL,
+  *     e.g. a multi-minute GC/suspend); the op then fails loudly at
+  *     release instead of silently racing the taker.
+  *
+  * In-JVM, a per-path [[ReentrantLock]] serializes and re-enters: one
+  * process's threads queue on the JVM lock (they are already serialized
+  * by the repo write monitors where it matters) and nested leased ops
+  * (a pruned upsert falling back to the partition merge) reuse the
+  * outer acquisition instead of deadlocking on their own file.
+  */
+private[graft] object Lease {
+
+  /** Default holder-death TTL. The heartbeat stamps every ttl/4, so a
+    * live holder is never stale; a crashed one blocks other writers for
+    * at most this long. Long mid-op stalls (GC, VM suspend) past the
+    * TTL surface as a loud lease-lost failure at release.
+    */
+  val DefaultTtlMs: Long = 60000L
+
+  private[graft] val LeaseName = "_graft_lease"
+
+  /** The lease file a resource root would carry — for purge paths and
+    * specs that construct crash shapes.
+    */
+  private[graft] def pathIn(dir: String): Path = new Path(dir, LeaseName)
+
+  /** Sum of takeover-eligible retries before acquire gives up: each
+    * loop means the lease file changed hands mid-acquire — livelock
+    * between takeover candidates, which CREATE_NEW bounds to one winner
+    * per round.
+    */
+  private val MaxAcquireRounds = 5
+
+  private val local = new ConcurrentHashMap[String, ReentrantLock]()
+
+  /** Run `body` holding the writer lease for `dir`. Reentrant per
+    * thread; one file acquisition per outermost entry. Throws
+    * `ConcurrentModificationException` when another process holds a
+    * live lease, and at exit when the lease was lost mid-op.
+    */
+  def withLease[T](fs: FileSystem, dir: String, what: String,
+      ttlMs: Long = DefaultTtlMs)(body: => T): T = {
+    val p = fs.makeQualified(new Path(dir, LeaseName))
+    val lock = local.computeIfAbsent(p.toString, _ => new ReentrantLock())
+    lock.lock()
+    try {
+      if (lock.getHoldCount > 1) body // nested leased op: outer frame owns the file
+      else {
+        val held = acquire(fs, p, ttlMs, what)
+        var failed = true
+        try { val r = body; failed = false; r }
+        finally held.release(suppressLossFailure = failed)
+      }
+    } finally lock.unlock()
+  }
+
+  private def acquire(fs: FileSystem, p: Path, ttlMs: Long, what: String): Held = {
+    fs.mkdirs(p.getParent)
+    val id = s"${TableRepo.ProcessToken}:${java.util.UUID.randomUUID()}"
+    var rounds = 0
+    while (true) {
+      if (tryCreateExclusive(fs, p, id)) return new Held(fs, p, id, ttlMs, what)
+      val st =
+        try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      st.foreach { s =>
+        val age = System.currentTimeMillis() - s.getModificationTime
+        if (age <= ttlMs)
+          throw new java.util.ConcurrentModificationException(
+            s"$what under ${p.getParent}: the writer lease is held by a live writer " +
+              s"(heartbeat ${age} ms old, ttl $ttlMs ms). These operations are " +
+              "lost-update-prone under concurrent writers; run them from the single " +
+              "writer that owns this resource, or wait for the holder to finish " +
+              "(a crashed holder's lease expires after the ttl)")
+        // stale: the holder died mid-op — delete and re-claim through the
+        // exclusive create, which picks ONE winner among takeover racers
+        fs.delete(p, false): Unit
+      }
+      rounds += 1
+      if (rounds >= MaxAcquireRounds)
+        throw new java.io.IOException(
+          s"$what: writer lease at $p keeps changing hands mid-acquire ($rounds rounds)")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Atomic exclusive create with content. On the file scheme Hadoop's
+    * `create(overwrite = false)` is a non-atomic exists-then-create, so
+    * NIO `CREATE_NEW` (true O_EXCL) does the claim; HDFS-like schemes
+    * make the plain call atomic server-side.
+    */
+  private def tryCreateExclusive(fs: FileSystem, p: Path, content: String): Boolean = {
+    val q = fs.makeQualified(p)
+    try {
+      if (q.toUri.getScheme == "file") {
+        val out = java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(q.toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close()
+      } else {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes("UTF-8"))
+        finally out.close()
+      }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false // HDFS-style wrapped collision
+    }
+  }
+
+  private def readContent(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8"))
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** A held lease: heartbeat thread + release-with-loss-check. */
+  private final class Held(fs: FileSystem, p: Path, id: String, ttlMs: Long, what: String) {
+    @volatile private var lost = false
+    @volatile private var done = false
+
+    private val beat = new Thread(() => {
+      while (!done && !lost) {
+        try Thread.sleep(math.max(1L, ttlMs / 4))
+        catch { case _: InterruptedException => () }
+        if (!done) stamp()
+      }
+    }, s"graft-lease-heartbeat-${p.getName}")
+    beat.setDaemon(true)
+    beat.start()
+
+    /** Re-stamp mtime by rewriting our own content — but never clobber a
+      * taker's: verify the id first (a mismatch means our heartbeat
+      * stalled past the TTL and the lease was legitimately taken over).
+      * `create(overwrite)` keeps the file existing throughout, so a
+      * foreign CREATE_NEW can never sneak between "check" and "write".
+      */
+    private def stamp(): Unit = synchronized {
+      if (done || lost) return
+      readContent(fs, p) match {
+        case Some(c) if c == id =>
+          try {
+            val out = fs.create(p, true)
+            try out.write(id.getBytes("UTF-8"))
+            finally out.close()
+          } catch { case scala.util.control.NonFatal(_) => () } // next beat retries
+        case _ => lost = true
+      }
+    }
+
+    /** Stop the heartbeat, delete the lease if still ours, and fail
+      * loudly on a detected takeover — unless the op already failed
+      * (`suppressLossFailure`), where the body's own exception must
+      * surface instead of being masked.
+      */
+    def release(suppressLossFailure: Boolean): Unit = synchronized {
+      done = true
+      beat.interrupt()
+      val mine = readContent(fs, p).contains(id)
+      if (mine) fs.delete(p, false): Unit
+      if ((lost || !mine) && !suppressLossFailure)
+        throw new java.util.ConcurrentModificationException(
+          s"$what under ${p.getParent}: the writer lease was LOST mid-operation " +
+            "(this process stalled past the ttl and another writer took over) — " +
+            "the operation's writes may have raced the taker's; inspect and retry")
+    }
+  }
+}

@@ -187,15 +187,20 @@ class TableRepo(
   //     external rewrite superseded their target mid-write, instead of
   //     silently losing the rows at the next GC. CONTENT-PRESERVING
   //     rewrites (compact, schema backfill) are additionally
-  //     source-guarded: their content plan lists AFTER the version claim
-  //     and a re-list before the commit marker aborts-and-retries when
-  //     an external appender landed files mid-rewrite — so an append
-  //     that already returned success is never silently dropped by a
-  //     racing rewrite (MultiProcessSpec drives this with a real second
-  //     JVM; residual window = the re-list→marker metadata gap).
-  //     Multi-process writers that need lost-update-free UPSERTS still
-  //     want a single writer per table (the reference's lock scope is
-  //     one process too); see SCALE.md "Cross-process contracts".
+  //     source-guarded: their content plan lists AFTER the version
+  //     claim, a re-list before the commit marker aborts-and-retries
+  //     when an external appender landed files mid-rewrite, and a
+  //     POST-marker verify revokes a commit the pre-marker re-list
+  //     raced — an append that already returned success is never
+  //     silently dropped by a racing rewrite, with NO residual gap
+  //     (the proof is in commitNewVersion's doc; GuardedRewriteSpec
+  //     drives the former gap deterministically, MultiProcessSpec
+  //     hammers it from a real second JVM). Lost-update-prone UPSERTS
+  //     are serialized by an ENFORCED writer lease (exclusive create +
+  //     heartbeat + ttl takeover, [[Lease]]) — a second process fails
+  //     loudly instead of silently dropping the other's update; the
+  //     reference's lock scope was one process (core.py:18), so this
+  //     exceeds parity. See SCALE.md "Cross-process contracts".
   //
   // A plain `data` dir (pre-versioning layout, or a repo that has only
   // ever been appended to) acts as version -1.
@@ -235,18 +240,40 @@ class TableRepo(
     */
   /** With `guardSource = true` (content-preserving rewrites: compact,
     * schema backfill) the commit is guarded against CROSS-PROCESS
-    * appenders: the current version's visible-file set is snapshotted
-    * right after the claim, `write` must list its source AFTER that
-    * snapshot (its plan is constructed inside the callback), and right
-    * before the commit marker the set is re-listed — files landed since
-    * (a concurrent extend in another process; same-process writers are
-    * serialized by the write monitor) ABORT this attempt, which deletes
-    * its target and claim and retries with a fresh listing. Without the
-    * guard, every file an external appender landed during the rewrite
-    * job was silently absent from the committed version even though the
-    * append had already reported success — a silent-loss window as wide
-    * as the rewrite job. The residual window is the re-list→marker gap
-    * (two metadata ops, ~ms): see SCALE.md "Cross-process contracts".
+    * appenders: the current version's file-set snapshot is taken right
+    * after the claim, `write` must list its source AFTER that snapshot
+    * (its plan is constructed inside the callback), and the set is
+    * re-listed TWICE — right before the commit marker (cheap early
+    * abort, invisible to readers) and again right AFTER it. Files landed
+    * since the snapshot (a concurrent extend in another process;
+    * same-process writers are serialized by the write monitor) ABORT the
+    * attempt, which deletes its marker/target/claim and retries with a
+    * fresh listing. Without the guard, every file an external appender
+    * landed during the rewrite job was silently absent from the
+    * committed version even though the append had already reported
+    * success — a silent-loss window as wide as the rewrite job.
+    *
+    * The POST-marker re-list is what closes the former re-list→marker
+    * gap COMPLETELY: an appender only reports success if its version
+    * check passed, which requires the commit marker absent at check
+    * time; its files are visible strictly before that check (the write
+    * job has committed), so they exist strictly before the marker — and
+    * a listing taken after the marker must see them. Every concurrent
+    * append therefore either (a) is already in the snapshot and carried
+    * forward, (b) aborts the rewrite (pre- or post-marker detection), or
+    * (c) observes the committed marker and fails LOUDLY with a retry
+    * contract. No interleaving loses rows silently (deterministically
+    * driven by the gap hook in GuardedRewriteSpec; hammered cross-JVM in
+    * MultiProcessSpec). The abort-after-marker path can yank a
+    * just-committed version from a reader that planned against it inside
+    * that ~ms window — a loud, retryable scan failure, the price of the
+    * closure.
+    *
+    * The snapshot compares BOTH the raw file set and the reader-visible
+    * one: an exactly-once batch's landed prefix is invisible while its
+    * manifest pends, so raw-set changes catch its files the moment they
+    * land and visible-set changes catch its manifest-delete commit —
+    * whichever side of the protocol the rewrite overlaps.
     */
   private def commitNewVersion(write: String => Unit, guardSource: Boolean = false): Unit = {
     var attempt = 0
@@ -296,21 +323,46 @@ class TableRepo(
     fs.delete(new Path(target), true) // leftover of our own failed predecessor job
     // the guard snapshot comes AFTER the claim, and `write`'s source plan
     // is constructed after this line — so its content is a superset of
-    // this set, and any file missing from it is caught by the re-list
-    val preFiles = if (guardSource) visibleFiles().toSet else Set.empty[String]
-    write(target)
-    if (guardSource && visibleFiles().toSet != preFiles) {
-      // an external appender landed (or a crashed batch's replay surfaced)
-      // files mid-rewrite: committing would silently drop them — abort
-      // this attempt and retry against a fresh listing
+    // this set, and any file missing from it is caught by the re-lists.
+    // `oldData` is pinned here: after the commit marker lands, dataPath
+    // resolves to `target`, and the post-marker verify must re-list the
+    // SOURCE dir, not the new version.
+    val oldData = dataPath
+    val preFiles = if (guardSource) guardSnapshot(oldData) else null
+    def abortAttempt(when: String): Boolean = {
+      // order matters: marker first (readers fall back to the intact old
+      // version), then the half-blessed dir, then the claim
+      fs.delete(new Path(s"$target/_GRAFT_COMMIT"), false)
       fs.delete(new Path(target), true)
       fs.delete(new Path(s"$root/_graft_claim-v$next"), false)
       org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
-        s"guarded rewrite of $root aborted: the source file set changed during the " +
-          "rewrite job (external appender); retrying with a fresh listing")
-      return false
+        s"guarded rewrite of $root aborted ($when): the source file set changed during " +
+          "the rewrite job (external appender); retrying with a fresh listing")
+      false
+    }
+    write(target)
+    if (guardSource && guardSnapshot(oldData) != preFiles) {
+      // an external appender landed (or a crashed batch's replay surfaced)
+      // files mid-rewrite: committing would silently drop them — abort
+      // this attempt and retry against a fresh listing
+      TableRepo.guardedAbortsPreCommit.incrementAndGet()
+      return abortAttempt("pre-marker re-list")
+    }
+    if (guardSource) TableRepo.testGapHook.foreach { h =>
+      // spec seam: land a file inside the exact former loss window — the
+      // instants between the pre-marker re-list and the commit marker
+      TableRepo.testGapHook = None
+      h()
     }
     fs.create(new Path(s"$target/_GRAFT_COMMIT"), true).close()
+    if (guardSource && guardSnapshot(oldData) != preFiles) {
+      // POST-COMMIT VERIFY: any append that PASSED its version check did
+      // so before this marker existed, with its files already on disk —
+      // so this re-list provably sees them. Un-commit and retry; the
+      // appended rows stay visible in the still-current old version.
+      TableRepo.guardedAbortsPostCommit.incrementAndGet()
+      return abortAttempt("post-marker verify")
+    }
     // Readers resolve the HIGHEST committed version: if a concurrent
     // rewrite claimed a higher number and committed before us, our rewrite
     // is superseded on arrival. Make the discarded rewrite observable.
@@ -326,12 +378,14 @@ class TableRepo(
     true
   }
 
-  /** The current version's reader-visible data files: the raw listing
-    * minus crashed-artifact exclusions — the exact set a content-
-    * preserving rewrite must carry forward, hence the guard currency in
-    * [[commitNewVersionOnce]].
+  /** The guard's view of `dir`: (raw parquet listing, reader-visible
+    * subset). The visible subset is the exact set a content-preserving
+    * rewrite must carry forward; the raw set additionally catches an
+    * exactly-once batch's landed-but-still-pending prefix the moment it
+    * hits disk (invisible to readers, so the visible set alone would
+    * miss a batch whose manifest commits only after the rewrite).
     */
-  private def visibleFiles(): Seq[String] = {
+  private def guardSnapshot(dir: String): (Set[String], Set[String]) = {
     // the recursive walk can race a CONCURRENT writer's committer (its
     // `_temporary` task files vanish between list and stat, and local
     // FileSystem throws FileNotFound mid-iteration) — exactly the
@@ -342,8 +396,9 @@ class TableRepo(
     while (true) {
       attempt += 1
       try {
-        val pend = invisibleFiles()
-        return listParquetFiles(dataPath).filterNot(pend.contains)
+        val raw = listParquetFiles(dir).toSet
+        val inv = pendingDeleteSet() ++ pendingLandedFiles(dir)
+        return (raw, raw.diff(inv))
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (attempt >= 10) throw e
@@ -400,8 +455,23 @@ class TableRepo(
   private def schemaPath: String = s"$root/_graft_schema.json"
   private def metaPath: String = s"$root/_repo_meta.json"
 
-  private def fs: FileSystem =
-    FileSystem.get(URI.create(root), spark.sparkContext.hadoopConfiguration)
+  /** FileSystem handle for the active root. Hadoop's global cache makes
+    * `FileSystem.get` correct but not free (URI parse + cache lock per
+    * call, and this class calls `fs` on every metadata step) — one
+    * volatile read serves the steady state; an env switch (new root
+    * string) re-resolves.
+    */
+  @volatile private var fsCache: (String, FileSystem) = null
+  private def fs: FileSystem = {
+    val r = root
+    val c = fsCache
+    if (c != null && c._1 == r) c._2
+    else {
+      val f = FileSystem.get(URI.create(r), spark.sparkContext.hadoopConfiguration)
+      fsCache = (r, f)
+      f
+    }
+  }
 
   // ---------------------------------------------------------------- envs
 
@@ -460,16 +530,33 @@ class TableRepo(
 
   /** Pinned schema: fixed > sidecar > none (core.py:388-404). Always
     * deep-nullable (see [[deepNullable]] — covers legacy sidecars too).
+    *
+    * The sidecar parse (JSON -> StructType + deep-nullable rewrite) sits
+    * on every read/write hot path, several times per op — cached keyed
+    * on the sidecar's (mtime, length), so steady state pays ONE
+    * getFileStatus instead of open+read+parse, while a cross-process
+    * schema widening (new sidecar bytes) still invalidates naturally.
+    * Own-process pins invalidate explicitly ([[pinSchema]]).
     */
+  @volatile private var schemaCache: (String, Long, Long, StructType) = null
   def pinnedSchema: Option[StructType] =
     fixedSchema.map(deepNullable).orElse {
-      val p = new Path(schemaPath)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try Some(deepNullable(
-          DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType]))
-        finally in.close()
-      } else None
+      val st =
+        try Some(fs.getFileStatus(new Path(schemaPath)))
+        catch { case _: java.io.FileNotFoundException => None }
+      st.map { s =>
+        val c = schemaCache
+        if (c != null && c._1 == root && c._2 == s.getModificationTime && c._3 == s.getLen) c._4
+        else {
+          val in = fs.open(s.getPath)
+          val parsed =
+            try deepNullable(
+              DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType])
+            finally in.close()
+          schemaCache = (root, s.getModificationTime, s.getLen, parsed)
+          parsed
+        }
+      }
     }
 
   private def pinSchema(st: StructType): Unit = {
@@ -477,6 +564,7 @@ class TableRepo(
     val out = fs.create(new Path(schemaPath), true)
     try out.write(st.json.getBytes("UTF-8"))
     finally out.close()
+    schemaCache = null // mtime granularity can hide a same-ms re-pin
   }
 
   /** Freeze the current reader schema inside `dir` (underscore-prefixed —
@@ -776,9 +864,16 @@ class TableRepo(
     * touches a handful of partitions, not the table.
     */
   def replaceRecords(updates: DataFrame, byGroups: Boolean = false): Unit = withWriteLock {
-    val mark = stagedMark
-    try replaceRecordsBody(updates, byGroups)
-    finally releaseStagedFrom(mark)
+    // upserts are in-place read-modify-write: two UNCOORDINATED writers
+    // can lose an update no matter how the commit is ordered, so the
+    // single-writer rule is ENFORCED here (exclusive lease + heartbeat
+    // + ttl takeover), not just documented — a second process fails
+    // loudly instead of silently dropping the other's update
+    Lease.withLease(fs, root, "replaceRecords") {
+      val mark = stagedMark
+      try replaceRecordsBody(updates, byGroups)
+      finally releaseStagedFrom(mark)
+    }
   }
 
   private def replaceRecordsBody(updates: DataFrame, byGroups: Boolean): Unit = {
@@ -929,9 +1024,14 @@ class TableRepo(
     * deletes (see the manifest block near `paths`).
     */
   def replaceRecordsPruned(updates: DataFrame, byGroups: Boolean = false): Unit = withWriteLock {
-    val mark = stagedMark
-    try replaceRecordsPrunedBody(updates, byGroups)
-    finally releaseStagedFrom(mark)
+    // same enforced single-writer rule as [[replaceRecords]]; the
+    // fallback from here into the partition merge re-enters the same
+    // lease (per-thread reentrancy), not a second acquisition
+    Lease.withLease(fs, root, "replaceRecordsPruned") {
+      val mark = stagedMark
+      try replaceRecordsPrunedBody(updates, byGroups)
+      finally releaseStagedFrom(mark)
+    }
   }
 
   private def replaceRecordsPrunedBody(updates: DataFrame, byGroups: Boolean): Unit = {
@@ -1116,6 +1216,7 @@ class TableRepo(
     fs.delete(new Path(s"$root/_graft_ledger"), true)
     fs.delete(new Path(s"$root/_graft_staging"), true)
     fs.delete(new Path(footerRewriteMarker), false)
+    fs.delete(Lease.pathIn(root), false) // a crashed upsert's lease dies with the table
     fs.delete(new Path(schemaPath), false)
     fs.delete(new Path(metaPath), false)
   }
@@ -2013,6 +2114,19 @@ object TableRepo {
     * ingestion, so the failure names the fix: quiesce or single-writer).
     */
   val MaxGuardedRewriteAttempts: Int = 5
+
+  /** Observability for the guard's two abort points (specs assert the
+    * machinery fires; operators can watch churn): attempts aborted at
+    * the pre-marker re-list vs un-committed by the post-marker verify.
+    */
+  val guardedAbortsPreCommit = new java.util.concurrent.atomic.AtomicLong()
+  val guardedAbortsPostCommit = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Spec seam: runs once between the pre-marker re-list and the commit
+    * marker of the next guarded rewrite — the exact former loss window —
+    * then clears itself. One volatile read per guarded commit.
+    */
+  @volatile private[repo] var testGapHook: Option[() => Unit] = None
 
   /** Partition-dir value types whose `toString` matches Spark's writer-side
     * dir rendering exactly (dates render ISO `yyyy-MM-dd`). Timestamps,

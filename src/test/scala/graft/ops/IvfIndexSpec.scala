@@ -67,6 +67,33 @@ class IvfIndexSpec extends SparkSuite {
       Ivf.probeTopK(e, 4, 2, 2, 5L, 10).orderBy("q_id", "n_id"))
   }
 
+  test("a foreign maintainer's live lease makes build/rebuild/compact refuse loudly; stale is taken over") {
+    // the single-MAINTAINER rule is enforced by the index root's writer
+    // lease, the same mechanism as the keyed-upsert lease (the real
+    // second-JVM shape is MultiProcessSpec territory; here the foreign
+    // holder is simulated by planting its lease file)
+    val e = embs(200)
+    val root = scratch("ivfidx-lease")
+    val idx = new IvfIndex(root, spark)
+    idx.build(e, 4, 2)
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = graft.repo.Lease.pathIn(root)
+    val out = fs.create(lease, true)
+    out.write("foreign-maintainer:rebuild".getBytes("UTF-8")); out.close()
+    intercept[java.util.ConcurrentModificationException] { idx.rebuild(e, 8, 2) }
+    intercept[java.util.ConcurrentModificationException] { idx.compact(1000L) }
+    assert(idx.manifest.exists(_.k == 4), "the refused maintenance must not have swapped")
+    // a crashed maintainer (no heartbeat past the ttl) is taken over
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(fs.makeQualified(lease).toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - graft.repo.Lease.DefaultTtlMs - 30000))
+    val m = idx.rebuild(e, 8, 2)
+    assert(m.k == 8)
+    assert(!fs.exists(lease), "the taken-over lease is released")
+  }
+
   /** Drive a k=4 -> k=8 rebuild STEP BY STEP with a probe after every
     * table commit: until the manifest flips, every probe must return the
     * old generation's exact answer (the superseded versions survive as

@@ -1,0 +1,77 @@
+package graft.repo
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The guarded rewrite's FORMER residual window — the instants between
+  * its pre-marker re-list and its commit marker — driven
+  * deterministically through the gap hook: a file landing exactly there
+  * must be caught by the post-commit verify (the marker is revoked, the
+  * attempt retries, the late rows are carried into the version that
+  * finally commits). Before this closure a file landing in that ~ms gap
+  * was silently absent from the committed version forever.
+  */
+class GuardedRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write one extra schema-compatible parquet file OUTSIDE the repo and
+    * return it, ready to be renamed into a data dir — the on-disk shape
+    * of a concurrent process's append landing.
+    */
+  private def strayFile(tag: String): Path = {
+    val dir = scratch(s"gap-stray-$tag")
+    (9000L to 9009L).map(i => (i, s"late$i")).toDF("id", "payload")
+      .coalesce(1).write.parquet(dir)
+    new Path(new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath)
+  }
+
+  test("a file landing between the re-list and the marker is caught by the post-commit verify") {
+    val repo = new TableRepo(scratch("gap-compact"), spark, maxRecordsPerFile = 25)
+    repo.extend((1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val dataDir = new Path(repo.paths.head).getParent
+    val stray = strayFile("compact")
+    val pre = TableRepo.guardedAbortsPostCommit.get()
+    TableRepo.testGapHook = Some(() => {
+      // the simulated appender: its file hits the source dir after the
+      // pre-marker re-list passed, before the marker lands — the exact
+      // interleaving that silently lost rows before the closure
+      assert(fs.rename(stray, new Path(dataDir, stray.getName)))
+    })
+    repo.compact(1000L)
+    assert(TableRepo.testGapHook.isEmpty, "the hook must have fired")
+    assert(TableRepo.guardedAbortsPostCommit.get() == pre + 1,
+      "the post-marker verify must have revoked the first attempt")
+    assert(repo.count() == 110, "the gap-landed rows are in the finally-committed version")
+    assert(repo.getFullDf.filter(col("id") >= 9000L).count() == 10)
+  }
+
+  test("the schema-evolution backfill rewrite gets the same gap closure") {
+    val repo = new TableRepo(scratch("gap-evolve"), spark, allowSchemaExtension = true)
+    repo.extend((1L to 50L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val dataDir = new Path(repo.paths.head).getParent
+    val stray = strayFile("evolve")
+    val pre = TableRepo.guardedAbortsPostCommit.get()
+    TableRepo.testGapHook = Some(() =>
+      assert(fs.rename(stray, new Path(dataDir, stray.getName))): Unit)
+    // widening extend triggers the guarded backfill rewrite of history
+    repo.extend(Seq((200L, "new", 1.5)).toDF("id", "payload", "score"))
+    assert(TableRepo.guardedAbortsPostCommit.get() == pre + 1)
+    assert(repo.count() == 61, "50 originals + 10 gap-landed + 1 widened row")
+    assert(repo.getFullDf.filter(col("id") >= 9000L).count() == 10,
+      "late rows survive the backfill, null-backfilled into the widened schema")
+  }
+
+  test("an unguarded full replace ignores the hook machinery (no false aborts)") {
+    val repo = new TableRepo(scratch("gap-replace"), spark)
+    repo.extend((1L to 20L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val pre = TableRepo.guardedAbortsPostCommit.get()
+    repo.replaceAll((1L to 5L).map(i => (i, "r")).toDF("id", "payload"))
+    assert(repo.count() == 5)
+    assert(TableRepo.guardedAbortsPostCommit.get() == pre)
+  }
+}

@@ -151,6 +151,80 @@ class MultiProcessSpec extends SparkSuite {
       s"every exactly-once batch lands exactly once across processes, got $childRows")
   }
 
+  test("hammer: relentless ms-cadence appends from a second JVM vs a compact loop — zero loss, the gap is closed") {
+    // the former residual window was the re-list→marker gap (~ms): this
+    // drives continuous tiny appends with no pause against back-to-back
+    // compacts for long enough that landings cluster around every commit
+    // point. Every appended row must surface in the final table — either
+    // carried by a re-list, or the abort/verify machinery revoked the
+    // commit (counters prove the guard worked, not that the race never
+    // happened).
+    val root = scratch("mp-hammer")
+    val repo = new TableRepo(root, spark)
+    repo.extend((0L until 50L).toDF("id").withColumn("src", lit("seed")))
+    val preAborts = TableRepo.guardedAbortsPreCommit.get() +
+      TableRepo.guardedAbortsPostCommit.get()
+    val log = scratch("mp-hammer-log")
+    val child = spawnChild(log, root, "extend", "500000", "25", "8", "1")
+    var compacts = 0
+    var starved = 0
+    while (child.isAlive) {
+      try { repo.compact(500L); compacts += 1 }
+      catch { case _: java.util.ConcurrentModificationException => starved += 1 }
+    }
+    awaitExit(child, log)
+    repo.compact(500L) // quiesced: must go through
+    val ids = repo.getFullDf.select(col("id")).collect().map(_.getLong(0)).sorted
+    val expected = ((0L until 50L) ++ (500000L until 500200L)).toArray.sorted
+    assert(ids.length == expected.length && ids.sameElements(expected),
+      s"lost/duplicated rows under hammer: got ${ids.length}, expected ${expected.length} " +
+        s"(missing: ${expected.diff(ids).take(10).toSeq}, extra: ${ids.diff(expected).take(10).toSeq})")
+    val aborts = TableRepo.guardedAbortsPreCommit.get() +
+      TableRepo.guardedAbortsPostCommit.get() - preAborts
+    info(s"hammer: $compacts compacts, $starved starved, $aborts guarded aborts")
+    assert(compacts + starved >= 3, s"the hammer needs real contention, got $compacts+$starved")
+  }
+
+  test("a second JVM's upsert against a held lease fails LOUDLY; succeeds after TTL expiry of a killed holder") {
+    val root = scratch("mp-lease")
+    val repo = new TableRepo(root, spark, keyCols = Seq("id"))
+    repo.extend(Seq((7L, "seed")).toDF("id", "src"))
+
+    // 1) live holder: the parent holds the lease (heartbeating) for the
+    //    child's whole attempt — the child's upsert must refuse loudly
+    Lease.withLease(fs, root, "parent-held") {
+      val log = scratch("mp-lease-log1")
+      val child = spawnChild(log, root, "upsert-once", "7", "1", "1", "0")
+      assert(child.waitFor(300, java.util.concurrent.TimeUnit.SECONDS), {
+        child.destroyForcibly(); "child JVM did not finish"
+      })
+      assert(child.exitValue() == 7, {
+        val err = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(log + ".err")), "UTF-8")).getOrElse("<no stderr>")
+        s"child must exit 7 (loud lease refusal), got ${child.exitValue()}; stderr:\n" +
+          err.takeRight(2000)
+      })
+    }
+    assert(repo.getFullDf.filter(col("id") === 7L).select(col("src")).head().getString(0)
+      == "seed", "the refused upsert must not have landed")
+
+    // 2) killed holder: a lease file with no live heartbeat, aged past
+    //    the TTL — the child's upsert takes it over and lands
+    val stale = Lease.pathIn(root)
+    val out = fs.create(stale, true)
+    out.write("dead-process:crashed-op".getBytes("UTF-8")); out.close()
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(fs.makeQualified(stale).toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Lease.DefaultTtlMs - 30000))
+    val log2 = scratch("mp-lease-log2")
+    val child2 = spawnChild(log2, root, "upsert-once", "7", "1", "1", "0")
+    awaitExit(child2, log2)
+    assert(repo.getFullDf.filter(col("id") === 7L).select(col("src")).head().getString(0)
+      == "child-upsert", "the post-TTL upsert must land")
+    assert(!fs.exists(stale), "the taken-over lease is released after the op")
+  }
+
   /** Retry the loud cross-process failure modes (superseded in-place
     * write, guarded-rewrite starvation) — the documented caller contract.
     */
@@ -236,6 +310,20 @@ object MultiProcessChild {
           if (landed) { System.err.println(s"REPLAYED BATCH $b LANDED TWICE"); sys.exit(3) }
         }
         println("CHILD EO DONE")
+      case "upsert-once" =>
+        // one keyed upsert against the (possibly leased) table: exits 7
+        // on the loud lease refusal, 0 when the upsert lands — the
+        // parent asserts one or the other depending on lease state
+        val keyed = new TableRepo(root, spark, keyCols = Seq("id"))
+        try {
+          keyed.replaceRecords(Seq((idBase, "child-upsert")).toDF("id", "src"))
+          println("CHILD UPSERTED")
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            System.err.println(s"LEASE REFUSED: ${e.getMessage}")
+            spark.stop()
+            sys.exit(7)
+        }
       case other =>
         System.err.println(s"unknown mode $other"); sys.exit(2)
     }
