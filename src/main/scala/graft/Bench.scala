@@ -97,6 +97,27 @@ object Bench {
         queryList.zipWithIndex.foreach { case ((_, fn), qi) => runOnce(qi, fn) }
         System.gc()
       }
+    // STALL RERUN: the harness already detects a box stall (one raw rep
+    // >= 3x the query's fastest) — but with 5 reps the dropminmax median
+    // still absorbs only ONE outlier, and the round-16 official artifact
+    // paid 37 s of headline for nine stalled queries. Each stalled query
+    // gets exactly one extra rep (bounded: one pass, logged, its own
+    // sweep sample), then the SAME official metric — dropminmax median —
+    // runs over the final rep set. The closing `stalls` scalar is
+    // computed on that final set, so a query that stays stalled is still
+    // reported; `stall_reruns` records how many re-runs happened.
+    val rerun = queryList.indices.filter { qi =>
+      val ts = times(qi)
+      fails(qi).isEmpty && ts.nonEmpty && ts.min > 0 && ts.max / ts.min >= 3.0
+    }
+    val stallReruns = rerun.size
+    if (rerun.nonEmpty) {
+      System.err.println(s"BENCH STALL RERUN: ${rerun.size} queries with raw rep " +
+        s"span >= 3x get one extra rep: ${rerun.map(queryList(_)._1).mkString(", ")}")
+      sampleSweep()
+      rerun.foreach(qi => runOnce(qi, queryList(qi)._2))
+      System.gc()
+    }
     sampleSweep() // end-of-run state closes the bracket
     // With >= 4 reps the single highest and single lowest rep are DROPPED
     // before the median: even with the warm rep, one rep per sweep can
@@ -149,7 +170,11 @@ object Bench {
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)
-    val mode = (if (consecutive) "consecutive" else "roundrobin") +
+    // consecutive mode runs all reps inside ONE sweep block, so its
+    // sweep_ts/sweep_load carry only warm/start/end samples — the mode
+    // string says so, or compare_bench would present them as per-sweep
+    // stall attribution like roundrobin's
+    val mode = (if (consecutive) "consecutive(sweeps=warm,start,end)" else "roundrobin") +
       (if (warmRep) "+warm" else "") + (if (reps >= 4) "+dropminmax" else "") +
       (if (noCkpt) "+nockpt" else "")
     // field order matters downstream: the driver's stdout capture keeps
@@ -157,7 +182,7 @@ object Bench {
     // (queries_min, sweep_ts, sweep_load) sit at the END of the line —
     // they survive truncation while the fat rep maps get cut
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,"floor_total":${f"$floorTotal%.2f"},"stalls":$stallCount,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,"stall_reruns":$stallReruns,"floor_total":${f"$floorTotal%.2f"},"stalls":$stallCount,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so
     // ALSO write to a committed path — docs/bench_last.json is the durable
     // all-queries artifact each round

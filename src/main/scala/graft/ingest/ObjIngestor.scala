@@ -155,8 +155,16 @@ object ObjIngestor {
     * forever. Clean paths — the overwhelmingly common case — stay
     * readable and unchanged, and cannot collide with a suffixed one.
     */
+  /** The plain character-sanitization step, shared with [[dumpAll]]'s
+    * legacy-directory guard so the two can never drift: if the regex
+    * changed in one place only, the guard would silently stop matching
+    * the directories the old scheme actually wrote.
+    */
+  private def plainSanitized(path: String): String =
+    path.replaceAll("[^A-Za-z0-9_.-]", "_")
+
   private def safeName(path: String): String = {
-    val s = path.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val s = plainSanitized(path)
     if (s == path) s else s"$s-${md5Hex(path).take(8)}"
   }
 
@@ -184,7 +192,7 @@ object ObjIngestor {
     val claimed = tables.keysIterator.map(safeName).toSet
     tables.map { case (path, t) =>
       val name = safeName(path)
-      val plain = path.replaceAll("[^A-Za-z0-9_.-]", "_")
+      val plain = plainSanitized(path)
       if (name != plain && !claimed.contains(plain)) {
         val fs = new org.apache.hadoop.fs.Path(baseDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -39,4 +39,32 @@ class ProfileApproxSpec extends SparkSuite {
     assert(exact("event_id")._3 > 50000L,
       s"sf0.1 should profile >50k distinct event ids, got ${exact("event_id")._3}")
   }
+
+  test("approx profile holds at the sf1 stress corpus (~10^6 distincts — HLL++'s flat regime)") {
+    // one decade past sf0.1: the graft.ScaleUp stress corpus (10x events,
+    // k x distinct users/event ids over the same time span). Gated on the
+    // stress dir having been built this round — `sbt "runMain
+    // graft.ScaleUp /root/testdata/sf0.1 target/sf1 10"`.
+    val dir = "target/sf1"
+    assume(new java.io.File(s"$dir/events.parquet").exists(),
+      s"$dir not built (graft.ScaleUp) — skipping the sf1 error pin")
+    def byCol(approx: Boolean): Map[String, (Long, Long, Long)] =
+      Queries.profile(spark, dir, approx = approx).collect()
+        .map(r => r.getAs[String]("column_name") ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"))))
+        .toMap
+    val exact = byCol(approx = false)
+    val approx = byCol(approx = true)
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, (rows, nulls, nd)) =>
+      val (aRows, aNulls, aNd) = approx(c)
+      assert(aRows == rows && aNulls == nulls, s"$c: row/null counts must not trade")
+      val relErr = if (nd == 0) (if (aNd == 0) 0.0 else 1.0)
+        else math.abs(aNd - nd).toDouble / nd
+      assert(relErr < 0.05,
+        s"$c: approx n_distinct $aNd vs exact $nd at sf1 — error ${f"$relErr%.4f"} >= 5%")
+    }
+    assert(exact("event_id")._3 > 500000L,
+      s"sf1 should profile >500k distinct event ids, got ${exact("event_id")._3}")
+  }
 }

@@ -36,11 +36,18 @@ def load(path):
     arrays = {}
     for k, v in re.findall(r'"(q_\w+)":(\[[0-9.,\-]*\])', txt):
         arrays[k] = json.loads(v)  # later (raw) fragment wins over kept
-    # scalar fragments: whichever of the queries / queries_min maps the
-    # truncation window caught (later in the line wins = queries_min)
+    # scalar fragments: ONLY from the queries_min map's own span — a bare
+    # "q_x":N regex would also match surviving entries of the `queries`
+    # (median) map and failed-query -1 sentinels, and summing those as
+    # floors makes the noise verdict compare medians as if they were
+    # load-insensitive minima. Negative sentinels are dropped either way.
     scalars = {}
-    for k, v in re.findall(r'"(q_\w+)":(-?\d+(?:\.\d+)?)(?=[,}])', txt):
-        scalars[k] = float(v)
+    qm_span = re.search(r'"queries_min":\{([^}]*)', txt)
+    if qm_span:
+        for k, v in re.findall(r'"(q_\w+)":(-?\d+(?:\.\d+)?)(?=[,}]|$)', qm_span.group(1)):
+            fv = float(v)
+            if fv >= 0:
+                scalars[k] = fv
     if not arrays and not scalars and not re.search(
             r'"(floor_total|stalls|sweep_load)":', txt):
         raise SystemExit(f"no bench line found in {path}")
