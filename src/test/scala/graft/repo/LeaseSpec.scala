@@ -79,6 +79,44 @@ class LeaseSpec extends SparkSuite {
     assert(!fs.exists(Lease.pathIn(root)))
   }
 
+  test("the heartbeat keeps a long-held lease fresh (mtime advances at ttl/4)") {
+    val root = scratch("lease-beat")
+    val p = Lease.pathIn(root)
+    Lease.withLease(fs, root, "long-op", ttlMs = 400) {
+      val t0 = fs.getFileStatus(p).getModificationTime
+      // > several heartbeat periods (100 ms each at ttl 400)
+      Thread.sleep(700)
+      val t1 = fs.getFileStatus(p).getModificationTime
+      // (no upper-bound assert on the stamp's age: a loaded box can delay
+      // the beat thread arbitrarily — advancing mtime IS the property)
+      assert(t1 > t0, s"heartbeat must re-stamp the lease ($t0 -> $t1)")
+    }
+    assert(!fs.exists(p))
+  }
+
+  test("a takeover during a stalled heartbeat surfaces as a LOUD lease-lost failure at release") {
+    // simulate the one dangerous interleaving: the holder's heartbeat
+    // stalls past the ttl (GC/VM suspend), a foreign writer takes over,
+    // the original wakes and finishes its body — the release must throw,
+    // never silently delete the taker's lease or report success
+    val root = scratch("lease-lost")
+    val p = Lease.pathIn(root)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Lease.withLease(fs, root, "stalled-op", ttlMs = 60000) {
+        // ttl 60s means no heartbeat fires during this body; the foreign
+        // takeover is simulated by replacing the lease file content
+        val out = fs.create(p, true)
+        out.write("taker-process:takeover-op".getBytes("UTF-8")); out.close()
+      }
+    }
+    assert(e.getMessage.contains("LOST"))
+    assert(fs.exists(p), "the taker's lease must not be deleted by the loser's release")
+    val in = fs.open(p)
+    val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(content == "taker-process:takeover-op")
+    fs.delete(p, false)
+  }
+
   test("two threads in one JVM serialize at the lease instead of failing") {
     val root = scratch("lease-threads")
     val repo = new TableRepo(root, spark, keyCols = Seq("id"))
