@@ -225,6 +225,50 @@ class MultiProcessSpec extends SparkSuite {
     assert(!fs.exists(stale), "the taken-over lease is released after the op")
   }
 
+  test("a LIVE embed in a second JVM is never 'repaired' by this process's reads") {
+    // the round-16 advisor's cross-process race, end-to-end: a reader in
+    // a different JVM used to see the embed's marker, restore a .kvbak
+    // that was legitimately in flight, and delete the marker out from
+    // under the embed. With the ownership gate, the parent's reads must
+    // ride out the whole embed un-repairing and see every row afterward.
+    val root = scratch("mp-embed")
+    val repo = new TableRepo(root, spark, maxRecordsPerFile = 50)
+    val n = 2000L
+    repo.extend((1L to n).map(i => (i, s"v$i")).toDF("id", "payload"))
+    assert(repo.nFiles >= 20, "need many files so the embed spans real time")
+    val marker = new Path(s"$root/_graft_footer_rewrites")
+    val log = scratch("mp-embed-log")
+    val child = spawnChild(log, root, "embed", "0", "1", "1", "0")
+    var sawMarker = false
+    var minCount = n
+    var transients = 0
+    while (child.isAlive) {
+      // reads during the embed must never repair the live foreign embed
+      // (the marker survives every read that observes it). A read CAN
+      // transiently fail — it may list a file an instant before the
+      // embed's swap renames it — which is inherent to any in-place file
+      // swap under concurrent readers (retryable); what it must never do
+      // is return corrupt data or miss more than the one mid-swap file.
+      val before = fs.exists(marker)
+      val c = try repo.count()
+        catch { case scala.util.control.NonFatal(_) => transients += 1; -1L }
+      if (before && fs.exists(marker)) sawMarker = true
+      if (c >= 0) {
+        if (c < minCount) minCount = c
+        assert(c >= n - 50, s"a read may miss at most the one file mid-swap, saw $c of $n")
+      }
+    }
+    awaitExit(child, log)
+    assert(repo.count() == n, "every row visible after the embed completes")
+    assert(!fs.exists(marker), "the embed cleared its own marker")
+    info(s"mp-embed: marker observed live=$sawMarker, min concurrent count=$minCount, " +
+      s"transient read failures=$transients")
+    // the embed actually landed its KV in the footers
+    val kv = ParquetMeta.keyValueMeta(
+      spark.sparkContext.hadoopConfiguration, new Path(repo.paths.head))
+    assert(kv.get("graft.owner").contains("mp-child"))
+  }
+
   /** Retry the loud cross-process failure modes (superseded in-place
     * write, guarded-rewrite starvation) — the documented caller contract.
     */
@@ -310,6 +354,15 @@ object MultiProcessChild {
           if (landed) { System.err.println(s"REPLAYED BATCH $b LANDED TWICE"); sys.exit(3) }
         }
         println("CHILD EO DONE")
+      case "embed" =>
+        // one real embedMetadata over a many-file repo: the parent reads
+        // concurrently and must never "repair" this live embed's
+        // in-flight backups (the marker carries THIS process's token and
+        // heartbeat — foreign to the parent)
+        val r = new TableRepo(root, spark)
+        r.setMetadata(Map("owner" -> "mp-child", "round" -> "17"))
+        r.embedMetadata()
+        println("CHILD EMBEDDED")
       case "upsert-once" =>
         // one keyed upsert against the (possibly leased) table: exits 7
         // on the loud lease refusal, 0 when the upsert lands — the
