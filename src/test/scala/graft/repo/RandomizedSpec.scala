@@ -54,6 +54,78 @@ class RandomizedSpec extends SparkSuite {
     assert(repo.getPartitionDf(Map("d" -> "2023-04-05")).count() == 3)
   }
 
+  test("seeded random lifecycle sequences track an exact in-memory model (grouped keyed repo)") {
+    // model-based composition check over the WHOLE mutating surface on
+    // the hairiest layout (grouped + keyed, unscoped upserts so keys can
+    // MOVE between groups — the emptied-partition path): after any
+    // prefix of a random op sequence, the table must equal the model
+    // exactly. Each op class has its own invariant; composing them in
+    // random orders is what no single-op spec covers.
+    val rng = new Random(20260815)
+    val repo = new TableRepo(scratch("rand-lifecycle"), spark,
+      keyCols = Seq("k"), groupCols = Seq("g"))
+    val model = scala.collection.mutable.Map[Long, (String, Double)]()
+    val groups = Vector("g0", "g1", "g2")
+    def rndRows(n: Int, newKeysOnly: Boolean): Seq[(Long, String, Double)] = {
+      val keys = scala.collection.mutable.LinkedHashSet[Long]()
+      while (keys.size < n) {
+        // draw from the wide range once the dense one is nearly full, so
+        // a new-keys-only draw always terminates and never collides
+        val k = if (newKeysOnly && model.size >= 55) 60L + rng.nextInt(100000)
+          else rng.nextInt(60).toLong
+        if (!newKeysOnly || !model.contains(k)) keys += k
+      }
+      keys.toSeq.map(k => (k, groups(rng.nextInt(groups.size)), rng.nextDouble()))
+    }
+    def check(step: String): Unit = {
+      val got = repo.getFullDf.select($"k", $"g", $"v").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).sortBy(_._1).toSeq
+      val want = model.toSeq.sortBy(_._1)
+      assert(got == want,
+        s"diverged after $step: extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+    }
+    repo.extend(rndRows(8, newKeysOnly = true).map { case (k, g, v) =>
+      model(k) = (g, v); (k, g, v)
+    }.toDF("k", "g", "v"))
+    for (step <- 1 to 24) {
+      rng.nextInt(10) match {
+        case 0 | 1 => // append of strictly-new keys (extend never dedups)
+          val rows = rndRows(3 + rng.nextInt(5), newKeysOnly = true)
+          rows.foreach { case (k, g, v) => model(k) = (g, v) }
+          repo.extend(rows.toDF("k", "g", "v"))
+        case 2 | 3 | 4 | 5 => // unscoped keyed upsert: keys may change group
+          val rows = rndRows(3 + rng.nextInt(8), newKeysOnly = false)
+          rows.foreach { case (k, g, v) => model(k) = (g, v) }
+          repo.replaceRecords(rows.toDF("k", "g", "v"))
+        case 6 => // one group's dynamic overwrite
+          val g = groups(rng.nextInt(groups.size))
+          val rows = rndRows(2 + rng.nextInt(4), newKeysOnly = false).map(r => (r._1, g, r._3))
+          model.filterInPlace { case (_, (mg, _)) => mg != g }
+          rows.foreach { case (k, _, v) => model(k) = (g, v) }
+          repo.replaceGroups(rows.toDF("k", "g", "v"))
+        case 7 => // content-preserving compaction: model untouched
+          repo.compact(10L + rng.nextInt(40))
+        case 8 => // snapshot-versioned full replace
+          val rows = rndRows(6 + rng.nextInt(6), newKeysOnly = false)
+          model.clear()
+          rows.foreach { case (k, g, v) => model(k) = (g, v) }
+          repo.replaceAll(rows.toDF("k", "g", "v"))
+        case 9 => // scoped upsert, restricted to same-group identities:
+          // with byGroups the key is (g, k), so a same-k-different-g row
+          // is a SECOND identity — legal for the repo, but it breaks this
+          // model's single-key map; the sequence only feeds matching rows
+          val rows = rndRows(2 + rng.nextInt(4), newKeysOnly = false)
+            .filter { case (k, g, _) => model.get(k).forall(_._1 == g) }
+          if (rows.nonEmpty) {
+            rows.foreach { case (k, g, v) => model(k) = (g, v) }
+            repo.replaceRecords(rows.toDF("k", "g", "v"), byGroups = true)
+          }
+      }
+      if (step % 4 == 0) check(s"step $step")
+    }
+    check("final")
+  }
+
   test("bucketed and plain keyed repos agree under seeded random upserts") {
     val rng = new Random(4242)
     def batch(n: Int) = (0 until n).map(_ => (rng.nextInt(400).toLong, rng.nextDouble(), alnum(rng, 4)))
