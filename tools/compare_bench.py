@@ -111,10 +111,12 @@ def main(old_p, new_p, ratio=2.0):
     mo, mn = mins(old), mins(new)
     shared = sorted(set(mo) & set(mn))
     def stall_label(run, st):
+        rr = run.get("stall_reruns")
+        suffix = f" ({int(rr)} re-run)" if rr else ""
         if raw_reps(run):
-            return f"{len(st)}/{len(raw_reps(run))}"
+            return f"{len(st)}/{len(raw_reps(run))}{suffix}"
         s = run.get("stalls")
-        return f"{int(s)} (scalar)" if s is not None else "?"
+        return f"{int(s)} (scalar){suffix}" if s is not None else "?"
     print(f"\nstall reps (raw max/min >= {STALL_SPAN:g}): "
           f"old {stall_label(old, st_old)}, new {stall_label(new, st_new)}")
     for k in st_new[:10]:
