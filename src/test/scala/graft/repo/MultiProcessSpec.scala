@@ -225,6 +225,38 @@ class MultiProcessSpec extends SparkSuite {
     assert(!fs.exists(stale), "the taken-over lease is released after the op")
   }
 
+  test("hammer: exactly-once batches from a second JVM vs a compact loop — each batch lands exactly once") {
+    // the guard's double snapshot (raw AND reader-visible file sets)
+    // exists for exactly this writer: an exactly-once batch's files are
+    // INVISIBLE while its manifest pends, so a rewrite overlapping the
+    // landing is caught by the raw set, and one overlapping the
+    // manifest-delete commit by the visible set. Either way no batch
+    // may be dropped or doubled.
+    val root = scratch("mp-eo-hammer")
+    val repo = new TableRepo(root, spark)
+    repo.extend((0L until 30L).toDF("id").withColumn("src", lit("seed")))
+    val log = scratch("mp-eo-hammer-log")
+    val child = spawnChild(log, root, "eo", "700000", "12", "10", "1")
+    var compacts = 0
+    var starved = 0
+    while (child.isAlive) {
+      try { repo.compact(400L); compacts += 1 }
+      catch { case _: java.util.ConcurrentModificationException => starved += 1 }
+    }
+    awaitExit(child, log)
+    repo.compact(400L)
+    info(s"eo-hammer: $compacts compacts, $starved starved")
+    assert(compacts + starved >= 3, s"needs real contention, got $compacts+$starved")
+    val childRows = repo.getFullDf.filter(col("id") >= 700000L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    val expected = (700000L until 700120L).toArray
+    assert(childRows.sameElements(expected),
+      s"exactly-once under compaction churn: got ${childRows.length} of ${expected.length} " +
+        s"(missing: ${expected.diff(childRows).take(10).toSeq}, " +
+        s"extra: ${childRows.diff(expected).take(10).toSeq})")
+    assert(repo.getFullDf.filter(col("id") < 30L).count() == 30, "seed rows intact")
+  }
+
   test("a LIVE embed in a second JVM is never 'repaired' by this process's reads") {
     // the round-16 advisor's cross-process race, end-to-end: a reader in
     // a different JVM used to see the embed's marker, restore a .kvbak
