@@ -31,6 +31,28 @@ class SchemaSpec extends SparkSuite {
     assert(out.filter($"C" === "z").select("B").as[Long].head() == 10L)
   }
 
+  test("a second handle's schema widening is seen through the pinned-schema cache") {
+    // the sidecar parse is cached per handle keyed on (mtime, length);
+    // a DIFFERENT handle (or process) widening the pin must invalidate
+    // naturally through the changed sidecar bytes — a stale cache here
+    // would make this handle write un-widened batches forever
+    val root = scratch("schema-cache")
+    val a = new TableRepo(root, spark, allowSchemaExtension = true)
+    a.extend(Seq((1L, "x")).toDF("A", "C"))
+    assert(a.pinnedSchema.get.fieldNames.toSeq == Seq("A", "C"))
+    a.pinnedSchema // warm the cache again
+    val b = new TableRepo(root, spark, allowSchemaExtension = true)
+    b.extend(Seq((2L, "y", 1.5)).toDF("A", "C", "D")) // widens via handle b
+    assert(a.pinnedSchema.get.fieldNames.toSeq == Seq("A", "C", "D"),
+      "handle a must observe the widened pin, not its cached parse")
+    a.extend(Seq((3L, "z")).toDF("A", "C"))
+    val out = a.getFullDf
+    assert(out.columns.toSeq == Seq("A", "C", "D"))
+    assert(out.count() == 3)
+    assert(out.filter($"A" === 3L).select("D").collect().head.isNullAt(0),
+      "handle a's post-widening append is null-backfilled under the new pin")
+  }
+
   test("F4b: type drift long->double unified to pinned type (diff_cols.py:33-45)") {
     val repo = new TableRepo(scratch("f4b"), spark)
     repo.extend(Seq((1.5, "x")).toDF("A", "C"))
