@@ -121,9 +121,10 @@ private[graft] object Lease {
   /** Atomic exclusive create with content. On the file scheme Hadoop's
     * `create(overwrite = false)` is a non-atomic exists-then-create, so
     * NIO `CREATE_NEW` (true O_EXCL) does the claim; HDFS-like schemes
-    * make the plain call atomic server-side.
+    * make the plain call atomic server-side. Shared with the version-claim
+    * protocol, whose claims carry a holder id for the same liveness trick.
     */
-  private def tryCreateExclusive(fs: FileSystem, p: Path, content: String): Boolean = {
+  private[repo] def tryCreateExclusive(fs: FileSystem, p: Path, content: String): Boolean = {
     val q = fs.makeQualified(p)
     try {
       if (q.toUri.getScheme == "file") {
@@ -146,7 +147,7 @@ private[graft] object Lease {
     }
   }
 
-  private def readContent(fs: FileSystem, p: Path): Option[String] =
+  private[repo] def readContent(fs: FileSystem, p: Path): Option[String] =
     try {
       val in = fs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8"))
@@ -155,53 +156,76 @@ private[graft] object Lease {
 
   /** A held lease: heartbeat thread + release-with-loss-check. */
   private final class Held(fs: FileSystem, p: Path, id: String, ttlMs: Long, what: String) {
-    @volatile private var lost = false
-    @volatile private var done = false
-
-    private val beat = new Thread(() => {
-      while (!done && !lost) {
-        try Thread.sleep(math.max(1L, ttlMs / 4))
-        catch { case _: InterruptedException => () }
-        if (!done) stamp()
-      }
-    }, s"graft-lease-heartbeat-${p.getName}")
-    beat.setDaemon(true)
-    beat.start()
-
-    /** Re-stamp mtime by rewriting our own content — but never clobber a
-      * taker's: verify the id first (a mismatch means our heartbeat
-      * stalled past the TTL and the lease was legitimately taken over).
-      * `create(overwrite)` keeps the file existing throughout, so a
-      * foreign CREATE_NEW can never sneak between "check" and "write".
-      */
-    private def stamp(): Unit = synchronized {
-      if (done || lost) return
-      readContent(fs, p) match {
-        case Some(c) if c == id =>
-          try {
-            val out = fs.create(p, true)
-            try out.write(id.getBytes("UTF-8"))
-            finally out.close()
-          } catch { case scala.util.control.NonFatal(_) => () } // next beat retries
-        case _ => lost = true
-      }
-    }
+    private val beat = new FileHeartbeat(fs, p, id, ttlMs, s"graft-lease-heartbeat-${p.getName}")
 
     /** Stop the heartbeat, delete the lease if still ours, and fail
       * loudly on a detected takeover — unless the op already failed
       * (`suppressLossFailure`), where the body's own exception must
       * surface instead of being masked.
       */
-    def release(suppressLossFailure: Boolean): Unit = synchronized {
-      done = true
-      beat.interrupt()
+    def release(suppressLossFailure: Boolean): Unit = {
+      beat.stop()
       val mine = readContent(fs, p).contains(id)
       if (mine) fs.delete(p, false): Unit
-      if ((lost || !mine) && !suppressLossFailure)
+      if ((beat.lost || !mine) && !suppressLossFailure)
         throw new java.util.ConcurrentModificationException(
           s"$what under ${p.getParent}: the writer lease was LOST mid-operation " +
             "(this process stalled past the ttl and another writer took over) — " +
             "the operation's writes may have raced the taker's; inspect and retry")
+    }
+  }
+}
+
+/** Daemon heartbeat on a claim-style file: re-stamps the file's mtime by
+  * rewriting its own content every `ttlMs/4` while running, so a LIVE
+  * holder's file never goes stale past the ttl. Shared by the writer
+  * lease ([[Lease]]) and the version-claim protocol
+  * (`TableRepo.commitNewVersionOnce`).
+  *
+  * Re-stamp verifies the id first and never clobbers a foreign owner's
+  * content: a mismatch (or a missing file) means this holder stalled past
+  * the ttl and the file was legitimately taken over / expired — the beat
+  * stops and [[lost]] reports it. `create(overwrite)` keeps the file
+  * existing throughout a stamp, so a foreign CREATE_NEW can never sneak
+  * between "check" and "write". [[stop]] shares the stamp monitor: once it
+  * returns, no further write can land — callers sequence their own
+  * commit-or-release rename strictly after the last possible stamp.
+  */
+private[repo] final class FileHeartbeat(
+    fs: FileSystem, p: Path, id: String, ttlMs: Long, name: String) {
+  @volatile private var lostFlag = false
+  @volatile private var done = false
+
+  private val t = new Thread(() => {
+    while (!done && !lostFlag) {
+      try Thread.sleep(math.max(1L, ttlMs / 4))
+      catch { case _: InterruptedException => () }
+      if (!done) stamp()
+    }
+  }, name)
+  t.setDaemon(true)
+  t.start()
+
+  /** True once a stamp found foreign/missing content: the holder stalled
+    * past the ttl and lost the file.
+    */
+  def lost: Boolean = lostFlag
+
+  def stop(): Unit = synchronized {
+    done = true
+    t.interrupt()
+  }
+
+  private def stamp(): Unit = synchronized {
+    if (done || lostFlag) return
+    Lease.readContent(fs, p) match {
+      case Some(c) if c == id =>
+        try {
+          val out = fs.create(p, true)
+          try out.write(id.getBytes("UTF-8"))
+          finally out.close()
+        } catch { case scala.util.control.NonFatal(_) => () } // next beat retries
+      case _ => lostFlag = true
     }
   }
 }

@@ -176,16 +176,23 @@ class TableRepo(
   //     append cannot land its files in a superseded version dir (which
   //     the next commit would silently GC — lost rows).
   //   - Cross-process: version numbers are claimed atomically (exclusive
-  //     create of a `_graft_claim-v<N>` sibling marker), so two racing
+  //     create of a `_graft_claim-v<N>` sibling marker carrying a holder
+  //     id, heartbeat-stamped for the whole attempt), so two racing
   //     full rewrites land in DIFFERENT dirs and the HIGHEST-claimed
   //     version wins (readers resolve the max committed number — a rewrite
   //     that claimed a lower number but committed later is superseded, and
   //     commitNewVersion warns when that happens) — no writer ever
-  //     clobbers another's in-flight directory. In-place
+  //     clobbers another's in-flight directory. A CRASHED claimant's
+  //     orphan dir (a full-size table copy) is auto-reclaimed once its
+  //     heartbeat is stale (sweepExpiredClaims, at every later commit):
+  //     commit and expiry are two atomic renames of the same claim file,
+  //     so exactly one wins and a reclaimed dir can never be blessed. In-place
   //     writes (append, dynamic partition overwrite) re-resolve the
   //     current version after the job and FAIL LOUDLY if a concurrent
   //     external rewrite superseded their target mid-write, instead of
-  //     silently losing the rows at the next GC. CONTENT-PRESERVING
+  //     silently losing the rows at the next GC; a write JOB failed by
+  //     that same race (the superseded target GC'd mid-job) is converted
+  //     to the same typed retryable failure (inPlaceWrite). CONTENT-PRESERVING
   //     rewrites (compact, schema backfill) are additionally
   //     source-guarded: their content plan lists AFTER the version
   //     claim, a re-list before the commit marker aborts-and-retries
@@ -235,8 +242,11 @@ class TableRepo(
     * rewrite that claimed the same number forces this one to the next free
     * slot, so neither deletes the other's in-flight directory and a commit
     * marker can never bless a half-clobbered dir. A crashed claimant
-    * leaves a claim without a commit — readers never see it (no marker)
-    * and later writers just skip the number; `purge()` sweeps both.
+    * leaves a claim without a commit — readers never see it (no marker) —
+    * and once its heartbeat is stale past [[TableRepo.ClaimTtlMs]] the
+    * next commit reclaims the orphan dir and retires the number with a
+    * `.swept` tombstone ([[sweepExpiredClaims]]); `purge()` removes the
+    * tombstones with the table.
     */
   /** With `guardSource = true` (content-preserving rewrites: compact,
     * schema backfill) the commit is guarded against CROSS-PROCESS
@@ -304,78 +314,191 @@ class TableRepo(
     sealSchema(dataPath)
     fs.mkdirs(new Path(root))
     var next = prior.lastOption.getOrElse(-1) + 1
+    // The claim carries a holder id and is heartbeat-stamped for the whole
+    // attempt, so a LIVE rewrite (however slow) is never mistaken for a
+    // crashed one; a crashed holder's claim goes stale after ClaimTtlMs
+    // and a later writer reclaims its orphan dir (sweepExpiredClaims).
+    // The COMMIT is an atomic rename of the claim file INTO the commit
+    // marker; expiry is an atomic rename of the same file to a `.swept`
+    // tombstone — one source, two destinations, exactly one winner — so a
+    // swept dir can never be blessed and a blessed dir can never be swept.
+    // The tombstone is permanent (purge removes it), so an expired number
+    // is never reused: a suspended holder that wakes finds its claim gone
+    // (or the tombstone present) and aborts LOUDLY before the bless point.
+    val claimId = s"${TableRepo.ProcessToken}:${java.util.UUID.randomUUID()}"
     var claimed = false
     while (!claimed) {
-      try {
-        createExclusive(new Path(s"$root/_graft_claim-v$next"))
-        claimed = true
-      } catch {
-        // Advance ONLY on a confirmed collision; any other IOException
-        // (permissions, quota, FS outage) must surface, not become an
-        // unbounded busy loop silently burning version numbers.
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => next += 1
-        case e: java.io.IOException =>
-          if (fs.exists(new Path(s"$root/_graft_claim-v$next"))) next += 1
-          else throw e
+      // a `.swept` tombstone retires its number forever (reclaiming it
+      // could race the expired claimant's own write job, still in flight)
+      if (fs.exists(claimSweptPath(next))) next += 1
+      else if (Lease.tryCreateExclusive(fs, claimPath(next), claimId)) claimed = true
+      else next += 1 // confirmed collision; FS faults propagate out of the create
+    }
+    val beat = new FileHeartbeat(fs, claimPath(next), claimId,
+      TableRepo.ClaimTtlMs, s"graft-claim-heartbeat-v$next")
+    try {
+      // reclaim OTHER writers' crash leftovers while we are here: a crashed
+      // full rewrite's orphan dir is a full-size table copy, and waiting
+      // for purge() means carrying ~2x storage at scale
+      sweepExpiredClaims(excludeVersion = next)
+      val target = s"$root/data-v$next"
+      fs.delete(new Path(target), true) // leftover of our own failed predecessor job
+      // the guard snapshot comes AFTER the claim, and `write`'s source plan
+      // is constructed after this line — so its content is a superset of
+      // this set, and any file missing from it is caught by the re-lists.
+      // `oldData` is pinned here: after the commit marker lands, dataPath
+      // resolves to `target`, and the post-marker verify must re-list the
+      // SOURCE dir, not the new version.
+      val oldData = dataPath
+      val preFiles = if (guardSource) guardSnapshot(oldData) else null
+      def abortAttempt(when: String): Boolean = {
+        // order matters: the heartbeat first (a stamp must not recreate the
+        // claim we are about to delete), then the marker (readers fall back
+        // to the intact old version), the half-blessed dir, and the claim
+        beat.stop()
+        fs.delete(new Path(s"$target/_GRAFT_COMMIT"), false)
+        fs.delete(new Path(target), true)
+        fs.delete(claimPath(next), false)
+        org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+          s"full rewrite of $root aborted ($when); retrying")
+        false
+      }
+      try write(target)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // the write job failed (or was failed by a sweeper reclaiming a
+          // stalled attempt's dir): nothing is blessed — clean our claim
+          // and dir eagerly instead of leaving them for a later sweep
+          abortAttempt(s"write job failed: ${e.getMessage}")
+          throw e
+      }
+      if (guardSource && guardSnapshot(oldData) != preFiles) {
+        // an external appender landed (or a crashed batch's replay surfaced)
+        // files mid-rewrite: committing would silently drop them — abort
+        // this attempt and retry against a fresh listing
+        TableRepo.guardedAbortsPreCommit.incrementAndGet()
+        return abortAttempt("pre-marker re-list: the source file set changed during " +
+          "the rewrite job (external appender); a fresh listing will carry its files")
+      }
+      if (guardSource) TableRepo.testGapHook.foreach { h =>
+        // spec seam: land a file inside the exact former loss window — the
+        // instants between the pre-marker re-list and the commit marker
+        TableRepo.testGapHook = None
+        h()
+      }
+      // BLESS = rename the claim into the commit marker. Stop the heartbeat
+      // first (stop shares the stamp monitor, so after it returns no stamp
+      // can recreate the claim), then decide: a `.swept` tombstone, or a
+      // failed rename (claim gone), means this attempt stalled past the
+      // claim ttl and a sweeper reclaimed it — the dir may be deleted, so
+      // blessing is forbidden; abort and retry at a fresh number. The
+      // tombstone check precedes the rename: a sweeper renames BEFORE it
+      // deletes the dir, so a rename that wins against an un-tombstoned
+      // claim proves no sweeper has touched (or will ever touch) this dir.
+      beat.stop()
+      if (fs.exists(claimSweptPath(next)) ||
+          !fs.rename(claimPath(next), new Path(s"$target/_GRAFT_COMMIT"))) {
+        TableRepo.claimExpiredAborts.incrementAndGet()
+        return abortAttempt("claim expired: this rewrite stalled past the claim ttl " +
+          s"(${TableRepo.ClaimTtlMs} ms) and a concurrent writer reclaimed it")
+      }
+      if (guardSource && guardSnapshot(oldData) != preFiles) {
+        // POST-COMMIT VERIFY: any append that PASSED its version check did
+        // so before this marker existed, with its files already on disk —
+        // so this re-list provably sees them. Un-commit and retry; the
+        // appended rows stay visible in the still-current old version.
+        TableRepo.guardedAbortsPostCommit.incrementAndGet()
+        return abortAttempt("post-marker verify: the source file set changed during " +
+          "the rewrite job (external appender); a fresh listing will carry its files")
+      }
+      // Readers resolve the HIGHEST committed version: if a concurrent
+      // rewrite claimed a higher number and committed before us, our rewrite
+      // is superseded on arrival. Make the discarded rewrite observable.
+      committedVersions.lastOption.filter(_ > next).foreach { winner =>
+        org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+          s"full rewrite committed as data-v$next is already superseded by " +
+            s"data-v$winner (highest-claimed version wins)")
+      }
+      // GC: keep the newest `snapshotRetention` superseded snapshots (the
+      // grace versions time travel can reach); the legacy plain `data` dir
+      // acts as the oldest link of the chain (version -1)
+      dropOldSnapshots(prior, snapshotRetention)
+      true
+    } finally beat.stop() // idempotent; covers every exit of the attempt
+  }
+
+  private def claimPath(v: Int) = new Path(s"$root/_graft_claim-v$v")
+  private def claimSweptPath(v: Int) = new Path(s"$root/_graft_claim-v$v.swept")
+
+  /** Reclaim crash leftovers of the version-claim protocol: a bare
+    * `_graft_claim-v<N>` (no commit marker in its dir) whose heartbeat is
+    * stale past [[TableRepo.ClaimTtlMs]] belongs to a DEAD rewrite — a
+    * live one re-stamps every ttl/4 — and its `data-v<N>` dir is an
+    * orphan full-size table copy. Expiry renames the claim to a permanent
+    * `.swept` tombstone (the atomic decider against the holder's own
+    * commit rename — see commitNewVersionOnce) and only the rename WINNER
+    * deletes the dir, so a racing sweeper, a racing committer, and a
+    * suspended-but-alive holder all resolve safely: the holder finds the
+    * tombstone at its bless point and aborts loudly.
+    *
+    * Also converges the secondary crash shape: a tombstoned number whose
+    * dir re-appeared (the expired holder's write job was still running
+    * when the dir was deleted) is re-deleted once stale — that dir can
+    * never be blessed, its claim is tombstoned.
+    *
+    * Runs at every full-rewrite commit and from [[vacuum]]; one root
+    * listing per call. Returns the number of reclaimed versions.
+    */
+  private[repo] def sweepExpiredClaims(excludeVersion: Int = -1): Int = {
+    val rp = new Path(root)
+    if (!fs.exists(rp)) return 0
+    val now = System.currentTimeMillis()
+    val ttl = TableRepo.ClaimTtlMs
+    var swept = 0
+    val log = org.slf4j.LoggerFactory.getLogger(classOf[TableRepo])
+    fs.listStatus(rp).foreach { st =>
+      val name = st.getPath.getName
+      name match {
+        case TableRepo.ClaimRe(n) if !st.isDirectory =>
+          val v = n.toInt
+          val dir = new Path(s"$root/data-v$v")
+          val committed = fs.exists(new Path(s"$root/data-v$v/_GRAFT_COMMIT"))
+          val age = now - st.getModificationTime
+          if (v != excludeVersion && !committed && age > ttl) {
+            val tomb = claimSweptPath(v)
+            // a tombstone already present means an earlier sweep won and
+            // this bare claim is a heartbeat's dying recreation — drop it;
+            // the dir branch below handles any leftovers
+            val won =
+              if (fs.exists(tomb)) { fs.delete(claimPath(v), false); false }
+              else fs.rename(claimPath(v), tomb)
+            if (won) {
+              fs.delete(dir, true)
+              swept += 1
+              TableRepo.claimsExpired.incrementAndGet()
+              log.warn(s"expired crashed rewrite claim _graft_claim-v$v under $root " +
+                s"(heartbeat $age ms old > ttl $ttl ms): orphan data-v$v reclaimed; " +
+                "the version number stays retired (.swept tombstone)")
+            }
+          }
+        case TableRepo.SweptRe(n) if !st.isDirectory =>
+          val v = n.toInt
+          val dir = new Path(s"$root/data-v$v")
+          if (v != excludeVersion && !fs.exists(claimPath(v)) &&
+              !fs.exists(new Path(s"$root/data-v$v/_GRAFT_COMMIT"))) {
+            val stale =
+              try now - fs.getFileStatus(dir).getModificationTime > ttl
+              catch { case _: java.io.FileNotFoundException => false }
+            if (stale) {
+              fs.delete(dir, true): Unit
+              log.warn(s"re-reclaimed data-v$v under $root: its number is tombstoned " +
+                "but the expired holder's write job re-created the dir before dying")
+            }
+          }
+        case _ => ()
       }
     }
-    val target = s"$root/data-v$next"
-    fs.delete(new Path(target), true) // leftover of our own failed predecessor job
-    // the guard snapshot comes AFTER the claim, and `write`'s source plan
-    // is constructed after this line — so its content is a superset of
-    // this set, and any file missing from it is caught by the re-lists.
-    // `oldData` is pinned here: after the commit marker lands, dataPath
-    // resolves to `target`, and the post-marker verify must re-list the
-    // SOURCE dir, not the new version.
-    val oldData = dataPath
-    val preFiles = if (guardSource) guardSnapshot(oldData) else null
-    def abortAttempt(when: String): Boolean = {
-      // order matters: marker first (readers fall back to the intact old
-      // version), then the half-blessed dir, then the claim
-      fs.delete(new Path(s"$target/_GRAFT_COMMIT"), false)
-      fs.delete(new Path(target), true)
-      fs.delete(new Path(s"$root/_graft_claim-v$next"), false)
-      org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
-        s"guarded rewrite of $root aborted ($when): the source file set changed during " +
-          "the rewrite job (external appender); retrying with a fresh listing")
-      false
-    }
-    write(target)
-    if (guardSource && guardSnapshot(oldData) != preFiles) {
-      // an external appender landed (or a crashed batch's replay surfaced)
-      // files mid-rewrite: committing would silently drop them — abort
-      // this attempt and retry against a fresh listing
-      TableRepo.guardedAbortsPreCommit.incrementAndGet()
-      return abortAttempt("pre-marker re-list")
-    }
-    if (guardSource) TableRepo.testGapHook.foreach { h =>
-      // spec seam: land a file inside the exact former loss window — the
-      // instants between the pre-marker re-list and the commit marker
-      TableRepo.testGapHook = None
-      h()
-    }
-    fs.create(new Path(s"$target/_GRAFT_COMMIT"), true).close()
-    if (guardSource && guardSnapshot(oldData) != preFiles) {
-      // POST-COMMIT VERIFY: any append that PASSED its version check did
-      // so before this marker existed, with its files already on disk —
-      // so this re-list provably sees them. Un-commit and retry; the
-      // appended rows stay visible in the still-current old version.
-      TableRepo.guardedAbortsPostCommit.incrementAndGet()
-      return abortAttempt("post-marker verify")
-    }
-    // Readers resolve the HIGHEST committed version: if a concurrent
-    // rewrite claimed a higher number and committed before us, our rewrite
-    // is superseded on arrival. Make the discarded rewrite observable.
-    committedVersions.lastOption.filter(_ > next).foreach { winner =>
-      org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
-        s"full rewrite committed as data-v$next is already superseded by " +
-          s"data-v$winner (highest-claimed version wins)")
-    }
-    // GC: keep the newest `snapshotRetention` superseded snapshots (the
-    // grace versions time travel can reach); the legacy plain `data` dir
-    // acts as the oldest link of the chain (version -1)
-    dropOldSnapshots(prior, snapshotRetention)
-    true
+    swept
   }
 
   /** The guard's view of `dir`: (raw parquet listing, reader-visible
@@ -448,6 +571,9 @@ class TableRepo(
     // `data` dir when nothing is versioned), so keepLast >= 1 always
     // preserves the live table
     dropOldSnapshots(committedVersions, keepLast)
+    // crashed rewrites' orphan dirs are reclaimed at every commit too;
+    // vacuum lets an operator force the reclaim without writing
+    sweepExpiredClaims(): Unit
   }
 
   private def dataPath: String =
@@ -650,17 +776,17 @@ class TableRepo(
     def df = clustered(routeToBuckets(withLayout(dfIn)))
     if (!overwrite) {
       val target = dataPath
-      configuredWriter(df, "append").parquet(target)
-      checkVersionStable(target, "append")
+      inPlaceWrite(target, "append") {
+        configuredWriter(df, "append").parquet(target)
+      }
     } else if (dynamic && layoutCols.nonEmpty) {
       val mark = stagedMark
       val staged = if (alreadyStaged) df else stage(df)
       val target = dataPath
-      try {
+      try inPlaceWrite(target, "dynamic partition overwrite") {
         configuredWriter(staged, "overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .parquet(target)
-        checkVersionStable(target, "dynamic partition overwrite")
       } finally releaseStagedFrom(mark)
     } else {
       // snapshot swap: the replacement lands in a fresh version dir, so
@@ -722,24 +848,33 @@ class TableRepo(
     * remains one maintaining process per table, and this check narrows
     * the out-of-contract blast radius to that gap.
     */
-  /** EXCLUSIVE marker create. Hadoop's local filesystem implements
-    * `create(overwrite = false)` as a non-atomic exists-then-create, so
-    * two PROCESSES claiming the same version number on the file scheme
-    * could both pass the check and later clobber each other's in-flight
-    * version dir — the exact race the claim protocol exists to prevent.
-    * On the file scheme, go through NIO's `CREATE_NEW` (true O_EXCL);
-    * HDFS-like filesystems already make the exclusive create atomic
-    * server-side, so they keep the plain Hadoop call.
+  /** Run an in-place write job against `target` (the CURRENT version dir
+    * at plan time), then [[checkVersionStable]]. A concurrent EXTERNAL
+    * full rewrite can supersede `target` and — one commit cycle later —
+    * GC it as an expired grace version while the job is still running,
+    * failing the job with task-level file errors (`_temporary` yanked
+    * from under the committer). That is the SAME semantic event the
+    * post-job stability check reports for a job that survives, so a
+    * failed job re-checks the version and converts to the typed,
+    * retryable `ConcurrentModificationException` the loud-failure
+    * contract promises; a genuine job failure (target still current)
+    * surfaces as itself. No rows land either way — the committer aborted
+    * before its job-commit rename. (MultiProcessSpec's churn tests drive
+    * exactly this: a child JVM appending while this process compacts in
+    * a loop occasionally spans two commit cycles inside one append job.)
     */
-  private def createExclusive(p: Path): Unit = {
-    val q = fs.makeQualified(p)
-    if (q.toUri.getScheme == "file") {
-      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(q.toUri.getPath)): Unit }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
-      }
-    } else fs.create(p, false).close()
+  private def inPlaceWrite(target: String, op: String)(job: => Unit): Unit = {
+    try job
+    catch {
+      case scala.util.control.NonFatal(e) if dataPath != target =>
+        val cme = new java.util.ConcurrentModificationException(
+          s"$op to $target raced a concurrent full rewrite: the target version was " +
+            s"superseded (current is now $dataPath) and GC'd mid-write, failing the " +
+            "write job; no rows landed — retry against the new version")
+        cme.initCause(e)
+        throw cme
+    }
+    checkVersionStable(target, op)
   }
 
   private def checkVersionStable(target: String, op: String): Unit = {
@@ -2121,6 +2256,26 @@ object TableRepo {
     */
   val guardedAbortsPreCommit = new java.util.concurrent.atomic.AtomicLong()
   val guardedAbortsPostCommit = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Age past which a version claim with no commit marker counts as a
+    * crashed rewrite. The claim is heartbeat-stamped every ttl/4 for the
+    * whole attempt (claim → write job → bless), so a LIVE rewrite of any
+    * duration never goes stale; a holder suspended past the ttl loses its
+    * claim to a sweeper and fails LOUDLY at its bless point instead of
+    * blessing a reclaimed dir. `var` only so specs can shrink the window;
+    * production code never writes it.
+    */
+  @volatile private[repo] var ClaimTtlMs: Long = Lease.DefaultTtlMs
+
+  /** Version numbers reclaimed from crashed rewrites (orphan dir deleted,
+    * number retired) / attempts that found themselves expired at the
+    * bless point. Observability + spec anchors, like the guard counters.
+    */
+  val claimsExpired = new java.util.concurrent.atomic.AtomicLong()
+  val claimExpiredAborts = new java.util.concurrent.atomic.AtomicLong()
+
+  private[repo] val ClaimRe = "_graft_claim-v(\\d+)".r
+  private[repo] val SweptRe = "_graft_claim-v(\\d+)\\.swept".r
 
   /** Spec seam: runs once between the pre-marker re-list and the commit
     * marker of the next guarded rewrite — the exact former loss window —

@@ -100,14 +100,20 @@ class MultiProcessSpec extends SparkSuite {
       s"lost/duplicated rows: got ${ids.length}, expected ${expected.length} " +
         s"(missing: ${expected.diff(ids).take(10).toSeq}, extra: ${ids.diff(expected).take(10).toSeq})")
 
-    // exactly one claim per committed version number, and no committed
-    // version dir without its claim (the atomic CREATE_NEW worked across
-    // the two processes — two racers never blessed one dir)
-    val claims = fs.listStatus(new Path(root)).map(_.getPath.getName)
-      .filter(_.startsWith("_graft_claim-v")).map(_.stripPrefix("_graft_claim-v").toInt).toSet
+    // every committed version's marker IS its claim file (renamed there at
+    // the bless point), so it must carry exactly one writer's claim id —
+    // the atomic CREATE_NEW + rename worked across the two processes and
+    // two racers never blessed one dir
     val committed = repo.snapshotVersions.toSet
-    assert(committed.subsetOf(claims),
-      s"committed versions $committed must all carry claims (claims: $claims)")
+    val blessIds = committed.toSeq.map { v =>
+      val marker = new Path(s"$root/data-v$v/_GRAFT_COMMIT")
+      val id = Lease.readContent(fs, marker).getOrElse(fail(s"missing marker for v$v"))
+      assert(id.contains(":") && id.length > 36,
+        s"marker of data-v$v must carry its blessing writer's claim id, got '$id'")
+      id
+    }
+    assert(blessIds.distinct.size == blessIds.size,
+      s"each committed version must be blessed by its own claim acquisition: $blessIds")
   }
 
   test("racing full rewrites from two JVMs: highest claim wins, content is one writer's, never interleaved") {
@@ -342,14 +348,19 @@ object MultiProcessChild {
     val repo = new TableRepo(root, spark)
 
     def retry[T](body: => T): T = {
-      var left = 8
+      // against the hammer tests' RELENTLESS compact loop every append has
+      // a real chance of spanning a commit point (loud typed failure, no
+      // rows visible), so the budget must make 24 consecutive collisions
+      // the verdict "starved", not a plausible unlucky streak; linear
+      // backoff decorrelates the retry cadence from the commit cadence
+      var used = 0
       while (true) {
         try return body
         catch {
           case e: java.util.ConcurrentModificationException =>
-            left -= 1
-            if (left == 0) throw e
-            Thread.sleep(100)
+            used += 1
+            if (used >= 24) throw e
+            Thread.sleep(100L * math.min(used, 6))
         }
       }
       throw new IllegalStateException("unreachable")
