@@ -191,6 +191,42 @@ class MultiProcessSpec extends SparkSuite {
     assert(compacts + starved >= 3, s"the hammer needs real contention, got $compacts+$starved")
   }
 
+  test("a child JVM killed -9 mid-rewrite: the parent reclaims its orphan dir once the heartbeat is stale") {
+    // the claim-liveness contract against a REAL crash (no fabricated
+    // mtimes): the child claims a version, starts its write job, and is
+    // destroyed; its heartbeat dies with it, so after the ttl the
+    // parent's next commit must tombstone the number and delete the
+    // orphan — and never bless or resurrect the dead writer's content
+    val root = scratch("mp-kill")
+    val repo = new TableRepo(root, spark)
+    repo.extend((0L until 30L).toDF("id").withColumn("src", lit("seed")))
+    val log = scratch("mp-kill-log")
+    val child = spawnChild(log, root, "replace-slow", "900000", "1", "40", "120000")
+    // wait for the child's claim + in-flight dir (JVM boot takes ~10 s)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    def bareClaim: Option[Int] = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .collectFirst { case TableRepo.ClaimRe(n) => n.toInt }
+    while (bareClaim.isEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    val v = bareClaim.getOrElse(fail("child never claimed a version"))
+    child.destroyForcibly()
+    assert(child.waitFor(60, java.util.concurrent.TimeUnit.SECONDS), "kill -9 must land")
+    val prevTtl = TableRepo.ClaimTtlMs
+    TableRepo.ClaimTtlMs = 2500 // the dead child can stamp no more; age out fast
+    try {
+      Thread.sleep(3000)
+      val pre = TableRepo.claimsExpired.get()
+      repo.replaceAll((0L until 30L).toDF("id").withColumn("src", lit("parent")))
+      assert(TableRepo.claimsExpired.get() == pre + 1,
+        s"the killed child's claim v$v must be expired by the parent's commit")
+      assert(!fs.exists(new Path(s"$root/data-v$v")), "orphan dir reclaimed")
+      assert(fs.exists(new Path(s"$root/_graft_claim-v$v.swept")), "number retired")
+      assert(!repo.snapshotVersions.contains(v), "the dead rewrite must never commit")
+      assert(repo.getFullDf.filter(col("src") === "child-slow").count() == 0,
+        "no dead-writer content may surface")
+      assert(repo.getFullDf.count() == 30)
+    } finally TableRepo.ClaimTtlMs = prevTtl
+  }
+
   test("a second JVM's upsert against a held lease fails LOUDLY; succeeds after TTL expiry of a killed holder") {
     val root = scratch("mp-lease")
     val repo = new TableRepo(root, spark, keyCols = Seq("id"))
@@ -381,6 +417,15 @@ object MultiProcessChild {
           println(s"CHILD REPLACED $b")
           Thread.sleep(pause)
         }
+      case "replace-slow" =>
+        // a full rewrite whose write job stalls for `pause` ms per
+        // partition — long enough for the parent to kill -9 this JVM
+        // mid-write (the crashed-claimant shape, for real)
+        val slow = (idBase until idBase + rows).toDF("id").repartition(1).as[Long]
+          .mapPartitions { it => Thread.sleep(pause); it }
+          .toDF("id").withColumn("src", lit("child-slow"))
+        repo.replaceAll(slow)
+        println("CHILD SLOW-REPLACED") // unreachable when the parent kills us
       case "eo" =>
         for (b <- 0 until batches) {
           val lo = idBase + b * rows
