@@ -218,7 +218,14 @@ private[repo] final class FileHeartbeat(
 
   private def stamp(): Unit = synchronized {
     if (done || lostFlag) return
-    Lease.readContent(fs, p) match {
+    // a TRANSIENT read fault (FS hiccup, NameNode failover) must not kill
+    // the beat or count as a takeover — only a readable file with foreign
+    // content, or a provably MISSING file, means the holder lost it; any
+    // other failure just skips this beat and retries at the next one
+    val content =
+      try Lease.readContent(fs, p)
+      catch { case scala.util.control.NonFatal(_) => return }
+    content match {
       case Some(c) if c == id =>
         try {
           val out = fs.create(p, true)

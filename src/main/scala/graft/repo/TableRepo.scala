@@ -326,12 +326,30 @@ class TableRepo(
     // is never reused: a suspended holder that wakes finds its claim gone
     // (or the tombstone present) and aborts LOUDLY before the bless point.
     val claimId = s"${TableRepo.ProcessToken}:${java.util.UUID.randomUUID()}"
+    TableRepo.testClaimHook.foreach { h =>
+      // spec seam: run inside the listing→claim window (another process
+      // commits a version between our `prior` read and the claim loop)
+      TableRepo.testClaimHook = None
+      h()
+    }
     var claimed = false
     while (!claimed) {
       // a `.swept` tombstone retires its number forever (reclaiming it
       // could race the expired claimant's own write job, still in flight)
       if (fs.exists(claimSweptPath(next))) next += 1
-      else if (Lease.tryCreateExclusive(fs, claimPath(next), claimId)) claimed = true
+      else if (Lease.tryCreateExclusive(fs, claimPath(next), claimId)) {
+        // The bless rename REMOVES the winning claim, so a number
+        // committed between our `prior` listing and this create is
+        // re-claimable — and blindly proceeding would `fs.delete` a LIVE
+        // committed version (the old protocol's persistent claim file
+        // blocked exactly this). Holding the claim makes the re-check
+        // race-free: blessing `next` requires renaming its only claim
+        // file — ours — so no new marker can appear after this check.
+        if (fs.exists(new Path(s"$root/data-v$next/_GRAFT_COMMIT"))) {
+          fs.delete(claimPath(next), false)
+          next += 1
+        } else claimed = true
+      }
       else next += 1 // confirmed collision; FS faults propagate out of the create
     }
     val beat = new FileHeartbeat(fs, claimPath(next), claimId,
@@ -340,7 +358,8 @@ class TableRepo(
       // reclaim OTHER writers' crash leftovers while we are here: a crashed
       // full rewrite's orphan dir is a full-size table copy, and waiting
       // for purge() means carrying ~2x storage at scale
-      sweepExpiredClaims(excludeVersion = next)
+      sweepExpiredClaims(excludeVersion = next,
+        committedMax = prior.lastOption.getOrElse(-1))
       val target = s"$root/data-v$next"
       fs.delete(new Path(target), true) // leftover of our own failed predecessor job
       // the guard snapshot comes AFTER the claim, and `write`'s source plan
@@ -366,10 +385,21 @@ class TableRepo(
       try write(target)
       catch {
         case scala.util.control.NonFatal(e) =>
-          // the write job failed (or was failed by a sweeper reclaiming a
-          // stalled attempt's dir): nothing is blessed — clean our claim
-          // and dir eagerly instead of leaving them for a later sweep
+          // a tombstone on OUR number means a sweeper reclaimed this
+          // attempt mid-write (we stalled past the claim ttl and the dir
+          // was deleted under the job) — the same event the bless point
+          // handles; retry at a fresh number instead of leaking the raw
+          // job error through the typed-failure contract
+          val reclaimed =
+            try fs.exists(claimSweptPath(next))
+            catch { case scala.util.control.NonFatal(_) => false }
           abortAttempt(s"write job failed: ${e.getMessage}")
+          if (reclaimed) {
+            TableRepo.claimExpiredAborts.incrementAndGet()
+            return false
+          }
+          // genuine job failure: nothing is blessed — our claim and dir
+          // were cleaned eagerly instead of waiting for a later sweep
           throw e
       }
       if (guardSource && guardSnapshot(oldData) != preFiles) {
@@ -446,10 +476,17 @@ class TableRepo(
     * when the dir was deleted) is re-deleted once stale — that dir can
     * never be blessed, its claim is tombstoned.
     *
+    * Tombstones are GC'd once fully spent: a number at or below
+    * `committedMax` (the caller's committed head) is unreachable by the
+    * bump loop (it starts above the head), and with no bare claim left no
+    * suspended holder can ever bless it — so the tombstone guards nothing
+    * and would only add FS round trips to every later sweep.
+    *
     * Runs at every full-rewrite commit and from [[vacuum]]; one root
     * listing per call. Returns the number of reclaimed versions.
     */
-  private[repo] def sweepExpiredClaims(excludeVersion: Int = -1): Int = {
+  private[repo] def sweepExpiredClaims(excludeVersion: Int = -1,
+      committedMax: Int = -1): Int = {
     val rp = new Path(root)
     if (!fs.exists(rp)) return 0
     val now = System.currentTimeMillis()
@@ -486,13 +523,23 @@ class TableRepo(
           val dir = new Path(s"$root/data-v$v")
           if (v != excludeVersion && !fs.exists(claimPath(v)) &&
               !fs.exists(new Path(s"$root/data-v$v/_GRAFT_COMMIT"))) {
-            val stale =
-              try now - fs.getFileStatus(dir).getModificationTime > ttl
-              catch { case _: java.io.FileNotFoundException => false }
-            if (stale) {
-              fs.delete(dir, true): Unit
-              log.warn(s"re-reclaimed data-v$v under $root: its number is tombstoned " +
-                "but the expired holder's write job re-created the dir before dying")
+            val dirStat =
+              try Some(fs.getFileStatus(dir))
+              catch { case _: java.io.FileNotFoundException => None }
+            dirStat match {
+              case Some(ds) if now - ds.getModificationTime > ttl =>
+                fs.delete(dir, true): Unit
+                log.warn(s"re-reclaimed data-v$v under $root: its number is tombstoned " +
+                  "but the expired holder's write job re-created the dir before dying")
+              case None if v <= committedMax =>
+                // GC the tombstone: the bump loop starts above the
+                // committed head, so this number is unreachable for reuse;
+                // with no bare claim left, no suspended holder can ever
+                // bless it (its bless rename has no source) — the
+                // tombstone has nothing left to guard, and keeping it
+                // costs this scan 3 FS round trips at EVERY later commit
+                fs.delete(claimSweptPath(v), false): Unit
+              case _ => ()
             }
           }
         case _ => ()
@@ -570,10 +617,11 @@ class TableRepo(
     // the chain passed down ends with the CURRENT version (or the plain
     // `data` dir when nothing is versioned), so keepLast >= 1 always
     // preserves the live table
-    dropOldSnapshots(committedVersions, keepLast)
+    val versions = committedVersions
+    dropOldSnapshots(versions, keepLast)
     // crashed rewrites' orphan dirs are reclaimed at every commit too;
     // vacuum lets an operator force the reclaim without writing
-    sweepExpiredClaims(): Unit
+    sweepExpiredClaims(committedMax = versions.lastOption.getOrElse(-1)): Unit
   }
 
   private def dataPath: String =
@@ -866,7 +914,7 @@ class TableRepo(
   private def inPlaceWrite(target: String, op: String)(job: => Unit): Unit = {
     try job
     catch {
-      case scala.util.control.NonFatal(e) if dataPath != target =>
+      case scala.util.control.NonFatal(e) if dataPath != target && looksLikeYankedDir(e) =>
         val cme = new java.util.ConcurrentModificationException(
           s"$op to $target raced a concurrent full rewrite: the target version was " +
             s"superseded (current is now $dataPath) and GC'd mid-write, failing the " +
@@ -875,6 +923,28 @@ class TableRepo(
         throw cme
     }
     checkVersionStable(target, op)
+  }
+
+  /** Does this job failure look like the target dir vanishing under the
+    * committer? A supersede happening concurrently is NOT enough to blame
+    * the race — an unrelated genuine failure (OOM, disk full, corrupt
+    * input) must surface as itself, not as "retryable, no rows landed".
+    * The yanked-dir shapes: FileNotFoundException anywhere in the cause
+    * chain, or the local-FS committer's chmod/ENOENT messages.
+    */
+  private def looksLikeYankedDir(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var depth = 0
+    while (t != null && depth < 12) {
+      val msg = Option(t.getMessage).getOrElse("")
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          msg.contains("FILE_NOT_EXIST") ||
+          msg.contains("No such file or directory") ||
+          msg.contains("does not exist")) return true
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
   }
 
   private def checkVersionStable(target: String, op: String): Unit = {
@@ -2282,6 +2352,13 @@ object TableRepo {
     * then clears itself. One volatile read per guarded commit.
     */
   @volatile private[repo] var testGapHook: Option[() => Unit] = None
+
+  /** Spec seam: runs once inside the next commit's listing→claim window
+    * (after `prior` is read, before the claim loop) — where another
+    * process's bless can land a committed version the listing missed —
+    * then clears itself. One volatile read per commit attempt.
+    */
+  @volatile private[repo] var testClaimHook: Option[() => Unit] = None
 
   /** Partition-dir value types whose `toString` matches Spark's writer-side
     * dir rendering exactly (dates render ISO `yyyy-MM-dd`). Timestamps,

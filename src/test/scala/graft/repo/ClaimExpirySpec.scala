@@ -14,6 +14,14 @@ import graft.SparkSuite
   * past the ttl finds the tombstone at its bless point and aborts LOUDLY,
   * and a live holder (however slow) is kept fresh by the heartbeat.
   */
+/** One-shot flag for the mid-write reclaim test: lives in a top-level
+  * object so the task closure captures no suite instance (local mode —
+  * same JVM, so the static is shared with the driver).
+  */
+object ClaimExpirySpecState {
+  @volatile var yanked = false
+}
+
 class ClaimExpirySpec extends SparkSuite {
   import spark.implicits._
 
@@ -62,6 +70,76 @@ class ClaimExpirySpec extends SparkSuite {
       s"tombstoned numbers must never recommit: $versions")
     assert(versions.max == 7, s"five rewrites after v0 end at v7 (5 and 6 skipped): $versions")
     assert(!fs.exists(new Path(s"$root/data-v5")) && !fs.exists(new Path(s"$root/data-v6")))
+    // once the committed head passes a tombstone it is spent (the bump
+    // loop starts above the head; no claim, no possible bless) — the next
+    // commit's sweep GCs it instead of paying for it forever
+    repo.replaceAll((1L to 30L).map(i => (i, s"gc$i")).toDF("id", "payload"))
+    assert(!fs.exists(new Path(s"$root/_graft_claim-v5.swept")) &&
+      !fs.exists(new Path(s"$root/_graft_claim-v6.swept")),
+      "spent tombstones below the committed head must be GC'd")
+    assert(repo.snapshotVersions.max == 8 && !fs.exists(new Path(s"$root/data-v5")))
+  }
+
+  test("a version committed inside the listing→claim window is never re-claimed or clobbered") {
+    // the bless rename REMOVES the winning claim file, so a freshly
+    // committed number is re-claimable by a writer whose version listing
+    // predates the bless — without the post-claim marker re-check, that
+    // writer's "leftover predecessor" delete would destroy a LIVE
+    // committed version another process already reported durable
+    val root = scratch("claim-raced-commit")
+    val repo = new TableRepo(root, spark)
+    repo.extend((1L to 20L).toDF("id"))
+    TableRepo.testClaimHook = Some(() => {
+      // another process blesses v0 right after our listing: fabricate the
+      // exact post-bless shape (marker carrying a claim id, no root claim)
+      (100L until 120L).toDF("id").write.parquet(s"$root/data-v0")
+      val mk = fs.create(new Path(s"$root/data-v0/_GRAFT_COMMIT"), true)
+      mk.write("foreign:bless".getBytes("UTF-8")); mk.close()
+    })
+    repo.replaceAll((1L to 20L).toDF("id"))
+    assert(TableRepo.testClaimHook.isEmpty, "the hook must have fired")
+    assert(fs.exists(new Path(s"$root/data-v0/_GRAFT_COMMIT")),
+      "the raced commit must survive untouched")
+    assert(spark.read.parquet(s"$root/data-v0").count() == 20,
+      "the raced commit's content must survive untouched")
+    assert(repo.snapshotVersions == Seq(0, 1),
+      "our rewrite must land ABOVE the raced commit, never on it")
+    assert(repo.getFullDf.count() == 20)
+  }
+
+  test("a sweeper reclaiming THIS attempt mid-write turns the job failure into a clean retry") {
+    // a rewrite stalled past the ttl can have its claim tombstoned and its
+    // dir deleted while the write job still runs — the job dies with
+    // file-not-found; the attempt must detect the tombstone, abort, and
+    // retry at a fresh number instead of leaking the raw job error
+    val root = scratch("claim-midwrite")
+    val repo = new TableRepo(root, spark)
+    repo.extend((1L to 15L).toDF("id"))
+    val preAborts = TableRepo.claimExpiredAborts.get()
+    ClaimExpirySpecState.yanked = false
+    val rootCap = root // capture only the path, not the suite instance
+    val df = (1L to 15L).toDF("id").repartition(1).as[Long].mapPartitions { it =>
+      if (!ClaimExpirySpecState.yanked) {
+        ClaimExpirySpecState.yanked = true
+        // the sweeper's exact order: tombstone rename, then dir delete
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(rootCap, "_graft_claim-v0"),
+          java.nio.file.Paths.get(rootCap, "_graft_claim-v0.swept"))
+        val dir = java.nio.file.Paths.get(rootCap, "data-v0")
+        if (java.nio.file.Files.exists(dir)) {
+          java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+        }
+        throw new java.io.FileNotFoundException("data-v0 yanked by the sweeper mid-job")
+      }
+      it
+    }.toDF("id")
+    repo.replaceAll(df)
+    assert(TableRepo.claimExpiredAborts.get() == preAborts + 1,
+      "the mid-write reclaim must be detected via the tombstone and retried, not rethrown")
+    assert(repo.snapshotVersions == Seq(1), "the retry lands on a fresh number")
+    assert(!fs.exists(new Path(s"$root/data-v0")))
+    assert(repo.getFullDf.count() == 15)
   }
 
   test("a FRESH foreign claim is a live rewrite: never swept, its number skipped") {
@@ -173,11 +251,16 @@ class ClaimExpirySpec extends SparkSuite {
     }
     repo.vacuum() // final sweep pass: every stale plant must be reclaimed
     check("final")
+    val head = repo.snapshotVersions.lastOption.getOrElse(-1)
     planted.foreach { v =>
       assert(!fs.exists(new Path(s"$root/data-v$v")),
         s"planted orphan data-v$v survived the sweeps")
-      assert(fs.exists(new Path(s"$root/_graft_claim-v$v.swept")),
-        s"planted claim v$v was not retired")
+      // a tombstone below the committed head is legitimately GC'd (spent);
+      // above it, it must still guard its number
+      assert(fs.exists(new Path(s"$root/_graft_claim-v$v.swept")) || v <= head,
+        s"planted claim v$v (head $head) was neither retired nor spent")
+      assert(!fs.exists(new Path(s"$root/_graft_claim-v$v")),
+        s"planted claim v$v must not survive as a bare claim")
       assert(!repo.snapshotVersions.contains(v), s"planted number $v was re-blessed")
     }
     assert(planted.nonEmpty, "the seed must actually inject crash shapes")
