@@ -106,10 +106,14 @@ object Bench {
     // runs over the final rep set. The closing `stalls` scalar is
     // computed on that final set, so a query that stays stalled is still
     // reported; `stall_reruns` records how many re-runs happened.
-    val rerun = queryList.indices.filter { qi =>
+    // ONE stall predicate for both the re-run filter and the closing
+    // `stalls` scalar — the artifact's contract is that the scalar
+    // re-applies the exact criterion that triggered the re-runs
+    def isStalled(qi: Int): Boolean = {
       val ts = times(qi)
       fails(qi).isEmpty && ts.nonEmpty && ts.min > 0 && ts.max / ts.min >= 3.0
     }
+    val rerun = queryList.indices.filter(isStalled)
     val stallReruns = rerun.size
     if (rerun.nonEmpty) {
       System.err.println(s"BENCH STALL RERUN: ${rerun.size} queries with raw rep " +
@@ -163,10 +167,7 @@ object Bench {
     // they adjudicate a noisy headline even when every map is cut.
     val floorTotal = queryList.indices
       .filter(fails(_).isEmpty).flatMap(qi => times(qi).minOption).sum
-    val stallCount = queryList.indices.count { qi =>
-      val ts = times(qi)
-      fails(qi).isEmpty && ts.nonEmpty && ts.min > 0 && ts.max / ts.min >= 3.0
-    }
+    val stallCount = queryList.indices.count(isStalled)
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)

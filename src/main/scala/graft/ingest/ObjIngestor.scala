@@ -144,6 +144,14 @@ object ObjIngestor {
       idCol: Option[String] = None): Map[String, DataFrame] =
     shred(spark.read.json(jsons), rootName, idCol)
 
+  /** The plain character-sanitization step, shared with [[dumpAll]]'s
+    * legacy-directory guard so the two can never drift: if the regex
+    * changed in one place only, the guard would silently stop matching
+    * the directories the old scheme actually wrote.
+    */
+  private def plainSanitized(path: String): String =
+    path.replaceAll("[^A-Za-z0-9_.-]", "_")
+
   /** Directory-safe table name, COLLISION-FREE and a pure function of the
     * single path: plain sanitization maps distinct paths like `root.a b`
     * and `root.a/b` to one name, silently interleaving unrelated tables
@@ -155,14 +163,6 @@ object ObjIngestor {
     * forever. Clean paths — the overwhelmingly common case — stay
     * readable and unchanged, and cannot collide with a suffixed one.
     */
-  /** The plain character-sanitization step, shared with [[dumpAll]]'s
-    * legacy-directory guard so the two can never drift: if the regex
-    * changed in one place only, the guard would silently stop matching
-    * the directories the old scheme actually wrote.
-    */
-  private def plainSanitized(path: String): String =
-    path.replaceAll("[^A-Za-z0-9_.-]", "_")
-
   private def safeName(path: String): String = {
     val s = plainSanitized(path)
     if (s == path) s else s"$s-${md5Hex(path).take(8)}"

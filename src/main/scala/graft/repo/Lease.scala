@@ -106,9 +106,15 @@ private[graft] object Lease {
               "lost-update-prone under concurrent writers; run them from the single " +
               "writer that owns this resource, or wait for the holder to finish " +
               "(a crashed holder's lease expires after the ttl)")
-        // stale: the holder died mid-op — delete and re-claim through the
-        // exclusive create, which picks ONE winner among takeover racers
-        fs.delete(p, false): Unit
+        // stale: the holder died mid-op. RENAME the stale file away
+        // (atomic — one winner among takeover racers) instead of a blind
+        // delete: a delete could destroy a FRESH lease another taker
+        // created between our staleness read and the delete. Whoever wins
+        // the rename (or finds the file already gone) contends on the
+        // exclusive create below, which picks exactly one new holder.
+        val expired = new Path(p.getParent,
+          s"${p.getName}.expired-${java.util.UUID.randomUUID()}")
+        if (fs.rename(p, expired)) fs.delete(expired, false): Unit
       }
       rounds += 1
       if (rounds >= MaxAcquireRounds)
@@ -162,11 +168,30 @@ private[graft] object Lease {
       * loudly on a detected takeover — unless the op already failed
       * (`suppressLossFailure`), where the body's own exception must
       * surface instead of being masked.
+      *
+      * The delete is CONDITIONAL via an atomic rename: a plain
+      * read-check-then-delete could destroy a taker's fresh lease
+      * written in the check→delete window (we'd have had to stall past
+      * the ttl for a taker to exist, but a breached exclusion must
+      * still never be compounded by silently unlocking the taker).
       */
     def release(suppressLossFailure: Boolean): Unit = {
       beat.stop()
-      val mine = readContent(fs, p).contains(id)
-      if (mine) fs.delete(p, false): Unit
+      val grave = new Path(p.getParent,
+        s"${p.getName}.released-${java.util.UUID.randomUUID()}")
+      val mine =
+        (try fs.rename(p, grave)
+        catch { case scala.util.control.NonFatal(_) => false }) && {
+          readContent(fs, grave) match {
+            case Some(c) if c == id => fs.delete(grave, false); true
+            case _ =>
+              // we renamed a TAKER's live lease away — put it back; if a
+              // newer lease appeared meanwhile, drop the stolen copy (its
+              // holder fails loudly at ITS release — loud, never silent)
+              if (!fs.rename(grave, p)) fs.delete(grave, false): Unit
+              false
+          }
+        }
       if ((beat.lost || !mine) && !suppressLossFailure)
         throw new java.util.ConcurrentModificationException(
           s"$what under ${p.getParent}: the writer lease was LOST mid-operation " +
@@ -176,20 +201,20 @@ private[graft] object Lease {
   }
 }
 
-/** Daemon heartbeat on a claim-style file: re-stamps the file's mtime by
-  * rewriting its own content every `ttlMs/4` while running, so a LIVE
-  * holder's file never goes stale past the ttl. Shared by the writer
-  * lease ([[Lease]]) and the version-claim protocol
+/** Daemon heartbeat on a claim-style file: freshens the file's mtime
+  * (`setTimes`, never a content write) every `ttlMs/4` while running, so
+  * a LIVE holder's file never goes stale past the ttl. Shared by the
+  * writer lease ([[Lease]]) and the version-claim protocol
   * (`TableRepo.commitNewVersionOnce`).
   *
-  * Re-stamp verifies the id first and never clobbers a foreign owner's
-  * content: a mismatch (or a missing file) means this holder stalled past
-  * the ttl and the file was legitimately taken over / expired — the beat
-  * stops and [[lost]] reports it. `create(overwrite)` keeps the file
-  * existing throughout a stamp, so a foreign CREATE_NEW can never sneak
-  * between "check" and "write". [[stop]] shares the stamp monitor: once it
-  * returns, no further write can land — callers sequence their own
-  * commit-or-release rename strictly after the last possible stamp.
+  * Each stamp re-reads the id first: a mismatch (or a missing file) means
+  * this holder stalled past the ttl and the file was legitimately taken
+  * over / expired — the beat stops and [[lost]] reports it. Because a
+  * stamp never writes content, it can never resurrect a renamed-away
+  * claim or clobber a taker's ownership — at worst it touches the
+  * successor file's mtime by one beat. [[stop]] shares the stamp monitor:
+  * once it returns, no further stamp can land — callers sequence their
+  * own commit-or-release rename strictly after the last possible stamp.
   */
 private[repo] final class FileHeartbeat(
     fs: FileSystem, p: Path, id: String, ttlMs: Long, name: String) {
@@ -227,11 +252,13 @@ private[repo] final class FileHeartbeat(
       catch { case scala.util.control.NonFatal(_) => return }
     content match {
       case Some(c) if c == id =>
-        try {
-          val out = fs.create(p, true)
-          try out.write(id.getBytes("UTF-8"))
-          finally out.close()
-        } catch { case scala.util.control.NonFatal(_) => () } // next beat retries
+        // freshen via setTimes, NEVER a content rewrite: a rewrite racing
+        // a takeover's replace (read-mine → taker swaps → write) would
+        // clobber the taker's ownership and let both bodies run; touching
+        // mtime at worst freshens the taker's own live file by one beat,
+        // and the next read sees the foreign id and reports the loss
+        try fs.setTimes(p, System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () } // next beat retries
       case _ => lostFlag = true
     }
   }

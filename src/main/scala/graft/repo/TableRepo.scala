@@ -416,6 +416,18 @@ class TableRepo(
         TableRepo.testGapHook = None
         h()
       }
+      if (guardSource) {
+        // CARRIED manifest: the exact source file set this rewrite's
+        // content includes (the snapshot, verified unchanged by both
+        // re-lists). A concurrent appender whose post-job check finds
+        // itself superseded proves its rows were carried by comparing the
+        // old dir's listing against this set — without it, a carried
+        // append would falsely report "rows lost, retry" and the
+        // documented blind retry would DUPLICATE the rows (inPlaceWrite).
+        val out = fs.create(new Path(s"$target/_GRAFT_CARRIED"), true)
+        try out.write(preFiles._1.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
       // BLESS = rename the claim into the commit marker. Stop the heartbeat
       // first (stop shares the stamp monitor, so after it returns no stamp
       // can recreate the claim), then decide: a `.swept` tombstone, or a
@@ -711,8 +723,17 @@ class TableRepo(
     * getFileStatus instead of open+read+parse, while a cross-process
     * schema widening (new sidecar bytes) still invalidates naturally.
     * Own-process pins invalidate explicitly ([[pinSchema]]).
+    *
+    * (mtime, length) alone has one hole: a FOREIGN overwrite with
+    * equal-length bytes inside one mtime granule (second-granular on
+    * NFS-style mounts) is invisible to the quick check — the cache would
+    * serve the stale parse forever. The guard: a parse is only
+    * quick-servable once it was taken comfortably AFTER the sidecar's
+    * last write (mtime + one granule < parse time); until then every call
+    * re-reads the tiny file. Any later foreign write then carries a
+    * NEWER mtime than the cached one and invalidates normally.
     */
-  @volatile private var schemaCache: (String, Long, Long, StructType) = null
+  @volatile private var schemaCache: (String, Long, Long, Long, StructType) = null
   def pinnedSchema: Option[StructType] =
     fixedSchema.map(deepNullable).orElse {
       val st =
@@ -720,14 +741,16 @@ class TableRepo(
         catch { case _: java.io.FileNotFoundException => None }
       st.map { s =>
         val c = schemaCache
-        if (c != null && c._1 == root && c._2 == s.getModificationTime && c._3 == s.getLen) c._4
+        if (c != null && c._1 == root && c._2 == s.getModificationTime &&
+            c._3 == s.getLen && c._4 > s.getModificationTime + TableRepo.MtimeGranuleMs) c._5
         else {
           val in = fs.open(s.getPath)
           val parsed =
             try deepNullable(
               DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType])
             finally in.close()
-          schemaCache = (root, s.getModificationTime, s.getLen, parsed)
+          schemaCache =
+            (root, s.getModificationTime, s.getLen, System.currentTimeMillis(), parsed)
           parsed
         }
       }
@@ -922,8 +945,55 @@ class TableRepo(
         cme.initCause(e)
         throw cme
     }
-    checkVersionStable(target, op)
+    verifyAppendVisibility(target, op)
   }
+
+  /** POST-JOB visibility check for in-place writes, supersede-aware. */
+  private[repo] def verifyAppendVisibility(target: String, op: String): Unit = {
+    // The job succeeded, so
+    // our files are on disk in `target`. If a concurrent full rewrite
+    // superseded `target` before this check, three honest outcomes:
+    //  (1) the winner is a GUARDED rewrite whose carried manifest covers
+    //      every file now in `target` — the post-marker verify proved its
+    //      content equals that snapshot, so our rows (present in the old
+    //      dir at commit time) were carried into the new current version:
+    //      this append SUCCEEDED; throwing "rows lost" here would make the
+    //      documented blind retry DUPLICATE the rows;
+    //  (2) the winner is about to be REVOKED by its own post-marker
+    //      verify (our files landed in the re-list→marker gap, and the
+    //      verify sees them within ms): bounded re-check — visibility
+    //      falls back to `target`, our rows are visible again and any
+    //      future guarded rewrite's fresh snapshot carries them: SUCCESS;
+    //  (3) the supersede stands without carrying us (an unguarded
+    //      replaceAll, or our files landed after its verify): the rows
+    //      are invisible and will be GC'd — loud typed failure, and the
+    //      blind retry is safe. Residual (documented): an appender
+    //      suspended across TWO full rewrite cycles cannot prove the
+    //      double-carry and conservatively fails here; exactly-once
+    //      callers use extendExactlyOnce, whose manifest protocol is
+    //      immune by construction.
+    var probes = 0
+    while (dataPath != target) {
+      val cur = dataPath
+      val mine = listParquetFiles(target).toSet
+      if (mine.nonEmpty && carriedManifest(cur).exists(mine.subsetOf)) return // (1)
+      if (probes >= 4) checkVersionStable(target, op) // throws: outcome (3)
+      probes += 1
+      Thread.sleep(50L) // (2): a pending revoke lands within ms
+    }
+  }
+
+  /** The `_GRAFT_CARRIED` manifest of a committed guarded rewrite: the
+    * source file set its content provably includes. Absent on unguarded
+    * rewrites (replaceAll — content deliberately replaced) and on
+    * pre-manifest versions.
+    */
+  private def carriedManifest(dir: String): Option[Set[String]] =
+    try {
+      val in = fs.open(new Path(s"$dir/_GRAFT_CARRIED"))
+      try Some(new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSet)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Does this job failure look like the target dir vanishing under the
     * committer? A supersede happening concurrently is NOT enough to blame
@@ -1409,7 +1479,10 @@ class TableRepo(
     if (fs.exists(rp)) fs.listStatus(rp).foreach { s =>
       if (s.isDirectory && VersionRe.pattern.matcher(s.getPath.getName).matches())
         fs.delete(s.getPath, true)
-      else if (!s.isDirectory && s.getPath.getName.startsWith("_graft_claim-v"))
+      else if (!s.isDirectory && (s.getPath.getName.startsWith("_graft_claim-v") ||
+          s.getPath.getName.startsWith(Lease.LeaseName)))
+        // claims, tombstones, the lease, and any crashed takeover/release
+        // rename leftovers (`_graft_lease.expired-*` / `.released-*`)
         fs.delete(s.getPath, false)
     }
     fs.delete(new Path(s"$root/data"), true)
@@ -1807,38 +1880,43 @@ class TableRepo(
     val mp = new Path(footerRewriteMarker)
     if (fs.exists(mp)) withWriteLock {
       if (fs.exists(mp)) {
-        if (footerMarkerRepairable(mp)) {
-          restoreFooterBackups() // throws on a failed rename: marker survives
-          fs.delete(mp, false): Unit
-        } else if (strict)
-          throw new java.util.ConcurrentModificationException(
-            s"footer-rewrite marker under $root has a fresh heartbeat from another " +
-              "process: an embedMetadata is (or very recently was) rewriting this " +
-              "table's files, and mutating it now would race those swaps or lose the " +
-              "rows it has staged aside — wait for the embed to finish (the marker " +
-              s"clears) or go stale (${TableRepo.FooterMarkerStaleMs} ms) and retry")
+        footerMarkerState(mp) match {
+          case Some(true) =>
+            restoreFooterBackups() // throws on a failed rename: marker survives
+            fs.delete(mp, false): Unit
+          case Some(false) if strict =>
+            throw new java.util.ConcurrentModificationException(
+              s"footer-rewrite marker under $root has a fresh heartbeat from another " +
+                "process: an embedMetadata is (or very recently was) rewriting this " +
+                "table's files, and mutating it now would race those swaps or lose the " +
+                "rows it has staged aside — wait for the embed to finish (the marker " +
+                s"clears) or go stale (${TableRepo.FooterMarkerStaleMs} ms) and retry")
+          case _ => () // live foreign under a plain read, or vanished mid-check
+        }
       }
     }
   }
 
-  /** Is the footer-rewrite marker a crash leftover this process may
-    * repair? (Caller holds the write monitor.) Own token: yes — a live
-    * embed in this JVM would be holding the monitor. Foreign token
-    * (including legacy empty markers): only once the heartbeat mtime is
-    * stale. A marker that vanished mid-check means the embed completed.
+  /** Marker triage (caller holds the write monitor). `Some(true)`: a
+    * crash leftover this process may repair — own token (a live embed in
+    * this JVM would be holding the monitor), or a foreign token whose
+    * heartbeat mtime is stale (legacy empty markers included).
+    * `Some(false)`: a LIVE foreign embed — fresh heartbeat. `None`: the
+    * marker VANISHED mid-check — that embed completed cleanly, so there
+    * is nothing to repair and nothing to wait for; treating it as "live
+    * foreign" would spuriously fail a mutating op on a clean table.
     */
-  private def footerMarkerRepairable(mp: Path): Boolean =
+  private def footerMarkerState(mp: Path): Option[Boolean] =
     try {
       val in = fs.open(mp)
       val token = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      token == TableRepo.ProcessToken ||
+      Some(token == TableRepo.ProcessToken ||
         System.currentTimeMillis() - fs.getFileStatus(mp).getModificationTime >
-          TableRepo.FooterMarkerStaleMs
-    } catch { case _: java.io.FileNotFoundException => false }
+          TableRepo.FooterMarkerStaleMs)
+    } catch { case _: java.io.FileNotFoundException => None }
 
-  /** (Re)write the marker with this process's token — creation and the
-    * per-file heartbeat share this (a rewrite refreshes mtime portably;
-    * `setTimes` support varies by FileSystem).
+  /** Write the marker with this process's token; while the embed runs, a
+    * time-based [[FileHeartbeat]] keeps its mtime fresh (setTimes).
     */
   private def writeFooterMarker(): Unit = {
     val out = fs.create(new Path(footerRewriteMarker), true)
@@ -2216,12 +2294,15 @@ class TableRepo(
       // repair a prior crashed embed — but only a provable leftover: a
       // marker with a fresh FOREIGN heartbeat is a live embed in another
       // process, and racing its swaps would corrupt both
-      if (footerMarkerRepairable(mp)) restoreFooterBackups()
-      else throw new java.util.ConcurrentModificationException(
-        s"embedMetadata under $root: the footer-rewrite marker carries a fresh " +
-          "heartbeat from another process — a concurrent embed is rewriting these " +
-          "files; two embeds would race each other's stage-aside renames. Wait for " +
-          "it to finish or for its marker to go stale, then retry")
+      footerMarkerState(mp) match {
+        case Some(true)  => restoreFooterBackups()
+        case Some(false) => throw new java.util.ConcurrentModificationException(
+          s"embedMetadata under $root: the footer-rewrite marker carries a fresh " +
+            "heartbeat from another process — a concurrent embed is rewriting these " +
+            "files; two embeds would race each other's stage-aside renames. Wait for " +
+            "it to finish or for its marker to go stale, then retry")
+        case None => () // vanished mid-check: that embed completed cleanly
+      }
     }
     val meta = fullMetadata.map { case (k, v) => (prefix + k, v) }
     if (meta.nonEmpty) {
@@ -2233,14 +2314,19 @@ class TableRepo(
       // the loop is covered by the gated restore) but ONLY when a rewrite
       // will actually run — an empty-metadata call must not tax every
       // future mutating op with the recursive restore scan for nothing.
-      // It carries OUR process token, and the loop below re-stamps it
-      // before every file: foreign readers judge liveness by its mtime.
+      // It carries OUR process token; liveness is a TIME-based heartbeat
+      // (stale/4 cadence), not a per-file re-stamp — a single huge file's
+      // byte copy on slow storage can exceed the staleness window, and a
+      // between-files stamp would let a foreign process "repair" this
+      // live embed mid-copy (restore the in-flight .kvbak over the
+      // half-written target), exactly the race the ownership gate closes.
       writeFooterMarker()
-      val conf = spark.sparkContext.hadoopConfiguration
-      ps.foreach { p =>
-        writeFooterMarker() // heartbeat: one tiny write per file byte-copy
-        ParquetMeta.embed(conf, new Path(p), meta)
-      }
+      val beat = new FileHeartbeat(fs, mp, TableRepo.ProcessToken,
+        TableRepo.FooterMarkerStaleMs, "graft-footer-marker-heartbeat")
+      try {
+        val conf = spark.sparkContext.hadoopConfiguration
+        ps.foreach(p => ParquetMeta.embed(conf, new Path(p), meta))
+      } finally beat.stop()
       // every per-file swap completed and deleted its backup — clearing
       // the marker here (and in repairFooterRewrites after a clean
       // restore) keeps it scoped to crash windows, so the read-path
@@ -2299,12 +2385,13 @@ object TableRepo {
   private[repo] val ProcessToken: String = java.util.UUID.randomUUID().toString
 
   /** Age past which a FOREIGN footer-rewrite marker counts as a crash
-    * leftover. A live embed re-stamps the marker before every file
-    * rewrite, so going stale requires ONE file's footer rewrite (a
-    * row-group byte copy) to exceed this — generous at any sane file
-    * size. Until then foreign processes leave the marker alone: reads
-    * proceed un-repaired (missing at most the one file mid-swap),
-    * mutating ops fail loudly.
+    * leftover. A live embed keeps the marker fresh with a TIME-based
+    * [[FileHeartbeat]] (every quarter of this), so staleness is
+    * independent of per-file rewrite duration — a single huge file's
+    * byte copy on slow storage must not hand a foreign process a
+    * "repair" of a live embed. Until stale, foreign processes leave the
+    * marker alone: reads proceed un-repaired (missing at most the one
+    * file mid-swap), mutating ops fail loudly.
     */
   private[repo] val FooterMarkerStaleMs: Long = 5L * 60 * 1000
 
@@ -2346,6 +2433,14 @@ object TableRepo {
 
   private[repo] val ClaimRe = "_graft_claim-v(\\d+)".r
   private[repo] val SweptRe = "_graft_claim-v(\\d+)\\.swept".r
+
+  /** Worst-case filesystem mtime granularity the schema cache's quick
+    * check must assume (NFS-style mounts round to whole seconds): a parse
+    * younger than one granule past the sidecar's mtime is never
+    * quick-served, because an equal-length foreign overwrite inside the
+    * same granule would be invisible to (mtime, length).
+    */
+  private[repo] val MtimeGranuleMs: Long = 1000L
 
   /** Spec seam: runs once between the pre-marker re-list and the commit
     * marker of the next guarded rewrite — the exact former loss window —

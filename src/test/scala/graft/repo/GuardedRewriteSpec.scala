@@ -48,6 +48,35 @@ class GuardedRewriteSpec extends SparkSuite {
       "the post-marker verify must have revoked the first attempt")
     assert(repo.count() == 110, "the gap-landed rows are in the finally-committed version")
     assert(repo.getFullDf.filter(col("id") >= 9000L).count() == 10)
+    // the committed version publishes WHAT it carried: the stray file must
+    // be in its manifest — this is the proof a superseded appender reads
+    val cur = new Path(repo.paths.head).getParent
+    val in = fs.open(new Path(cur, "_GRAFT_CARRIED"))
+    val carried = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(carried.contains(stray.getName),
+      "the finally-committed rewrite's carried manifest must name the gap-landed file")
+  }
+
+  test("a superseded append proves itself carried (guarded compact) or lost (unguarded replace)") {
+    // the decision a suspended appender's post-job check faces once its
+    // target version was superseded mid-check: a guarded rewrite that
+    // snapshotted the appender's files CARRIED them (reporting "lost"
+    // would make the documented blind retry duplicate the rows); an
+    // unguarded replaceAll deliberately dropped them (the loud typed
+    // failure is correct and retry is safe)
+    val repo = new TableRepo(scratch("append-visibility"), spark, maxRecordsPerFile = 25)
+    repo.extend((1L to 60L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val appendTarget = new Path(repo.paths.head).getParent.toString
+    repo.compact(1000L) // guarded: snapshots + carries the appended files
+    // the suspended appender wakes AFTER the commit: must report success
+    repo.verifyAppendVisibility(appendTarget, "append")
+    val compacted = new Path(repo.paths.head).getParent.toString
+    assert(compacted != appendTarget)
+    repo.replaceAll((1L to 10L).map(i => (i, "r")).toDF("id", "payload"))
+    // the same wake-up against an UNGUARDED replace: rows are gone — loud
+    intercept[java.util.ConcurrentModificationException] {
+      repo.verifyAppendVisibility(compacted, "append")
+    }
   }
 
   test("the schema-evolution backfill rewrite gets the same gap closure") {
