@@ -109,12 +109,22 @@ private[graft] object Lease {
         // stale: the holder died mid-op. RENAME the stale file away
         // (atomic — one winner among takeover racers) instead of a blind
         // delete: a delete could destroy a FRESH lease another taker
-        // created between our staleness read and the delete. Whoever wins
-        // the rename (or finds the file already gone) contends on the
-        // exclusive create below, which picks exactly one new holder.
+        // created between our staleness read and the delete. The rename
+        // itself has the same window, so VERIFY what was renamed: a fresh
+        // file is another taker's live lease that slipped in — restore it
+        // and treat this round as a collision. Whoever wins (or finds the
+        // file already gone) contends on the exclusive create below,
+        // which picks exactly one new holder.
         val expired = new Path(p.getParent,
           s"${p.getName}.expired-${java.util.UUID.randomUUID()}")
-        if (fs.rename(p, expired)) fs.delete(expired, false): Unit
+        if (fs.rename(p, expired)) {
+          val freshAfterAll =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(expired).getModificationTime <= ttlMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (freshAfterAll && fs.rename(expired, p)) ()
+          else fs.delete(expired, false): Unit
+        }
       }
       rounds += 1
       if (rounds >= MaxAcquireRounds)
@@ -179,15 +189,20 @@ private[graft] object Lease {
       beat.stop()
       val grave = new Path(p.getParent,
         s"${p.getName}.released-${java.util.UUID.randomUUID()}")
-      val mine =
+      // pre-check before touching the file at all: after a takeover the
+      // common state is a FOREIGN lease, and even a transient rename-away
+      // of it would let a third acquirer slip in while it is absent (and
+      // make the taker's own heartbeat read missing-as-lost)
+      val mine = readContent(fs, p).contains(id) &&
         (try fs.rename(p, grave)
         catch { case scala.util.control.NonFatal(_) => false }) && {
           readContent(fs, grave) match {
             case Some(c) if c == id => fs.delete(grave, false); true
             case _ =>
-              // we renamed a TAKER's live lease away — put it back; if a
-              // newer lease appeared meanwhile, drop the stolen copy (its
-              // holder fails loudly at ITS release — loud, never silent)
+              // the µs double-race: a taker replaced the lease between our
+              // pre-check and the rename — put it back; if a newer lease
+              // appeared meanwhile, drop the stolen copy (its holder fails
+              // loudly at ITS release — loud, never silent)
               if (!fs.rename(grave, p)) fs.delete(grave, false): Unit
               false
           }
@@ -256,10 +271,34 @@ private[repo] final class FileHeartbeat(
         // a takeover's replace (read-mine → taker swaps → write) would
         // clobber the taker's ownership and let both bodies run; touching
         // mtime at worst freshens the taker's own live file by one beat,
-        // and the next read sees the foreign id and reports the loss
-        try fs.setTimes(p, System.currentTimeMillis(), -1)
-        catch { case scala.util.control.NonFatal(_) => () } // next beat retries
+        // and the next read sees the foreign id and reports the loss.
+        // VERIFIED, because Hadoop's base FileSystem.setTimes is a silent
+        // no-op (object stores inherit it): if the mtime provably did not
+        // advance, fall back to the content rewrite permanently for this
+        // file — on such filesystems rename is not atomic either, so the
+        // takeover protocol is already out of its portability envelope
+        // and liveness (never going falsely stale) is the priority.
+        try {
+          val now = System.currentTimeMillis()
+          if (contentRewriteStamp) rewrite()
+          else {
+            fs.setTimes(p, now, -1)
+            val after = fs.getFileStatus(p).getModificationTime
+            if (now - after > ttlMs / 2) { // stamp provably did not land
+              contentRewriteStamp = true
+              rewrite()
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () } // next beat retries
       case _ => lostFlag = true
     }
   }
+
+  /** Content-rewrite stamp for filesystems whose `setTimes` is a no-op. */
+  private def rewrite(): Unit = {
+    val out = fs.create(p, true)
+    try out.write(id.getBytes("UTF-8"))
+    finally out.close()
+  }
+  @volatile private var contentRewriteStamp = false
 }

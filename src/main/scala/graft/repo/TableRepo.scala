@@ -385,13 +385,14 @@ class TableRepo(
       try write(target)
       catch {
         case scala.util.control.NonFatal(e) =>
-          // a tombstone on OUR number means a sweeper reclaimed this
-          // attempt mid-write (we stalled past the claim ttl and the dir
-          // was deleted under the job) — the same event the bless point
-          // handles; retry at a fresh number instead of leaking the raw
-          // job error through the typed-failure contract
+          // our claim file GONE (renamed to a tombstone — possibly already
+          // GC'd) means a sweeper reclaimed this attempt mid-write (we
+          // stalled past the claim ttl and the dir was deleted under the
+          // job) — the same event the bless point handles; retry at a
+          // fresh number instead of leaking the raw job error through the
+          // typed-failure contract. Nothing else removes a held claim.
           val reclaimed =
-            try fs.exists(claimSweptPath(next))
+            try fs.exists(claimSweptPath(next)) || !fs.exists(claimPath(next))
             catch { case scala.util.control.NonFatal(_) => false }
           abortAttempt(s"write job failed: ${e.getMessage}")
           if (reclaimed) {
@@ -553,6 +554,25 @@ class TableRepo(
                 fs.delete(claimSweptPath(v), false): Unit
               case _ => ()
             }
+          }
+        case TableRepo.DataDirRe(n) if st.isDirectory =>
+          // the last crash shape: an UNCLAIMED, UNTOMBSTONED, uncommitted
+          // version dir at or below the committed head — an expired
+          // holder's write job re-created it after its tombstone was GC'd
+          // (tombstone GC requires the dir absent, so only a suspended
+          // job's later re-materialization produces this). Provably dead:
+          // blessing needs a claim, and a claim at or below the head is
+          // deleted by its own marker re-check before any write — so once
+          // stale, the dir is reclaimable garbage.
+          val v = n.toInt
+          if (v != excludeVersion && v <= committedMax &&
+              !fs.exists(new Path(st.getPath, "_GRAFT_COMMIT")) &&
+              !fs.exists(claimPath(v)) && !fs.exists(claimSweptPath(v)) &&
+              now - st.getModificationTime > ttl) {
+            fs.delete(st.getPath, true): Unit
+            log.warn(s"reclaimed unclaimed orphan data-v$v under $root: no claim, no " +
+              "tombstone, no commit marker, at or below the committed head — a dead " +
+              "rewrite's write job re-created it after its tombstone was collected")
           }
         case _ => ()
       }
@@ -744,13 +764,21 @@ class TableRepo(
         if (c != null && c._1 == root && c._2 == s.getModificationTime &&
             c._3 == s.getLen && c._4 > s.getModificationTime + TableRepo.MtimeGranuleMs) c._5
         else {
+          // the guard timestamp is taken BEFORE the read: a foreign
+          // equal-length overwrite landing between read and stamp would
+          // otherwise be cached as comfortably-fresh. Client-vs-server
+          // clock skew shifts the comparison by the skew — a skewed-ahead
+          // client re-opens the stale window only for writes within
+          // (granule + skew) of the parse, and a skewed-behind client
+          // merely re-reads the tiny sidecar until the mtime is older
+          // than the skew (self-healing with time either way).
+          val parseStart = System.currentTimeMillis()
           val in = fs.open(s.getPath)
           val parsed =
             try deepNullable(
               DataType.fromJson(new String(in.readAllBytes(), "UTF-8")).asInstanceOf[StructType])
             finally in.close()
-          schemaCache =
-            (root, s.getModificationTime, s.getLen, System.currentTimeMillis(), parsed)
+          schemaCache = (root, s.getModificationTime, s.getLen, parseStart, parsed)
           parsed
         }
       }
@@ -967,11 +995,16 @@ class TableRepo(
     //  (3) the supersede stands without carrying us (an unguarded
     //      replaceAll, or our files landed after its verify): the rows
     //      are invisible and will be GC'd — loud typed failure, and the
-    //      blind retry is safe. Residual (documented): an appender
+    //      blind retry is safe. Residuals (documented, both conservative
+    //      toward the loud failure, never silent loss): an appender
     //      suspended across TWO full rewrite cycles cannot prove the
-    //      double-carry and conservatively fails here; exactly-once
-    //      callers use extendExactlyOnce, whose manifest protocol is
-    //      immune by construction.
+    //      double-carry; and the subset check uses the WHOLE old-dir
+    //      listing (plain appends have no per-job file identity), so a
+    //      SECOND concurrent appender's post-verify files can mask a
+    //      carried first appender — its blind retry then duplicates.
+    //      Exactly-once callers use extendExactlyOnce, whose per-batch
+    //      manifest gives precisely the file identity this check lacks
+    //      and is immune by construction.
     var probes = 0
     while (dataPath != target) {
       val cur = dataPath
@@ -2433,6 +2466,7 @@ object TableRepo {
 
   private[repo] val ClaimRe = "_graft_claim-v(\\d+)".r
   private[repo] val SweptRe = "_graft_claim-v(\\d+)\\.swept".r
+  private[repo] val DataDirRe = "data-v(\\d+)".r
 
   /** Worst-case filesystem mtime granularity the schema cache's quick
     * check must assume (NFS-style mounts round to whole seconds): a parse
