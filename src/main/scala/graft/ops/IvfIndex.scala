@@ -402,8 +402,14 @@ class IvfIndex(val root: String, val spark: SparkSession,
     * lands the manifest flip the crash lost, touching no table files.
     */
   def compact(targetRecordsPerFile: Long): Manifest =
-    // same enforced single-maintainer lease as [[build]]
-    graft.repo.Lease.withLease(fs, root, "IvfIndex.compact") { compactLeased(targetRecordsPerFile) }
+    // same enforced single-maintainer lease as [[build]]; maintenance is
+    // also where crash-stranded lease grave files get reclaimed (the
+    // index root is not a table root, so TableRepo's claim sweep never
+    // visits it)
+    graft.repo.Lease.withLease(fs, root, "IvfIndex.compact") {
+      graft.repo.Lease.sweepGraves(fs, root)
+      compactLeased(targetRecordsPerFile)
+    }
 
   private def compactLeased(targetRecordsPerFile: Long): Manifest = withExclusiveSwapLock {
     val m = manifest.getOrElse(throw new IllegalStateException(

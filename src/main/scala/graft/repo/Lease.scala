@@ -122,7 +122,7 @@ private[graft] object Lease {
             try System.currentTimeMillis() -
               fs.getFileStatus(expired).getModificationTime <= ttlMs
             catch { case _: java.io.FileNotFoundException => false }
-          if (freshAfterAll && fs.rename(expired, p)) ()
+          if (freshAfterAll && restoreNoReplace(fs, expired, p)) ()
           else fs.delete(expired, false): Unit
         }
       }
@@ -160,6 +160,58 @@ private[graft] object Lease {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.io.IOException if fs.exists(p) => false // HDFS-style wrapped collision
+    }
+  }
+
+  /** Restore a renamed-away lease copy to `dst` WITHOUT replacing a file
+    * that reappeared there meanwhile. On the file scheme Hadoop's rename
+    * is `File.renameTo`, which silently OVERWRITES an existing
+    * destination — restoring a fresh taker's lease could then clobber a
+    * third taker's just-created lease at `dst` (a dual-holder window).
+    * NIO `Files.move` without `REPLACE_EXISTING` fails on an existing
+    * destination instead; HDFS-style schemes already refuse one. Mirrors
+    * [[tryCreateExclusive]]'s scheme split. False = `dst` reappeared (the
+    * caller drops the copy; whoever owns `dst` proceeds undisturbed).
+    */
+  private def restoreNoReplace(fs: FileSystem, src: Path, dst: Path): Boolean = {
+    val q = fs.makeQualified(dst)
+    if (q.toUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath),
+          java.nio.file.Paths.get(q.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else
+      try fs.rename(src, dst)
+      catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Grave files (`.expired-*` takeover copies, `.released-*` release
+    * copies) older than this are crash leftovers — the healthy paths
+    * delete them within ms — and are reclaimable by any later sweep. Far
+    * above any heartbeat cadence (a live holder's file is never older
+    * than its ttl/4), so a sweep can never eat a restorable fresh copy.
+    */
+  private[graft] val GraveSweepMs: Long = 10 * DefaultTtlMs
+
+  /** Is `name` a lease grave file ([[GraveSweepMs]])? */
+  private[graft] def isGraveName(name: String): Boolean =
+    name.startsWith(LeaseName + ".expired-") || name.startsWith(LeaseName + ".released-")
+
+  /** Delete stale grave files under `dir` (one listing). [[TableRepo]]'s
+    * claim sweep covers table roots inline; lease roots that are not
+    * table roots (the IVF index dir) call this from their own
+    * maintenance ops.
+    */
+  private[graft] def sweepGraves(fs: FileSystem, dir: String): Unit = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(d).foreach { st =>
+      if (!st.isDirectory && isGraveName(st.getPath.getName) &&
+          now - st.getModificationTime > GraveSweepMs)
+        fs.delete(st.getPath, false): Unit
     }
   }
 
@@ -202,8 +254,10 @@ private[graft] object Lease {
               // the µs double-race: a taker replaced the lease between our
               // pre-check and the rename — put it back; if a newer lease
               // appeared meanwhile, drop the stolen copy (its holder fails
-              // loudly at ITS release — loud, never silent)
-              if (!fs.rename(grave, p)) fs.delete(grave, false): Unit
+              // loudly at ITS release — loud, never silent). No-replace
+              // restore: a plain local rename would clobber that newer
+              // lease instead of yielding to it.
+              if (!restoreNoReplace(fs, grave, p)) fs.delete(grave, false): Unit
               false
           }
         }
@@ -279,12 +333,21 @@ private[repo] final class FileHeartbeat(
         // takeover protocol is already out of its portability envelope
         // and liveness (never going falsely stale) is the priority.
         try {
-          val now = System.currentTimeMillis()
           if (contentRewriteStamp) rewrite()
           else {
+            // "stamp landed" is judged by the observed mtime CHANGING
+            // relative to the pre-stamp read — never by comparing a
+            // server-side mtime against the local clock, which clock skew
+            // or coarse server mtimes would permanently misjudge (flipping
+            // a working setTimes filesystem into content-rewrite mode and
+            // reinstating the takeover-clobber race the setTimes design
+            // closes). `before == now` exempts the one indistinguishable
+            // case (mtime already at the value we set).
+            val before = fs.getFileStatus(p).getModificationTime
+            val now = System.currentTimeMillis()
             fs.setTimes(p, now, -1)
             val after = fs.getFileStatus(p).getModificationTime
-            if (now - after > ttlMs / 2) { // stamp provably did not land
+            if (after == before && before != now) { // stamp provably did not land
               contentRewriteStamp = true
               rewrite()
             }

@@ -574,6 +574,18 @@ class TableRepo(
               "tombstone, no commit marker, at or below the committed head — a dead " +
               "rewrite's write job re-created it after its tombstone was collected")
           }
+        case g if Lease.isGraveName(g) && !st.isDirectory =>
+          // a crash between the lease takeover/release rename and its
+          // follow-up delete strands `.expired-*`/`.released-*` grave
+          // copies; only purge() used to remove them, so crashy writers
+          // accumulated them forever. The healthy paths delete graves
+          // within ms — anything older than the generous GraveSweepMs is
+          // provably a crash leftover (a restorable FRESH copy is younger
+          // than its holder's heartbeat cadence).
+          if (now - st.getModificationTime > Lease.GraveSweepMs) {
+            fs.delete(st.getPath, false): Unit
+            log.warn(s"reclaimed stale lease grave file $g under $root (crash leftover)")
+          }
         case _ => ()
       }
     }
@@ -653,7 +665,8 @@ class TableRepo(
     dropOldSnapshots(versions, keepLast)
     // crashed rewrites' orphan dirs are reclaimed at every commit too;
     // vacuum lets an operator force the reclaim without writing
-    sweepExpiredClaims(committedMax = versions.lastOption.getOrElse(-1)): Unit
+    sweepExpiredClaims(committedMax = versions.lastOption.getOrElse(-1))
+    sweepAppendStaging()
   }
 
   private def dataPath: String =
@@ -874,10 +887,7 @@ class TableRepo(
     // references `df` exactly once, so nothing is built twice)
     def df = clustered(routeToBuckets(withLayout(dfIn)))
     if (!overwrite) {
-      val target = dataPath
-      inPlaceWrite(target, "append") {
-        configuredWriter(df, "append").parquet(target)
-      }
+      appendExact(df)
     } else if (dynamic && layoutCols.nonEmpty) {
       val mark = stagedMark
       val staged = if (alreadyStaged) df else stage(df)
@@ -934,8 +944,159 @@ class TableRepo(
     stagedRdds.dropRightInPlace(stagedRdds.length - mark): Unit
   }
 
-  /** Post-write guard for IN-PLACE writes (append, dynamic partition
-    * overwrite): re-resolve the current version dir after the job and fail
+  /** Land an append through a PRIVATE staging dir + per-file renames, so
+    * the batch carries EXACT file identity into the superseded-append
+    * verdict ([[verifyAppendVisibilityExact]]) — the same landing shape
+    * `extendExactlyOnce` uses, without the ledger. vs the former direct
+    * in-place job:
+    *  - the write job can no longer be failed by a concurrent external
+    *    rewrite GC'ing the target mid-job (the job writes under
+    *    `_graft_staging/_append-<uuid>`, which nothing touches while
+    *    fresh) — the yanked-`_temporary` failure mode is gone for
+    *    appends, surviving only on the dynamic-partition-overwrite path;
+    *  - the verdict no longer relies on the whole-dir-listing proof,
+    *    whose lack of per-batch identity let a SECOND concurrent
+    *    appender's files mask a carried first appender (a conservative
+    *    "rows lost" verdict whose documented blind retry DUPLICATED the
+    *    carried rows — the round-17 residual this closes).
+    * The land loop is pure metadata: one atomic rename per written file;
+    * names carry the staging job's uuid, so they collide with nothing.
+    * Readers during the loop may observe a prefix of the batch — the
+    * same visibility granularity the exactly-once protocol documents. A
+    * crash mid-loop leaves a partially landed batch (the direct job's
+    * committer had the same property: its job-commit renames task files
+    * one at a time) plus a staging leftover that [[vacuum]] reclaims.
+    */
+  private def appendExact(df: DataFrame): Unit = {
+    val staging = s"$root/_graft_staging/_append-${java.util.UUID.randomUUID()}"
+    try {
+      configuredWriter(df, "overwrite").parquet(staging)
+      val stQual = fs.makeQualified(new Path(staging)).toString
+      val rels = listParquetFiles(staging).map { abs =>
+        require(abs.startsWith(stQual + "/"), s"staged file $abs outside $stQual")
+        abs.stripPrefix(stQual + "/")
+      }
+      val target = dataPath
+      if (rels.isEmpty) { fs.mkdirs(new Path(target)); return } // empty batch: dir side effect only
+      rels.map(r => new Path(s"$target/$r").getParent).distinct.foreach(fs.mkdirs)
+      var landed = 0
+      rels.foreach { rel =>
+        if (!fs.rename(new Path(s"$staging/$rel"), new Path(s"$target/$rel"))) {
+          // a rename onto a fresh uuid name only fails when the target
+          // tree vanished: a concurrent external rewrite superseded
+          // `target` AND a later commit GC'd it mid-land — the prefix
+          // landed so far died with the dir, so no rows are visible and
+          // the typed retry contract holds
+          if (dataPath != target) {
+            val cme = new java.util.ConcurrentModificationException(
+              s"append to $target raced concurrent full rewrites: the target version " +
+                s"was superseded (current is now $dataPath) and GC'd mid-land; no rows " +
+                "are visible — retry against the new version")
+            throw cme
+          }
+          throw new java.io.IOException(
+            s"failed to land staged append file $rel into still-current $target " +
+              s"($landed of ${rels.size} files landed and ARE visible — inspect; do " +
+              "not blindly retry)")
+        }
+        landed += 1
+      }
+      verifyAppendVisibilityExact(target, "append", rels)
+    } finally fs.delete(new Path(staging), true): Unit
+  }
+
+  /** POST-LAND visibility verdict with exact per-batch file identity.
+    * Success ⇔ the rows are reader-visible: either `target` is still the
+    * current version, or the superseding rewrite's carried manifest
+    * names EVERY file of this batch (the guard's snapshot/re-list/verify
+    * discipline makes a committed manifest all-or-nothing w.r.t. one
+    * batch unless the land loop spanned an entire rewrite job — see the
+    * failure message). Anything else is the LOUD typed failure, and —
+    * because the identity is exact — the documented blind retry can
+    * never duplicate: a verdict of "not carried" proves no file of THIS
+    * batch is part of the current content.
+    */
+  private[repo] def verifyAppendVisibilityExact(target: String, op: String,
+      rels: Seq[String]): Unit = {
+    val tQual = fs.makeQualified(new Path(target)).toString
+    val mine: Set[String] = rels.map(r => s"$tQual/$r").toSet
+    var probes = 0
+    while (dataPath != target) {
+      val cur = dataPath
+      val carried = carriedManifest(cur)
+      if (carried.exists(mine.subsetOf)) return // fully carried: success
+      if (probes >= 4) {
+        if (carried.exists(c => mine.exists(c.contains)))
+          // land loop spanned a whole rewrite job (snapshot between two of
+          // our renames, verify before our last): some files carried, the
+          // rest stranded in the grace dir — loud, never silent, and
+          // practically unreachable (ms of renames vs a full write job)
+          throw new java.util.ConcurrentModificationException(
+            s"$op to $target was PARTIALLY carried by a concurrent full rewrite " +
+              s"(current is $cur): the land loop spanned the entire rewrite job. " +
+              "Some of the batch is visible — inspect before retrying (a blind " +
+              "retry would duplicate the carried part)")
+        // make the "rows not visible" verdict SELF-FULFILLING before
+        // throwing: delete this batch's files from the superseded dir.
+        // Without this, a post-marker revoke landing just after the throw
+        // (a slow verify listing on a loaded box) would resurrect the old
+        // dir WITH these files — visible rows behind a "retry" verdict,
+        // and the documented blind retry would duplicate them. After the
+        // deletes every interleaving is safe: rewrite stands → the files
+        // were invisible grace leftovers; rewrite revokes → the files are
+        // gone from the restored dir and the retry re-lands them once.
+        // The throw is then UNCONDITIONAL (never checkVersionStable,
+        // which would stay silent if the revoke landed a µs before the
+        // deletes — success reported on rows just deleted).
+        rels.foreach(r => fs.delete(new Path(s"$target/$r"), false))
+        throw new java.util.ConcurrentModificationException(
+          s"$op to $target raced a concurrent full rewrite (current version is now " +
+            s"$cur); the batch was not carried and its files have been withdrawn — " +
+            "no rows are visible; retry against the new version")
+      }
+      probes += 1
+      Thread.sleep(50L) // a pending post-marker revoke lands within ms
+    }
+  }
+
+  /** Reclaim crash-stranded plain-append staging dirs
+    * (`_graft_staging/_append-<uuid>`): a crashed appender freezes its
+    * staging tree, and nothing else ever deletes it. Liveness is judged
+    * by the NEWEST mtime in the tree (a live append's write job keeps
+    * landing task files; the post-job land loop empties it within
+    * seconds), with a generous TTL so a stalled-but-alive job is never
+    * eaten. Runs from [[vacuum]].
+    */
+  private def sweepAppendStaging(): Unit = {
+    val sroot = new Path(s"$root/_graft_staging")
+    if (!fs.exists(sroot)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(sroot).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("_append-")) {
+        def newest(p: Path): Long = {
+          val kids = try fs.listStatus(p) catch {
+            case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+          }
+          (fs.getFileStatus(p).getModificationTime +:
+            kids.toSeq.map(k => if (k.isDirectory) newest(k.getPath) else k.getModificationTime)).max
+        }
+        val fresh = try newest(st.getPath) catch {
+          case _: java.io.FileNotFoundException => now // being deleted right now
+        }
+        if (now - fresh > TableRepo.AppendStagingSweepMs) {
+          fs.delete(st.getPath, true): Unit
+          org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+            s"reclaimed crash-stranded append staging ${st.getPath} " +
+              s"(untouched for over ${TableRepo.AppendStagingSweepMs} ms)")
+        }
+      }
+    }
+  }
+
+  /** Post-write guard for IN-PLACE write jobs (since round 18: only the
+    * dynamic partition overwrite — plain appends land via
+    * [[appendExact]], whose private staging dir cannot be yanked):
+    * re-resolve the current version dir after the job and fail
     * loudly if a full rewrite superseded `target` mid-write — the written
     * files are invisible to readers and the next commit's GC would
     * silently drop them. Intra-process the write lock makes this
@@ -965,7 +1126,7 @@ class TableRepo(
   private def inPlaceWrite(target: String, op: String)(job: => Unit): Unit = {
     try job
     catch {
-      case scala.util.control.NonFatal(e) if dataPath != target && looksLikeYankedDir(e) =>
+      case scala.util.control.NonFatal(e) if dataPath != target && looksLikeYankedDir(e, target) =>
         val cme = new java.util.ConcurrentModificationException(
           s"$op to $target raced a concurrent full rewrite: the target version was " +
             s"superseded (current is now $dataPath) and GC'd mid-write, failing the " +
@@ -976,7 +1137,11 @@ class TableRepo(
     verifyAppendVisibility(target, op)
   }
 
-  /** POST-JOB visibility check for in-place writes, supersede-aware. */
+  /** POST-JOB visibility check for in-place writes, supersede-aware.
+    * Since round 18 only the dynamic-partition-overwrite path uses this
+    * whole-dir-listing variant (appends carry exact identity through
+    * [[verifyAppendVisibilityExact]]).
+    */
   private[repo] def verifyAppendVisibility(target: String, op: String): Unit = {
     // The job succeeded, so
     // our files are on disk in `target`. If a concurrent full rewrite
@@ -985,7 +1150,7 @@ class TableRepo(
     //      every file now in `target` — the post-marker verify proved its
     //      content equals that snapshot, so our rows (present in the old
     //      dir at commit time) were carried into the new current version:
-    //      this append SUCCEEDED; throwing "rows lost" here would make the
+    //      this write SUCCEEDED; throwing "rows lost" here would make the
     //      documented blind retry DUPLICATE the rows;
     //  (2) the winner is about to be REVOKED by its own post-marker
     //      verify (our files landed in the re-list→marker gap, and the
@@ -995,16 +1160,12 @@ class TableRepo(
     //  (3) the supersede stands without carrying us (an unguarded
     //      replaceAll, or our files landed after its verify): the rows
     //      are invisible and will be GC'd — loud typed failure, and the
-    //      blind retry is safe. Residuals (documented, both conservative
-    //      toward the loud failure, never silent loss): an appender
+    //      blind retry is safe. Residual (documented, conservative
+    //      toward the loud failure, never silent loss): a writer
     //      suspended across TWO full rewrite cycles cannot prove the
-    //      double-carry; and the subset check uses the WHOLE old-dir
-    //      listing (plain appends have no per-job file identity), so a
-    //      SECOND concurrent appender's post-verify files can mask a
-    //      carried first appender — its blind retry then duplicates.
-    //      Exactly-once callers use extendExactlyOnce, whose per-batch
-    //      manifest gives precisely the file identity this check lacks
-    //      and is immune by construction.
+    //      double-carry. Appends are immune to the second-writer masking
+    //      this whole-dir subset check allows — they verify through
+    //      their exact per-batch manifest instead.
     var probes = 0
     while (dataPath != target) {
       val cur = dataPath
@@ -1028,22 +1189,29 @@ class TableRepo(
       finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
 
-  /** Does this job failure look like the target dir vanishing under the
+  /** Does this job failure look like `target` vanishing under the
     * committer? A supersede happening concurrently is NOT enough to blame
     * the race — an unrelated genuine failure (OOM, disk full, corrupt
-    * input) must surface as itself, not as "retryable, no rows landed".
-    * The yanked-dir shapes: FileNotFoundException anywhere in the cause
-    * chain, or the local-FS committer's chmod/ENOENT messages.
+    * input, a MISSING SOURCE file, an AnalysisException whose message
+    * merely contains "does not exist") must surface as itself, not as
+    * "retryable, no rows landed". The yanked-dir shapes, narrowly: a
+    * FileNotFoundException in the cause chain, or an ENOENT-style message
+    * — and in BOTH cases the complaint must reference the superseded
+    * target (or its committer `_temporary` dir), so a missing-input
+    * failure that happens to race a supersede is never converted into
+    * the retryable verdict and hidden for a retry cycle.
     */
-  private def looksLikeYankedDir(e: Throwable): Boolean = {
+  private def looksLikeYankedDir(e: Throwable, target: String): Boolean = {
+    val tgt = new Path(target).toUri.getPath
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 12) {
       val msg = Option(t.getMessage).getOrElse("")
-      if (t.isInstanceOf[java.io.FileNotFoundException] ||
-          msg.contains("FILE_NOT_EXIST") ||
-          msg.contains("No such file or directory") ||
-          msg.contains("does not exist")) return true
+      val enoentShape = t.isInstanceOf[java.io.FileNotFoundException] ||
+        msg.contains("FILE_NOT_EXIST") ||
+        msg.contains("No such file or directory") ||
+        msg.contains("does not exist")
+      if (enoentShape && (msg.contains(tgt) || msg.contains("_temporary"))) return true
       t = if (t.getCause eq t) null else t.getCause
       depth += 1
     }
@@ -2456,6 +2624,14 @@ object TableRepo {
     * production code never writes it.
     */
   @volatile private[repo] var ClaimTtlMs: Long = Lease.DefaultTtlMs
+
+  /** Age (of the NEWEST mtime in the tree) past which a plain-append
+    * staging dir counts as a crashed appender's leftover — generous,
+    * because a live append's staging only goes quiet for the seconds
+    * between its write job and its land loop. `var` only so specs can
+    * shrink the window.
+    */
+  @volatile private[repo] var AppendStagingSweepMs: Long = 60L * 60 * 1000
 
   /** Version numbers reclaimed from crashed rewrites (orphan dir deleted,
     * number retired) / attempts that found themselves expired at the

@@ -79,6 +79,41 @@ class GuardedRewriteSpec extends SparkSuite {
     }
   }
 
+  test("the EXACT verdict: carried ⇒ success; a second appender's foreign files cannot mask it") {
+    // the round-17 residual in miniature, without child JVMs: batch A is
+    // carried by a guarded compact, then a foreign file (appender B)
+    // lands in the superseded dir. A's exact verdict must still say
+    // SUCCESS (the old whole-dir proof failed here: B's file made the
+    // dir listing a non-subset of the carried manifest).
+    val repo = new TableRepo(scratch("exact-carried"), spark, maxRecordsPerFile = 25)
+    repo.extend((1L to 60L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val target = new Path(repo.paths.head).getParent
+    val tQual = fs.makeQualified(target).toString
+    val aRels = repo.paths.map(_.stripPrefix(tQual + "/")) // batch A = everything on disk
+    repo.compact(1000L) // guarded: carries A
+    // appender B's file lands in the now-superseded dir (post-verify)
+    val strayB = strayFile("maskerB")
+    assert(fs.rename(strayB, new Path(target, strayB.getName)))
+    repo.verifyAppendVisibilityExact(target.toString, "append", aRels) // must NOT throw
+  }
+
+  test("the EXACT verdict withdraws an uncarried batch before failing: the typed retry can never duplicate") {
+    val repo = new TableRepo(scratch("exact-withdrawn"), spark)
+    repo.extend((1L to 30L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val target = new Path(repo.paths.head).getParent
+    repo.replaceAll((1L to 5L).map(i => (i, "r")).toDF("id", "payload")) // unguarded: carries nothing
+    // the suspended appender's batch: a file still sitting in the grace dir
+    val stray = strayFile("uncarried")
+    val landed = new Path(target, stray.getName)
+    assert(fs.rename(stray, landed))
+    intercept[java.util.ConcurrentModificationException] {
+      repo.verifyAppendVisibilityExact(target.toString, "append", Seq(stray.getName))
+    }
+    assert(!fs.exists(landed),
+      "the failing verdict must WITHDRAW the batch's files from the superseded dir — " +
+        "a late revoke can then never resurrect them behind the retry")
+  }
+
   test("the schema-evolution backfill rewrite gets the same gap closure") {
     val repo = new TableRepo(scratch("gap-evolve"), spark, allowSchemaExtension = true)
     repo.extend((1L to 50L).map(i => (i, s"v$i")).toDF("id", "payload"))

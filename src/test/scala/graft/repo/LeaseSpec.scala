@@ -10,6 +10,38 @@ import graft.SparkSuite
   * against a held lease, succeeding after TTL expiry) is
   * MultiProcessSpec territory.
   */
+/** Counting wrapper filesystems for the heartbeat's portability seams.
+  * [[NoOpSetTimesFs]] is the object-store shape (Hadoop's base
+  * `FileSystem.setTimes` silently does nothing; blob stores inherit it);
+  * [[SkewedSetTimesFs]] is a working `setTimes` against a server clock
+  * `skewMs` behind the local one.
+  */
+private class CountingFs(under: org.apache.hadoop.fs.FileSystem)
+    extends org.apache.hadoop.fs.FilterFileSystem(under) {
+  @volatile var setTimesCalls = 0
+  @volatile var creates = 0
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable): org.apache.hadoop.fs.FSDataOutputStream = {
+    creates += 1
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+
+private class NoOpSetTimesFs(under: org.apache.hadoop.fs.FileSystem) extends CountingFs(under) {
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    setTimesCalls += 1 // and do nothing — the object-store default
+}
+
+private class SkewedSetTimesFs(under: org.apache.hadoop.fs.FileSystem, skewMs: Long)
+    extends CountingFs(under) {
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = {
+    setTimesCalls += 1
+    super.setTimes(p, mtime - skewMs, atime)
+  }
+}
+
 class LeaseSpec extends SparkSuite {
   import spark.implicits._
 
@@ -115,6 +147,85 @@ class LeaseSpec extends SparkSuite {
     val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     assert(content == "taker-process:takeover-op")
     fs.delete(p, false)
+  }
+
+  test("no-op setTimes (object-store shape): the heartbeat flips to content-rewrite stamps; a live holder never goes falsely stale") {
+    // Hadoop's base FileSystem.setTimes is a silent no-op and blob stores
+    // inherit it; the heartbeat must DETECT that (mtime did not change)
+    // and permanently fall back to content rewrites, or a live holder's
+    // lease would age out under it. The takeover protocol is documented
+    // as outside its envelope on such stores — liveness is the priority.
+    val noop = new NoOpSetTimesFs(fs)
+    val root = scratch("lease-noop")
+    val p = Lease.pathIn(root)
+    Lease.withLease(noop, root, "long-op", ttlMs = 400) {
+      val t0 = noop.getFileStatus(p).getModificationTime
+      Thread.sleep(900) // many 100 ms beats
+      assert(noop.setTimesCalls >= 1, "the beat must have tried setTimes first")
+      assert(noop.creates >= 1, "the fallback must have content-rewritten the lease")
+      assert(noop.getFileStatus(p).getModificationTime > t0,
+        "content-rewrite stamps must advance the mtime even though setTimes is a no-op")
+    } // returning without a LOST failure proves the holder never went stale to itself
+    assert(!fs.exists(p), "released cleanly after the fallback")
+  }
+
+  test("a skewed-but-working setTimes stays in mtime mode: landed-ness is judged by the mtime changing, not local-clock distance") {
+    // a server clock 250 ms behind (> ttl/2 of 400) used to permanently
+    // flip the beat into content-rewrite mode on exactly the filesystems
+    // whose atomic rename makes the takeover protocol sound — reinstating
+    // the takeover-clobber race the setTimes design closes. The fix
+    // judges "stamp landed" by the observed mtime CHANGING vs the
+    // pre-stamp read, which skew cannot fake.
+    val skewed = new SkewedSetTimesFs(fs, skewMs = 250)
+    val root = scratch("lease-skew")
+    val p = Lease.pathIn(root)
+    Lease.withLease(skewed, root, "long-op", ttlMs = 400) {
+      val t0 = skewed.getFileStatus(p).getModificationTime
+      Thread.sleep(900)
+      assert(skewed.setTimesCalls >= 1, "beats must have fired")
+      assert(skewed.creates == 0,
+        "no content rewrite may happen while setTimes provably lands (mtime advances)")
+      assert(skewed.getFileStatus(p).getModificationTime > t0, "skewed stamps still advance")
+    }
+    assert(!fs.exists(p))
+  }
+
+  test("crash-stranded grave files are reclaimed once stale; fresh ones survive") {
+    // a crash between the takeover/release rename and its follow-up
+    // delete strands `.expired-*`/`.released-*` copies; they must not
+    // accumulate forever on long-lived tables with crashy writers
+    val root = scratch("lease-graves")
+    fs.mkdirs(new Path(root))
+    def plant(name: String, ageMs: Long): Path = {
+      val p = new Path(root, name)
+      val out = fs.create(p, true); out.write("x".getBytes("UTF-8")); out.close()
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      p
+    }
+    val staleExp = plant(s"${Lease.LeaseName}.expired-dead1", Lease.GraveSweepMs + 60000)
+    val staleRel = plant(s"${Lease.LeaseName}.released-dead2", Lease.GraveSweepMs + 60000)
+    val freshExp = plant(s"${Lease.LeaseName}.expired-live", 0)
+    val live = plant(Lease.LeaseName, 0) // a live lease itself is never a grave
+    Lease.sweepGraves(fs, root)
+    assert(!fs.exists(staleExp) && !fs.exists(staleRel), "stale graves reclaimed")
+    assert(fs.exists(freshExp), "a fresh grave (possibly a takeover in flight) survives")
+    assert(fs.exists(live), "the lease file itself is untouched")
+  }
+
+  test("a table root's grave files are reclaimed by the claim sweep (vacuum)") {
+    val root = scratch("lease-graves-repo")
+    val repo = new TableRepo(root, spark, keyCols = Seq("id"))
+    repo.extend(Seq((1L, "a")).toDF("id", "v"))
+    val p = new Path(root, s"${Lease.LeaseName}.expired-crashed")
+    val out = fs.create(p, true); out.write("x".getBytes("UTF-8")); out.close()
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Lease.GraveSweepMs - 60000))
+    repo.vacuum()
+    assert(!fs.exists(p), "vacuum's claim sweep reclaims stale lease graves too")
   }
 
   test("two threads in one JVM serialize at the lease instead of failing") {

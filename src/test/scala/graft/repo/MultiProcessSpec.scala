@@ -191,6 +191,42 @@ class MultiProcessSpec extends SparkSuite {
     assert(compacts + starved >= 3, s"the hammer needs real contention, got $compacts+$starved")
   }
 
+  test("hammer: TWO second-JVM appenders vs a compact loop — exact identity, zero lost or duplicated rows") {
+    // the round-17 residual, closed: under the whole-dir-listing proof a
+    // SECOND concurrent appender's post-verify files could mask a CARRIED
+    // first appender — a conservative "rows lost" verdict whose blind
+    // retry duplicated the carried rows. The exact per-batch manifest
+    // (appendExact) makes each appender's verdict independent of the
+    // other's files; this drives both children's batches against
+    // back-to-back compacts and asserts the final id multiset EXACTLY —
+    // any conservative failure would surface as a duplicate, any silent
+    // loss as a missing id.
+    val root = scratch("mp-two-appenders")
+    val repo = new TableRepo(root, spark)
+    repo.extend((0L until 50L).toDF("id").withColumn("src", lit("seed")))
+    val logA = scratch("mp-2app-logA")
+    val logB = scratch("mp-2app-logB")
+    val childA = spawnChild(logA, root, "extend", "600000", "20", "10", "1")
+    val childB = spawnChild(logB, root, "extend", "650000", "20", "10", "1")
+    var compacts = 0
+    var starved = 0
+    while (childA.isAlive || childB.isAlive) {
+      try { repo.compact(500L); compacts += 1 }
+      catch { case _: java.util.ConcurrentModificationException => starved += 1 }
+    }
+    awaitExit(childA, logA)
+    awaitExit(childB, logB)
+    repo.compact(500L) // quiesced: must go through
+    val ids = repo.getFullDf.select(col("id")).collect().map(_.getLong(0)).sorted
+    val expected = ((0L until 50L) ++ (600000L until 600200L) ++ (650000L until 650200L))
+      .toArray.sorted
+    assert(ids.length == expected.length && ids.sameElements(expected),
+      s"two-appender exactness: got ${ids.length}, expected ${expected.length} " +
+        s"(missing: ${expected.diff(ids).take(10).toSeq}, extra: ${ids.diff(expected).take(10).toSeq})")
+    info(s"two-appender hammer: $compacts compacts, $starved starved")
+    assert(compacts + starved >= 3, s"needs real contention, got $compacts+$starved")
+  }
+
   test("a child JVM killed -9 mid-rewrite: the parent reclaims its orphan dir once the heartbeat is stale") {
     // the claim-liveness contract against a REAL crash (no fabricated
     // mtimes): the child claims a version, starts its write job, and is
