@@ -45,43 +45,45 @@ object Components {
         struct(col("__b").as("src"), col("__b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
       .localCheckpoint(true) // edges feed every propagation round
-    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
-      .localCheckpoint(true)
     // min-propagation DECREASES labels monotonically, so the label sum is
     // a strictly decreasing convergence witness: equal sums between
-    // rounds <=> elementwise fixpoint. One single-column aggregate per
-    // round instead of a join-based diff. (id sums fit a long with
-    // orders of magnitude to spare.)
-    // null-safe: sum over ZERO rows is NULL — an empty pair set (a clean
-    // corpus with no dups above threshold is a legitimate caller state)
-    // must converge to an empty result, not NPE on the witness read
-    def lblSum(df: DataFrame): Long = {
-      val v = df.agg(sum(col("lbl"))).head().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
+    // rounds <=> elementwise fixpoint (next ≤ labels elementwise, so
+    // equal sums force equality). The sum rides each round's ONE
+    // materialization as an `observe` metric — collected by the
+    // checkpoint job's own tasks, zero extra job per round. (id sums fit
+    // a long with orders of magnitude to spare; sum over ZERO rows is
+    // null — an empty pair set, a legitimate clean-corpus state, must
+    // converge to an empty result, not NPE on the witness read.)
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, sum(col("lbl")).as("s")).localCheckpoint(true)
+      val v = obs.getAsJava.get("s")
+      (ck, if (v == null) 0L else v.asInstanceOf[Long])
     }
-    var prevSum = lblSum(labels)
+    var (labels, prevSum) =
+      checkpointWithSum(edges.groupBy(col("src")).agg(min(col("dst")).as("lbl")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      // materialized before the doubling self-join: its two sides are
-      // different projections of this plan, so exchange reuse does not
-      // dedupe them and the edges-join-plus-aggregate — the round's
-      // dominant cost — would execute TWICE per round
-      val prop = edges
+      // ONE action per round: neighbor propagation and a DOUBLE pointer
+      // jump compose into a single plan, materialized once, with the
+      // convergence sum observed in-flight. Every jump follows the
+      // PREVIOUS round's labels (each reference below is to the already
+      // checkpointed `labels`, so nothing in the plan executes twice and
+      // no intermediate needs a checkpoint of its own — the pre-r18 shape
+      // materialized prop separately to jump through prop itself, paying
+      // two extra actions per round). Depth covered recurses as
+      // dₙ = 2·dₙ₋₁ + 1 (labels∘labels plus the propagation step), so
+      // rounds stay ≈ log₂(diameter). Still correct: labels(l) ≤ l
+      // (self-loops), same component, labels stay monotonically
+      // decreasing, unique fixpoint — the schedule cannot change the
+      // result, only the round count.
+      def jump(df: DataFrame, tag: String): DataFrame = df
+        .join(labels.select(col("src").as("lbl"), col("lbl").as(tag)), Seq("lbl"), "left")
+        .select(col("src"), coalesce(col(tag), col("lbl")).as("lbl"))
+      val (next, s) = checkpointWithSum(jump(jump(edges
         .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      // POINTER DOUBLING: follow the label's own label (label(label(v)))
-      // each round. Neighbor propagation alone needs diameter rounds — a
-      // pathological chain of length d costs d joins; the jump collapses
-      // chain depth geometrically, so rounds ≈ log₂(d). Still correct:
-      // label(l) is the min over l's own neighborhood, same component, and
-      // labels stay monotonically decreasing so the sum witness holds.
-      val next = prop
-        .join(prop.select(col("src").as("lbl"), col("lbl").as("__jump")), Seq("lbl"), "left")
-        .select(col("src"), coalesce(col("__jump"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val s = lblSum(next)
+        .groupBy(col("src")).agg(min(col("lbl")).as("lbl")), "__j1"), "__j2"))
       converged = s == prevSum
       prevSum = s
       labels = next

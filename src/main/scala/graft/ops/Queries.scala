@@ -345,11 +345,15 @@ object Queries {
     // row (the reverse window) is harmless; the streaming twin orders
     // its ledgered writes the same way.
     textRepo.extend(corpus.select(col("doc_id"), col("text")))
-    // checkpointed signature even though the extend is the only consumer:
-    // the bh-clustered index extend range-partitions, whose SAMPLING pass
-    // is a second full evaluation of the input — off the barrier it would
-    // re-run the whole tokenize/minhash pipeline
-    index.extend(lshBands(minhashSig(corpus)))
+    // checkpoint the signature ONLY for a clustered index: its extend
+    // range-partitions, whose SAMPLING pass is a second full evaluation
+    // of the input — off the barrier it would re-run the whole
+    // tokenize/minhash pipeline. An unclustered index evaluates the
+    // bands exactly once (inside the write job), so the barrier would
+    // pay a materialization action for nothing.
+    val sig = if (index.clusterCols.nonEmpty || index.zOrderCols.nonEmpty)
+      minhashSig(corpus) else minhashSigRaw(corpus)
+    index.extend(lshBands(sig))
   }
 
   /** One round of incremental dedup (the q_incr_dedup engine): probe the
@@ -801,8 +805,11 @@ object Queries {
       s"SELECT $lineColsSql FROM lineitem WHERE l_orderkey % 10 = 6"
     )) { (s, d) =>
       val repo = new TableRepo(freshRoot("q_compact"), s, maxRecordsPerFile = 500)
-      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 6)
-        .select(lineCols.map(col): _*)
+      // one parquet pass feeds all three appends (the barrier pattern the
+      // rest of the suite uses): without it each extend re-scanned
+      // lineitem for its third
+      val li = Ckpt(t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 6)
+        .select(lineCols.map(col): _*))
       (0 until 3).foreach(i => repo.extend(li.filter(col("l_orderkey") % 3 === i)))
       repo.compact(2000)
       repo.getFullDf
