@@ -986,13 +986,16 @@ class TableRepo(
           // tree vanished: a concurrent external rewrite superseded
           // `target` AND a later commit GC'd it mid-land — the prefix
           // landed so far died with the dir, so no rows are visible and
-          // the typed retry contract holds
+          // the typed retry contract holds. Withdraw the prefix anyway
+          // (a no-op when the dir is truly gone): if the supersede was
+          // only partial-GC or resolves back, the prefix must not
+          // linger behind the "no rows visible" verdict.
           if (dataPath != target) {
-            val cme = new java.util.ConcurrentModificationException(
+            rels.take(landed).foreach(r => fs.delete(new Path(s"$target/$r"), false))
+            throw new java.util.ConcurrentModificationException(
               s"append to $target raced concurrent full rewrites: the target version " +
                 s"was superseded (current is now $dataPath) and GC'd mid-land; no rows " +
                 "are visible — retry against the new version")
-            throw cme
           }
           throw new java.io.IOException(
             s"failed to land staged append file $rel into still-current $target " +
