@@ -167,21 +167,35 @@ private[graft] object Lease {
     * that reappeared there meanwhile. On the file scheme Hadoop's rename
     * is `File.renameTo`, which silently OVERWRITES an existing
     * destination — restoring a fresh taker's lease could then clobber a
-    * third taker's just-created lease at `dst` (a dual-holder window).
-    * NIO `Files.move` without `REPLACE_EXISTING` fails on an existing
-    * destination instead; HDFS-style schemes already refuse one. Mirrors
-    * [[tryCreateExclusive]]'s scheme split. False = `dst` reappeared (the
-    * caller drops the copy; whoever owns `dst` proceeds undisturbed).
+    * third taker's just-created lease at `dst` (a dual-holder window) —
+    * and NIO `Files.move` without `REPLACE_EXISTING` is itself an
+    * exists-check-then-rename(2) (rename(2) overwrites), so it only
+    * narrows that window. The truly atomic fail-if-exists primitive is
+    * a HARD LINK (`Files.createLink` = link(2), EEXIST on a present
+    * destination; src and dst share the lease's parent dir, so same
+    * filesystem), mirroring [[tryCreateExclusive]]'s O_EXCL. Move is
+    * the fallback only where links are unsupported. HDFS-style schemes'
+    * own rename refuses an existing destination. False = `dst`
+    * reappeared (the caller drops the copy; whoever owns `dst`
+    * proceeds undisturbed).
     */
   private def restoreNoReplace(fs: FileSystem, src: Path, dst: Path): Boolean = {
     val q = fs.makeQualified(dst)
     if (q.toUri.getScheme == "file") {
+      val srcNio = java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath)
+      val dstNio = java.nio.file.Paths.get(q.toUri.getPath)
       try {
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath),
-          java.nio.file.Paths.get(q.toUri.getPath))
+        java.nio.file.Files.createLink(dstNio, srcNio) // atomic: EEXIST if dst exists
+        java.nio.file.Files.deleteIfExists(srcNio)
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: UnsupportedOperationException =>
+          // no hard links on this mount: best effort via the NIO move
+          // (non-atomic exists-check+rename — a µs window, documented)
+          try { java.nio.file.Files.move(srcNio, dstNio); true }
+          catch { case _: java.io.IOException => false }
+        case _: java.io.IOException => false // FileAlreadyExists included
+      }
     } else
       try fs.rename(src, dst)
       catch { case scala.util.control.NonFatal(_) => false }
@@ -335,21 +349,33 @@ private[repo] final class FileHeartbeat(
         try {
           if (contentRewriteStamp) rewrite()
           else {
-            // "stamp landed" is judged by the observed mtime CHANGING
-            // relative to the pre-stamp read — never by comparing a
-            // server-side mtime against the local clock, which clock skew
-            // or coarse server mtimes would permanently misjudge (flipping
+            // "stamp landed" is judged by the observed mtime CHANGING —
+            // never by comparing a server-side mtime against the local
+            // clock, which clock skew would permanently misjudge (flipping
             // a working setTimes filesystem into content-rewrite mode and
             // reinstating the takeover-clobber race the setTimes design
-            // closes). `before == now` exempts the one indistinguishable
-            // case (mtime already at the value we set).
+            // closes). And never on a SINGLE beat: an mtime granularity
+            // coarser than the beat interval (1-2 s FAT/NFS mounts) makes
+            // consecutive stamps land on the same truncated value, so the
+            // flip requires the mtime to sit UNCHANGED for ttl/2 of
+            // LOCAL elapsed time (skew-free by construction; a working
+            // coarse filesystem advances the mtime within its granule,
+            // which any sane granule keeps far below ttl/2) — and the
+            // no-op filesystem still flips by age 3·ttl/4 (first beat at
+            // ttl/4 starts the clock), a ttl/4 margin before a live
+            // holder could ever look stale.
             val before = fs.getFileStatus(p).getModificationTime
             val now = System.currentTimeMillis()
             fs.setTimes(p, now, -1)
             val after = fs.getFileStatus(p).getModificationTime
-            if (after == before && before != now) { // stamp provably did not land
-              contentRewriteStamp = true
-              rewrite()
+            if (after != before || before == now) {
+              unchangedMtime = -1L // stamp provably landed (or indistinguishable)
+            } else {
+              if (unchangedMtime != after) { unchangedMtime = after; unchangedSince = System.nanoTime() }
+              else if (System.nanoTime() - unchangedSince > ttlMs * 500000L) { // ttl/2 in ns
+                contentRewriteStamp = true
+                rewrite()
+              }
             }
           }
         } catch { case scala.util.control.NonFatal(_) => () } // next beat retries
@@ -364,4 +390,8 @@ private[repo] final class FileHeartbeat(
     finally out.close()
   }
   @volatile private var contentRewriteStamp = false
+  // no-op-setTimes detection state: the mtime value that has not moved,
+  // and the LOCAL nanoTime it was first observed not moving
+  private var unchangedMtime = -1L
+  private var unchangedSince = 0L
 }

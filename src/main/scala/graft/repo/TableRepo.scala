@@ -984,18 +984,31 @@ class TableRepo(
         if (!fs.rename(new Path(s"$staging/$rel"), new Path(s"$target/$rel"))) {
           // a rename onto a fresh uuid name only fails when the target
           // tree vanished: a concurrent external rewrite superseded
-          // `target` AND a later commit GC'd it mid-land — the prefix
-          // landed so far died with the dir, so no rows are visible and
-          // the typed retry contract holds. Withdraw the prefix anyway
-          // (a no-op when the dir is truly gone): if the supersede was
-          // only partial-GC or resolves back, the prefix must not
-          // linger behind the "no rows visible" verdict.
+          // `target` AND a later commit GC'd it mid-land. The landed
+          // prefix's fate decides the verdict: if a guarded rewrite's
+          // carry chain provably includes NONE of it, withdraw (a no-op
+          // when the dir is truly gone) and throw the retry-safe typed
+          // failure; if the chain carried (or MIGHT have carried) any of
+          // it, the blind retry would duplicate those rows — fail loudly
+          // without the retry contract instead.
           if (dataPath != target) {
-            rels.take(landed).foreach(r => fs.delete(new Path(s"$target/$r"), false))
-            throw new java.util.ConcurrentModificationException(
-              s"append to $target raced concurrent full rewrites: the target version " +
-                s"was superseded (current is now $dataPath) and GC'd mid-land; no rows " +
-                "are visible — retry against the new version")
+            val landedMine = rels.take(landed)
+              .map(r => s"${fs.makeQualified(new Path(target))}/$r").toSet
+            resolveCarry(target, dataPath, landedMine) match {
+              case CarryNone =>
+                rels.take(landed).foreach(r => fs.delete(new Path(s"$target/$r"), false))
+                throw new java.util.ConcurrentModificationException(
+                  s"append to $target raced concurrent full rewrites: the target version " +
+                    s"was superseded (current is now $dataPath) and GC'd mid-land; no rows " +
+                    "are visible — retry against the new version")
+              case _ =>
+                throw new java.util.ConcurrentModificationException(
+                  s"append to $target lost its dir mid-land AND part of the landed " +
+                    s"prefix ($landed of ${rels.size} files) was (or may have been) " +
+                    "carried into the current version by a concurrent guarded rewrite — " +
+                    "inspect before retrying (a blind retry would duplicate the carried " +
+                    "rows)")
+            }
           }
           throw new java.io.IOException(
             s"failed to land staged append file $rel into still-current $target " +
@@ -1008,16 +1021,77 @@ class TableRepo(
     } finally fs.delete(new Path(staging), true): Unit
   }
 
+  /** Carry-chain resolution for [[verifyAppendVisibilityExact]]: is
+    * `mine` (a batch's exact qualified file set, landed in `origin`)
+    * part of `cur`'s content? A guarded rewrite's `_GRAFT_CARRIED` is
+    * the VERIFIED full snapshot of its source dir, so content carried
+    * into dir k is carried into every later guarded dir — the walk
+    * follows manifests backwards (each names its source dir's files)
+    * until it finds the batch, proves its absence, or hits an unreadable
+    * link (GC'd grace dir / chain deeper than retention), which must be
+    * CONSERVATIVE: "unprovable" means the blind retry is NOT safe.
+    */
+  private sealed trait CarryVerdict
+  private case object CarryFull extends CarryVerdict
+  private case object CarryNone extends CarryVerdict
+  private final case class CarryPartial(why: String) extends CarryVerdict
+
+  private def resolveCarry(origin: String, cur: String, mine: Set[String]): CarryVerdict = {
+    if (mine.isEmpty) return CarryNone
+    val originQual = fs.makeQualified(new Path(origin)).toString
+    var dir = cur
+    var hops = 0
+    while (hops < 8) {
+      carriedManifest(dir) match {
+        case None =>
+          // hop 0: an unguarded replaceAll — content deliberately
+          // replaced, provably nothing carried. Deeper: the chain broke
+          // (a pre-manifest version or a GC'd link) — unprovable.
+          return if (hops == 0) CarryNone
+            else CarryPartial(s"the carry chain is unreadable at $dir")
+        case Some(c) =>
+          if (mine.subsetOf(c)) return CarryFull
+          if (mine.exists(c.contains))
+            return CarryPartial("a rewrite snapshot split the batch")
+          if (c.isEmpty)
+            return if (hops == 0) CarryNone
+              else CarryPartial(s"empty snapshot mid-chain at $dir")
+          // zero intersection: the batch may have been carried into the
+          // dir this manifest snapshots — walk one dir back. Reaching the
+          // batch's own landing dir proves absence: its files would have
+          // been IN this manifest had they landed before the snapshot.
+          dataDirOf(c.head) match {
+            case Some(src) if src == originQual => return CarryNone
+            case Some(src) => dir = src; hops += 1
+            case None => return CarryPartial(s"manifest entry outside any data dir at $dir")
+          }
+      }
+    }
+    CarryPartial("carry chain deeper than snapshot retention")
+  }
+
+  /** The `data-v<N>`/`data` dir a qualified repo file path lives under
+    * (the path component whose parent is the repo root), or None for a
+    * path outside this repo.
+    */
+  private def dataDirOf(file: String): Option[String] = {
+    val rootQual = fs.makeQualified(new Path(root)).toString
+    var p = new Path(file)
+    while (p.getParent != null && p.getParent.toString != rootQual) p = p.getParent
+    if (p.getParent == null) None else Some(p.toString)
+  }
+
   /** POST-LAND visibility verdict with exact per-batch file identity.
     * Success ⇔ the rows are reader-visible: either `target` is still the
-    * current version, or the superseding rewrite's carried manifest
-    * names EVERY file of this batch (the guard's snapshot/re-list/verify
-    * discipline makes a committed manifest all-or-nothing w.r.t. one
-    * batch unless the land loop spanned an entire rewrite job — see the
-    * failure message). Anything else is the LOUD typed failure, and —
-    * because the identity is exact — the documented blind retry can
-    * never duplicate: a verdict of "not carried" proves no file of THIS
-    * batch is part of the current content.
+    * current version, or the superseding CARRY CHAIN provably includes
+    * every file of this batch ([[resolveCarry]] — the chain walk also
+    * proves a batch carried by rewrite 1 and superseded again by
+    * rewrite 2 while the appender was suspended, which a single-manifest
+    * check would misreport as retry-safely lost and DUPLICATE on
+    * retry). Anything else is the LOUD typed failure; the retry
+    * contract is attached ONLY when the chain proves no file of this
+    * batch is part of the current content — an unprovable chain (GC'd
+    * link, split snapshot) fails loudly WITHOUT it.
     */
   private[repo] def verifyAppendVisibilityExact(target: String, op: String,
       rels: Seq[String]): Unit = {
@@ -1026,36 +1100,38 @@ class TableRepo(
     var probes = 0
     while (dataPath != target) {
       val cur = dataPath
-      val carried = carriedManifest(cur)
-      if (carried.exists(mine.subsetOf)) return // fully carried: success
-      if (probes >= 4) {
-        if (carried.exists(c => mine.exists(c.contains)))
-          // land loop spanned a whole rewrite job (snapshot between two of
-          // our renames, verify before our last): some files carried, the
-          // rest stranded in the grace dir — loud, never silent, and
-          // practically unreachable (ms of renames vs a full write job)
-          throw new java.util.ConcurrentModificationException(
-            s"$op to $target was PARTIALLY carried by a concurrent full rewrite " +
-              s"(current is $cur): the land loop spanned the entire rewrite job. " +
-              "Some of the batch is visible — inspect before retrying (a blind " +
-              "retry would duplicate the carried part)")
-        // make the "rows not visible" verdict SELF-FULFILLING before
-        // throwing: delete this batch's files from the superseded dir.
-        // Without this, a post-marker revoke landing just after the throw
-        // (a slow verify listing on a loaded box) would resurrect the old
-        // dir WITH these files — visible rows behind a "retry" verdict,
-        // and the documented blind retry would duplicate them. After the
-        // deletes every interleaving is safe: rewrite stands → the files
-        // were invisible grace leftovers; rewrite revokes → the files are
-        // gone from the restored dir and the retry re-lands them once.
-        // The throw is then UNCONDITIONAL (never checkVersionStable,
-        // which would stay silent if the revoke landed a µs before the
-        // deletes — success reported on rows just deleted).
-        rels.foreach(r => fs.delete(new Path(s"$target/$r"), false))
-        throw new java.util.ConcurrentModificationException(
-          s"$op to $target raced a concurrent full rewrite (current version is now " +
-            s"$cur); the batch was not carried and its files have been withdrawn — " +
-            "no rows are visible; retry against the new version")
+      resolveCarry(target, cur, mine) match {
+        case CarryFull => return // the chain carries every file: success
+        case verdict =>
+          if (probes >= 4) verdict match {
+            case CarryPartial(why) =>
+              // some of the batch is (or may be) in the current content —
+              // loud, never silent, and WITHOUT the retry contract
+              throw new java.util.ConcurrentModificationException(
+                s"$op to $target raced concurrent full rewrites and its carry is " +
+                  s"PARTIAL or unprovable ($why; current is $cur). Part of the batch " +
+                  "may be visible — inspect before retrying (a blind retry could " +
+                  "duplicate the carried part)")
+            case _ =>
+              // make the "rows not visible" verdict SELF-FULFILLING before
+              // throwing: delete this batch's files from the superseded dir.
+              // Without this, a post-marker revoke landing just after the
+              // throw (a slow verify listing on a loaded box) would resurrect
+              // the old dir WITH these files — visible rows behind a "retry"
+              // verdict, and the documented blind retry would duplicate them.
+              // After the deletes every interleaving is safe: rewrite stands →
+              // the files were invisible grace leftovers; rewrite revokes →
+              // the files are gone from the restored dir and the retry
+              // re-lands them once. The throw is then UNCONDITIONAL (never
+              // checkVersionStable, which would stay silent if the revoke
+              // landed a µs before the deletes — success reported on rows
+              // just deleted).
+              rels.foreach(r => fs.delete(new Path(s"$target/$r"), false))
+              throw new java.util.ConcurrentModificationException(
+                s"$op to $target raced a concurrent full rewrite (current version is " +
+                  s"now $cur); the batch was not carried and its files have been " +
+                  "withdrawn — no rows are visible; retry against the new version")
+          }
       }
       probes += 1
       Thread.sleep(50L) // a pending post-marker revoke lands within ms
@@ -1076,14 +1152,16 @@ class TableRepo(
     val now = System.currentTimeMillis()
     fs.listStatus(sroot).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith("_append-")) {
-        def newest(p: Path): Long = {
-          val kids = try fs.listStatus(p) catch {
+        // each node's FileStatus comes from its parent's listing — one
+        // listStatus per directory, no re-stat
+        def newest(s: org.apache.hadoop.fs.FileStatus): Long = {
+          val kids = try fs.listStatus(s.getPath) catch {
             case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
           }
-          (fs.getFileStatus(p).getModificationTime +:
-            kids.toSeq.map(k => if (k.isDirectory) newest(k.getPath) else k.getModificationTime)).max
+          (s.getModificationTime +: kids.toSeq.map(k =>
+            if (k.isDirectory) newest(k) else k.getModificationTime)).max
         }
-        val fresh = try newest(st.getPath) catch {
+        val fresh = try newest(st) catch {
           case _: java.io.FileNotFoundException => now // being deleted right now
         }
         if (now - fresh > TableRepo.AppendStagingSweepMs) {
@@ -1231,8 +1309,13 @@ class TableRepo(
   }
 
   /** Append a batch (the reference's `extend`, core.py:91-112). Pure file
-    * addition — no read-modify-write, no lock; safe under concurrent callers
-    * via the Parquet output committer.
+    * addition — no read-modify-write, no lease; safe under concurrent
+    * callers because each append's write job runs in a PRIVATE staging
+    * dir and lands via per-file renames of uniquely-named files
+    * ([[appendExact]]), with an exact-manifest verdict against
+    * concurrent full rewrites. A crashed append may leave a partially
+    * landed batch plus a staging leftover that [[vacuum]] reclaims;
+    * replayable writers wanting exactly-once use [[extendExactlyOnce]].
     */
   def extend(df: DataFrame): Unit = withWriteLock {
     replayPendingDeletes()

@@ -114,6 +114,43 @@ class GuardedRewriteSpec extends SparkSuite {
         "a late revoke can then never resurrect them behind the retry")
   }
 
+  test("the EXACT verdict walks the carry CHAIN: a batch carried once then superseded again still reports success") {
+    // the double-cycle shape: the appender suspends, rewrite R1 carries
+    // its batch, rewrite R2 supersedes R1 (R2's manifest names R1's
+    // files, not the batch's). A single-manifest check would misreport
+    // "not carried, retry-safe" and the retry would duplicate — the
+    // chain walk follows R2's manifest back to R1's and proves the carry.
+    val repo = new TableRepo(scratch("exact-chain"), spark, maxRecordsPerFile = 25)
+    repo.extend((1L to 60L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val target = new Path(repo.paths.head).getParent
+    val tQual = fs.makeQualified(target).toString
+    val rels = repo.paths.map(_.stripPrefix(tQual + "/"))
+    repo.compact(1000L) // R1: carries the batch
+    repo.compact(500L)  // R2: carries R1's content (manifest names R1's files)
+    repo.verifyAppendVisibilityExact(target.toString, "append", rels) // must NOT throw
+  }
+
+  test("an unreadable carry chain fails LOUDLY without the retry contract (never a retry-safe lie)") {
+    // three rewrite cycles: the dir R1 (which carried the batch) is GC'd
+    // past the grace retention, so the chain is unprovable — the verdict
+    // must fail WITHOUT claiming "no rows are visible; retry" (the rows
+    // ARE in the current content via the R1→R2→R3 carry chain)
+    val repo = new TableRepo(scratch("exact-chain-broken"), spark, maxRecordsPerFile = 25)
+    repo.extend((1L to 60L).map(i => (i, s"v$i")).toDF("id", "payload"))
+    val target = new Path(repo.paths.head).getParent
+    val tQual = fs.makeQualified(target).toString
+    val rels = repo.paths.map(_.stripPrefix(tQual + "/"))
+    repo.compact(1000L) // R1 carries
+    repo.compact(500L)  // R2; R1 becomes grace
+    repo.compact(800L)  // R3; R1 GC'd — chain broken
+    val e = intercept[java.util.ConcurrentModificationException] {
+      repo.verifyAppendVisibilityExact(target.toString, "append", rels)
+    }
+    assert(e.getMessage.contains("PARTIAL or unprovable"),
+      s"an unprovable chain must not carry the retry contract: ${e.getMessage}")
+    assert(!e.getMessage.contains("retry against the new version"))
+  }
+
   test("the schema-evolution backfill rewrite gets the same gap closure") {
     val repo = new TableRepo(scratch("gap-evolve"), spark, allowSchemaExtension = true)
     repo.extend((1L to 50L).map(i => (i, s"v$i")).toDF("id", "payload"))
