@@ -45,47 +45,49 @@ object Components {
         struct(col("__b").as("src"), col("__b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
       .localCheckpoint(true) // edges feed every propagation round
-    // min-propagation DECREASES labels monotonically, so the label sum is
-    // a strictly decreasing convergence witness: equal sums between
-    // rounds <=> elementwise fixpoint (next ≤ labels elementwise, so
-    // equal sums force equality). The sum rides each round's ONE
-    // materialization as an `observe` metric — collected by the
-    // checkpoint job's own tasks, zero extra job per round. (id sums fit
-    // a long with orders of magnitude to spare; sum over ZERO rows is
-    // null — an empty pair set, a legitimate clean-corpus state, must
-    // converge to an empty result, not NPE on the witness read.)
-    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
-      val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, sum(col("lbl")).as("s")).localCheckpoint(true)
-      val v = obs.getAsJava.get("s")
-      (ck, if (v == null) 0L else v.asInstanceOf[Long])
-    }
-    var (labels, prevSum) =
-      checkpointWithSum(edges.groupBy(col("src")).agg(min(col("dst")).as("lbl")))
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       // ONE action per round: neighbor propagation and a DOUBLE pointer
-      // jump compose into a single plan, materialized once, with the
-      // convergence sum observed in-flight. Every jump follows the
-      // PREVIOUS round's labels (each reference below is to the already
-      // checkpointed `labels`, so nothing in the plan executes twice and
-      // no intermediate needs a checkpoint of its own — the pre-r18 shape
-      // materialized prop separately to jump through prop itself, paying
-      // two extra actions per round). Depth covered recurses as
-      // dₙ = 2·dₙ₋₁ + 1 (labels∘labels plus the propagation step), so
-      // rounds stay ≈ log₂(diameter). Still correct: labels(l) ≤ l
-      // (self-loops), same component, labels stay monotonically
-      // decreasing, unique fixpoint — the schedule cannot change the
-      // result, only the round count.
+      // jump compose into a single plan, materialized once. Every jump
+      // follows the PREVIOUS round's labels (each reference below is to
+      // the already checkpointed `labels`, so nothing in the plan
+      // executes twice and no intermediate needs a checkpoint of its own
+      // — the pre-r18 shape materialized prop separately to jump through
+      // prop itself, paying two extra actions per round). Depth covered
+      // recurses as dₙ = 2·dₙ₋₁ + 1 (labels∘labels plus the propagation
+      // step), so rounds stay ≈ log₂(diameter). Still correct:
+      // labels(l) ≤ l (self-loops), same component, labels stay
+      // monotonically decreasing, unique fixpoint — the schedule cannot
+      // change the result, only the round count.
+      //
+      // The convergence witness rides the SAME materialization as an
+      // `observe` metric — zero extra job — and it is the CHANGED-ROW
+      // count: the self-loop row the edge closure guarantees carries
+      // each node's pre-round label (`__prev`) through the plan, so
+      // `changed == 0` means this round's output equals its input
+      // elementwise — the fixpoint, directly, with no monotonicity
+      // argument needed (the label-sum witness it replaces was
+      // equivalent but rested on the labels-only-decrease invariant).
+      // (sum over ZERO rows is null — an empty pair set, a legitimate
+      // clean-corpus state, converges in one empty round, not an NPE.)
       def jump(df: DataFrame, tag: String): DataFrame = df
         .join(labels.select(col("src").as("lbl"), col("lbl").as(tag)), Seq("lbl"), "left")
-        .select(col("src"), coalesce(col(tag), col("lbl")).as("lbl"))
-      val (next, s) = checkpointWithSum(jump(jump(edges
+        .select(col("src"), coalesce(col(tag), col("lbl")).as("lbl"), col("__prev"))
+      val prop = edges
         .join(labels.select(col("src").as("dst"), col("lbl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("lbl")), "__j1"), "__j2"))
-      converged = s == prevSum
-      prevSum = s
+        .groupBy(col("src"))
+        .agg(min(col("lbl")).as("lbl"),
+          min(when(col("dst") === col("src"), col("lbl"))).as("__prev"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = jump(jump(prop, "__j1"), "__j2")
+        .observe(obs, sum(when(col("lbl") =!= col("__prev"), 1L)).as("chg"))
+        .select(col("src"), col("lbl"))
+        .localCheckpoint(true)
+      val chg = obs.getAsJava.get("chg")
+      converged = chg == null || chg.asInstanceOf[Long] == 0L
       labels = next
       rounds += 1
     }
