@@ -189,12 +189,17 @@ private[graft] object Lease {
         java.nio.file.Files.deleteIfExists(srcNio)
         true
       } catch {
-        case _: UnsupportedOperationException =>
-          // no hard links on this mount: best effort via the NIO move
-          // (non-atomic exists-check+rename — a µs window, documented)
+        case _: java.nio.file.FileAlreadyExistsException => false // dst reappeared: yield
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          // a linkless mount surfaces as FileSystemException/EPERM (an
+          // IOException), NOT UnsupportedOperationException — treating it
+          // as failure would deterministically destroy a restorable fresh
+          // lease. Fall back to the NIO move: its no-replace check is an
+          // exists-then-rename (a µs window, documented), still strictly
+          // narrower than the plain overwrite rename it replaced, and it
+          // too yields (false) when dst provably exists.
           try { java.nio.file.Files.move(srcNio, dstNio); true }
           catch { case _: java.io.IOException => false }
-        case _: java.io.IOException => false // FileAlreadyExists included
       }
     } else
       try fs.rename(src, dst)
@@ -303,6 +308,15 @@ private[repo] final class FileHeartbeat(
     fs: FileSystem, p: Path, id: String, ttlMs: Long, name: String) {
   @volatile private var lostFlag = false
   @volatile private var done = false
+  @volatile private var contentRewriteStamp = false
+  // no-op-setTimes detection state (fields declared BEFORE the beat
+  // thread starts, so its first stamp never reads them uninitialized):
+  // the mtime value that has not moved (-1 = none observed yet), and
+  // the LOCAL nanoTime the evidence window opened — initialized at HOLD
+  // time so a skipped first beat cannot defer the flip past the
+  // staleness threshold
+  private var unchangedMtime = -1L
+  private var unchangedSince = System.nanoTime()
 
   private val t = new Thread(() => {
     while (!done && !lostFlag) {
@@ -357,22 +371,30 @@ private[repo] final class FileHeartbeat(
             // closes). And never on a SINGLE beat: an mtime granularity
             // coarser than the beat interval (1-2 s FAT/NFS mounts) makes
             // consecutive stamps land on the same truncated value, so the
-            // flip requires the mtime to sit UNCHANGED for ttl/2 of
-            // LOCAL elapsed time (skew-free by construction; a working
-            // coarse filesystem advances the mtime within its granule,
-            // which any sane granule keeps far below ttl/2) — and the
-            // no-op filesystem still flips by age 3·ttl/4 (first beat at
-            // ttl/4 starts the clock), a ttl/4 margin before a live
-            // holder could ever look stale.
+            // flip requires the mtime to sit UNCHANGED for one full beat
+            // interval (ttl/4) of LOCAL elapsed time — skew-free by
+            // construction, and immune to any granularity below ttl/4
+            // (15 s at the default ttl; a filesystem coarser than that is
+            // outside the mtime-mode envelope and flips harmlessly). The
+            // clock starts at HOLD time, so the flip lands by age ~ttl/2
+            // on a genuine no-op filesystem even with one whole beat
+            // skipped (a transient stat fault, a GC pause) — a live
+            // holder keeps a ≥ ttl/2 margin against ever looking stale.
             val before = fs.getFileStatus(p).getModificationTime
             val now = System.currentTimeMillis()
             fs.setTimes(p, now, -1)
             val after = fs.getFileStatus(p).getModificationTime
             if (after != before || before == now) {
-              unchangedMtime = -1L // stamp provably landed (or indistinguishable)
+              // stamp provably landed (or indistinguishable): restart the
+              // evidence window at this observation
+              unchangedMtime = after
+              unchangedSince = System.nanoTime()
+            } else if (unchangedMtime != -1L && unchangedMtime != after) {
+              unchangedMtime = after
+              unchangedSince = System.nanoTime()
             } else {
-              if (unchangedMtime != after) { unchangedMtime = after; unchangedSince = System.nanoTime() }
-              else if (System.nanoTime() - unchangedSince > ttlMs * 500000L) { // ttl/2 in ns
+              unchangedMtime = after
+              if (System.nanoTime() - unchangedSince > ttlMs * 250000L) { // ttl/4 in ns
                 contentRewriteStamp = true
                 rewrite()
               }
@@ -389,9 +411,4 @@ private[repo] final class FileHeartbeat(
     try out.write(id.getBytes("UTF-8"))
     finally out.close()
   }
-  @volatile private var contentRewriteStamp = false
-  // no-op-setTimes detection state: the mtime value that has not moved,
-  // and the LOCAL nanoTime it was first observed not moving
-  private var unchangedMtime = -1L
-  private var unchangedSince = 0L
 }

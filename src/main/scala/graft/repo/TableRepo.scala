@@ -1039,9 +1039,13 @@ class TableRepo(
   private def resolveCarry(origin: String, cur: String, mine: Set[String]): CarryVerdict = {
     if (mine.isEmpty) return CarryNone
     val originQual = fs.makeQualified(new Path(origin)).toString
+    // the chain can be as deep as the retained snapshots plus the current
+    // version; a fixed bound below that would misreport a fully-readable
+    // deeper chain as unprovable
+    val maxHops = math.max(8, snapshotRetention + 2)
     var dir = cur
     var hops = 0
-    while (hops < 8) {
+    while (hops < maxHops) {
       carriedManifest(dir) match {
         case None =>
           // hop 0: an unguarded replaceAll — content deliberately
