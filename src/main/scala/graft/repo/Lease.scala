@@ -115,8 +115,13 @@ private[graft] object Lease {
         // and treat this round as a collision. Whoever wins (or finds the
         // file already gone) contends on the exclusive create below,
         // which picks exactly one new holder.
+        // the name encodes THIS acquisition's ttl: the restorable-fresh
+        // window below is `<= ttlMs`, so a sweep must judge staleness
+        // against the ttl the copy was made under, not the default
+        // (graveSweepThresholdMs — a custom ttl > ~10x the default would
+        // otherwise let a concurrent vacuum eat a fresh copy mid-takeover)
         val expired = new Path(p.getParent,
-          s"${p.getName}.expired-${java.util.UUID.randomUUID()}")
+          s"${p.getName}.expired-t$ttlMs-${java.util.UUID.randomUUID()}")
         if (fs.rename(p, expired)) {
           val freshAfterAll =
             try System.currentTimeMillis() -
@@ -211,8 +216,22 @@ private[graft] object Lease {
     * delete them within ms — and are reclaimable by any later sweep. Far
     * above any heartbeat cadence (a live holder's file is never older
     * than its ttl/4), so a sweep can never eat a restorable fresh copy.
+    * A copy made under a CUSTOM ttl is restorable for up to that ttl
+    * (acquire's freshAfterAll check), so `.expired-t<ttl>-*` names carry
+    * it and [[graveSweepThresholdMs]] widens the floor per file.
     */
   private[graft] val GraveSweepMs: Long = 10 * DefaultTtlMs
+
+  private val GraveTtlRe = raw"\.expired-t(\d+)-".r
+
+  /** Per-file sweep staleness floor: 10x the ttl encoded in the grave's
+    * name (never below [[GraveSweepMs]]); nameless legacy/release graves
+    * use the default.
+    */
+  private[graft] def graveSweepThresholdMs(name: String): Long =
+    GraveTtlRe.findFirstMatchIn(name)
+      .flatMap(m => m.group(1).toLongOption)
+      .fold(GraveSweepMs)(ttl => math.max(GraveSweepMs, 10L * ttl))
 
   /** Is `name` a lease grave file ([[GraveSweepMs]])? */
   private[graft] def isGraveName(name: String): Boolean =
@@ -229,7 +248,7 @@ private[graft] object Lease {
     val now = System.currentTimeMillis()
     fs.listStatus(d).foreach { st =>
       if (!st.isDirectory && isGraveName(st.getPath.getName) &&
-          now - st.getModificationTime > GraveSweepMs)
+          now - st.getModificationTime > graveSweepThresholdMs(st.getPath.getName))
         fs.delete(st.getPath, false): Unit
     }
   }

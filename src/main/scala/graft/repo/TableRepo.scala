@@ -579,10 +579,11 @@ class TableRepo(
           // follow-up delete strands `.expired-*`/`.released-*` grave
           // copies; only purge() used to remove them, so crashy writers
           // accumulated them forever. The healthy paths delete graves
-          // within ms — anything older than the generous GraveSweepMs is
-          // provably a crash leftover (a restorable FRESH copy is younger
-          // than its holder's heartbeat cadence).
-          if (now - st.getModificationTime > Lease.GraveSweepMs) {
+          // within ms — anything older than the generous per-file floor
+          // (10x the ttl the copy was made under, encoded in the name;
+          // never below GraveSweepMs) is provably a crash leftover (a
+          // restorable FRESH copy is at most its caller's ttl old).
+          if (now - st.getModificationTime > Lease.graveSweepThresholdMs(g)) {
             fs.delete(st.getPath, false): Unit
             log.warn(s"reclaimed stale lease grave file $g under $root (crash leftover)")
           }
@@ -1297,6 +1298,12 @@ class TableRepo(
         msg.contains("No such file or directory") ||
         msg.contains("does not exist")
       if (enoentShape && (msg.contains(tgt) || msg.contains("_temporary"))) return true
+      // a bare FNFE with NO message at all carries no path to judge by;
+      // the caller has already established dataPath != target (a rewrite
+      // DID supersede the dir mid-job), so the typed retry-safe verdict
+      // is the right call — a missing-input failure raises a message-
+      // bearing FNFE/AnalysisException and still surfaces as itself
+      if (t.isInstanceOf[java.io.FileNotFoundException] && t.getMessage == null) return true
       t = if (t.getCause eq t) null else t.getCause
       depth += 1
     }
@@ -2288,8 +2295,14 @@ class TableRepo(
   // per-file); recovery always resolves to exactly-once, never twice.
 
   private def ledgerDir(writerId: String): Path = {
-    require(writerId.nonEmpty && !writerId.exists(c => c == '/' || c == '\\'),
-      s"writerId must be a plain name: '$writerId'")
+    // a leading underscore is reserved for the repo's own machinery: a
+    // writerId like `_append-x` would stage under `_graft_staging/
+    // _append-x-<batch>`, matching sweepAppendStaging's plain-append
+    // prefix — vacuum could then reclaim a crashed-but-replayable
+    // exactly-once writer's staging under the wrong (shorter-ttl) policy
+    require(writerId.nonEmpty && !writerId.startsWith("_") &&
+        !writerId.exists(c => c == '/' || c == '\\'),
+      s"writerId must be a plain name not starting with '_': '$writerId'")
     new Path(s"$root/_graft_ledger/$writerId")
   }
 

@@ -23,6 +23,23 @@ class ExactlyOnceAppendSpec extends SparkSuite {
   private def fs: FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  test("a writerId starting with '_' is rejected before anything is staged") {
+    // `_append-x` would stage under `_graft_staging/_append-x-<batch>`,
+    // matching sweepAppendStaging's plain-append prefix — vacuum could
+    // reclaim a crashed-but-replayable exactly-once writer's staging
+    // under the wrong (shorter-ttl) policy. Underscore names are the
+    // repo's own namespace; refuse them loudly at the ledger boundary.
+    val repo = new TableRepo(scratch("eo-writerid"), spark)
+    val e = intercept[IllegalArgumentException] {
+      repo.extendExactlyOnce(batch(0, 3), "_append-evil", 0L)
+    }
+    assert(e.getMessage.contains("writerId"))
+    assert(!fs.exists(new Path(repo.root, "_graft_staging")), "nothing staged")
+    assert(intercept[IllegalArgumentException] {
+      repo.hasLedger("_w")
+    }.getMessage.contains("writerId"))
+  }
+
   test("a replayed batch lands exactly once and reports already-committed") {
     val repo = new TableRepo(scratch("eo-replay"), spark)
     assert(repo.extendExactlyOnce(batch(0, 10), "w", 0L))

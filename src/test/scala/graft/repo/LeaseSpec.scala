@@ -214,6 +214,35 @@ class LeaseSpec extends SparkSuite {
     assert(fs.exists(live), "the lease file itself is untouched")
   }
 
+  test("a custom-ttl takeover copy is judged against ITS ttl, not the default sweep floor") {
+    // acquire's freshAfterAll window is `<= ttlMs` of the CALLER's ttl: a
+    // copy made under ttl=10*DefaultTtl can be restorable while already
+    // older than the default GraveSweepMs — a sweep using the default
+    // floor would delete it mid-takeover, silently un-leasing a live
+    // holder. The `.expired-t<ttl>-` name widens the floor per file.
+    val root = scratch("lease-graves-ttl")
+    fs.mkdirs(new Path(root))
+    val bigTtl = 10 * Lease.DefaultTtlMs
+    def plant(name: String, ageMs: Long): Path = {
+      val p = new Path(root, name)
+      val out = fs.create(p, true); out.write("x".getBytes("UTF-8")); out.close()
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ageMs))
+      p
+    }
+    // restorable window for bigTtl: fresh-enough at GraveSweepMs + 1 min
+    val restorable = plant(s"${Lease.LeaseName}.expired-t$bigTtl-a", Lease.GraveSweepMs + 60000)
+    val longDead = plant(s"${Lease.LeaseName}.expired-t$bigTtl-b", 10 * bigTtl + 60000)
+    assert(Lease.graveSweepThresholdMs(restorable.getName) == 10 * bigTtl)
+    assert(Lease.graveSweepThresholdMs(s"${Lease.LeaseName}.released-x") == Lease.GraveSweepMs,
+      "release graves and legacy names keep the default floor")
+    Lease.sweepGraves(fs, root)
+    assert(fs.exists(restorable),
+      "a copy younger than 10x its own ttl survives (may be a takeover in flight)")
+    assert(!fs.exists(longDead), "past 10x its own ttl it is a crash leftover")
+  }
+
   test("a table root's grave files are reclaimed by the claim sweep (vacuum)") {
     val root = scratch("lease-graves-repo")
     val repo = new TableRepo(root, spark, keyCols = Seq("id"))
