@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.{array_distinct, sort_array}
+import org.apache.spark.sql.functions.{array_compact, array_distinct, size, sort_array}
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** Set-intersection cardinality for the exact-Jaccard pair family.
@@ -25,6 +25,16 @@ object SetOps {
     * [[intersectCount]] is a linear merge.
     */
   def sortedSet(arr: Column): Column = sort_array(array_distinct(arr))
+
+  /** Set cardinality EXCLUDING null slots — the Jaccard denominator's
+    * size. A null element is not a set member on either engine
+    * ([[count]] skips it; DuckDB's `list_distinct` drops it before `len`
+    * ever sees it), so a plain `size` over a [[sortedSet]] that kept a
+    * null slot would count a phantom member and skew every denominator
+    * the null-bearing set appears in. Null-free inputs compact to
+    * themselves — same value, same hashes.
+    */
+  def memberCount(sortedSetCol: Column): Column = size(array_compact(sortedSetCol))
 
   /** `|a ∩ b|` over two SORTED distinct long arrays. */
   def intersectCount(a: Column, b: Column): Column =

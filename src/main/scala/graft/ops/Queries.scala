@@ -500,7 +500,8 @@ object Queries {
     val verdict = Ckpt(cand.join(batchSh.as("x"), col("x.doc_id") === col("batch_doc"))
       .join(dupSh.as("y"), col("y.doc_id") === col("dup_of"))
       .withColumn("jaccard",
-        inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
+        inter.cast(DoubleType) /
+          (SetOps.memberCount(col("x.sh")) + SetOps.memberCount(col("y.sh")) - inter))
       .filter(col("jaccard") >= 0.4)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("batch_doc"), col("dup_of"), col("jaccard")))
@@ -1291,7 +1292,11 @@ object Queries {
 
     // ---- n-gram Jaccard near-dup -------------------------------------
     Q("q_ngram_jaccard", Some(
-      s"""WITH dd AS (SELECT doc_id, lang, source, list_distinct(list_transform($sqlShingles, g -> ('0x'||substr(md5(g),1,8))::BIGINT)) AS sh FROM documents WHERE len($sqlToks) >= 3)
+      // the oracle's list_prepend(NULL, ...) mirrors the Spark side's
+      // null injection below; DuckDB's list_distinct then DROPS the null
+      // (verified), so the oracle computes the null-free truth the Spark
+      // plan must reproduce while its merge walk traverses null slots
+      s"""WITH dd AS (SELECT doc_id, lang, source, list_distinct(list_prepend(NULL::BIGINT, list_transform($sqlShingles, g -> ('0x'||substr(md5(g),1,8))::BIGINT))) AS sh FROM documents WHERE len($sqlToks) >= 3)
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
          | FROM dd a JOIN dd b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -1304,12 +1309,24 @@ object Queries {
       // element — an inline split would re-execute per shingle); the
       // shingle-set materialization itself is SetSimJoin's checkpointed
       // base.
+      //
+      // NULL FIXTURE (oracle-scale regression pin): a null element is
+      // prepended to EVERY set, so the sorted-set merge walk
+      // (SetOps.count) traverses a null slot for every verified pair at
+      // the sf0.01 correctness gate — the r18 null-slot bug (phantom
+      // 0-matches) was only caught by the stress corpus because no
+      // oracle fixture had null-bearing sets. A null is NOT a set member
+      // on either engine (memberCount / DuckDB list_distinct), so the
+      // output is bit-identical to the un-injected query — but any
+      // regression in the null-skip inflates the intersection and fails
+      // the hash compare.
       val dd = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
         .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
-          transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g)).as("sh"))
+          concat(array(lit(null).cast("long")),
+            transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
       SetSimJoin.jaccardPairs(dd, "doc_id", "sh", Seq("lang", "source"), 0.4)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
     },
@@ -1383,7 +1400,8 @@ object Queries {
       cand.join(sh.as("x"), col("x.doc_id") === col("doc_a"))
         .join(sh.as("y"), col("y.doc_id") === col("doc_b"))
         .withColumn("jaccard",
-          inter.cast(DoubleType) / (size(col("x.sh")) + size(col("y.sh")) - inter))
+          inter.cast(DoubleType) /
+            (SetOps.memberCount(col("x.sh")) + SetOps.memberCount(col("y.sh")) - inter))
         .filter(col("jaccard") >= 0.4)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
     },
@@ -3287,7 +3305,8 @@ object Queries {
       est.join(sh.as("u"), col("u.doc_id") === col("doc_a"))
         .join(sh.as("v"), col("v.doc_id") === col("doc_b"))
         .withColumn("jaccard",
-          inter.cast(DoubleType) / (size(col("u.sh")) + size(col("v.sh")) - inter))
+          inter.cast(DoubleType) /
+            (SetOps.memberCount(col("u.sh")) + SetOps.memberCount(col("v.sh")) - inter))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("jaccard"))
     },
 

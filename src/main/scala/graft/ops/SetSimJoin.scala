@@ -88,9 +88,15 @@ object SetSimJoin {
     // UnknownPartitioning (the plan dumps show it), so a pre-checkpoint
     // shuffle is pure cost — every consumer re-shuffles for its own keys
     // regardless
+    // __n counts MEMBERS — null slots excluded (SetOps.memberCount): a
+    // null element is not a set member on either engine, so it must not
+    // inflate the prefix length, the length filter, or the Jaccard
+    // denominator. The null slot itself STAYS in __set (sort_array puts
+    // it first) and is skipped by the verify walk — q_ngram_jaccard
+    // injects one into every set at oracle scale to pin exactly that.
     val base = Ckpt(dd
       .select((col(idCol) +: blocks :+ SetOps.sortedSet(col(setCol)).as("__set")): _*)
-      .withColumn("__n", size(col("__set"))))
+      .withColumn("__n", SetOps.memberCount(col("__set"))))
 
     val tokens = base.select(
       (col(idCol) +: blocks :+ col("__n") :+ explode(col("__set")).as("__h")): _*)
@@ -125,12 +131,12 @@ object SetSimJoin {
       .distinct()
 
     // verify sides scan the checkpointed base partitions directly
-    val sets = base.select(col(idCol), col("__set"))
+    val sets = base.select(col(idCol), col("__set"), col("__n"))
     val inter = SetOps.intersectCount(col("x.__set"), col("y.__set"))
     cand.join(sets.as("x"), col(s"x.$idCol") === col("id_a"))
       .join(sets.as("y"), col(s"y.$idCol") === col("id_b"))
       .withColumn("jaccard",
-        inter.cast(DoubleType) / (size(col("x.__set")) + size(col("y.__set")) - inter))
+        inter.cast(DoubleType) / (col("x.__n") + col("y.__n") - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

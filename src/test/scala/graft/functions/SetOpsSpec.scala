@@ -41,6 +41,23 @@ class SetOpsSpec extends SparkSuite {
     assert(counts.toSeq == Seq(1, 1, 0), s"got ${counts.toSeq}")
   }
 
+  test("memberCount excludes null slots: the Jaccard denominator's size") {
+    // a null survives array_distinct as one leading slot of the sorted
+    // set, but it is NOT a member on either engine (DuckDB list_distinct
+    // drops it before len); counting it would skew every denominator a
+    // null-bearing set appears in. q_ngram_jaccard injects a null into
+    // EVERY set so the sf0.01 DuckDB compare pins both this and the
+    // count null-skip — the r18 stress-only bug is now oracle-covered.
+    val df = Seq(
+      Seq[java.lang.Long](null, 1L, 2L, 2L),
+      Seq[java.lang.Long](null, null),
+      Seq[java.lang.Long](3L, 4L)
+    ).toDF("raw").select(SetOps.sortedSet(col("raw")).as("s"))
+    val got = df.select(size(col("s")), SetOps.memberCount(col("s")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq == Seq((3, 2), (1, 0), (2, 2)), s"got ${got.toSeq}")
+  }
+
   test("an array<int> operand is an analysis-time error, never a silent 8-byte misread") {
     // the merge walk reads 8-byte slots; without declared inputTypes an
     // int array would read two packed ints as one garbage long and every

@@ -72,4 +72,23 @@ class SetSimJoinSpec extends SparkSuite {
       .toDF("id", "s")
     assert(SetSimJoin.jaccardPairs(dd, "id", "s", Nil, 0.5).count() == 0)
   }
+
+  test("null elements are non-members: injecting one into every set changes nothing") {
+    // the q_ngram_jaccard oracle-scale fixture's contract: a null slot
+    // rides through sortedSet into the verify walk (exercising the
+    // null-skip) but counts in neither the prefix length, the length
+    // filter, nor the denominator — so the pair set and every jaccard
+    // value are bit-identical to the null-free run. An all-null set
+    // behaves like an empty one (no members, never pairs).
+    import spark.implicits._
+    val clean = corpus(60)
+    val injected = clean.withColumn("s",
+      concat(array(lit(null).cast("long")), col("s")))
+    assertSameRows(
+      SetSimJoin.jaccardPairs(injected, "id", "s", Seq("blk"), 0.6).orderBy("id_a", "id_b"),
+      naive(clean, Seq("blk"), 0.6).orderBy("id_a", "id_b"))
+    val allNull = Seq((1L, Seq[java.lang.Long](null, null)), (2L, Seq[java.lang.Long](null)))
+      .toDF("id", "s")
+    assert(SetSimJoin.jaccardPairs(allNull, "id", "s", Nil, 0.5).count() == 0)
+  }
 }
