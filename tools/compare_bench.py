@@ -61,7 +61,7 @@ def load(path):
         fm = re.search(r'"%s":(\[[0-9.,\-]*\])' % field, txt)
         if fm:
             out[field] = json.loads(fm.group(1))
-    for field in ("floor_total", "stalls"):
+    for field in ("floor_total", "stalls", "best_floor_total", "best_floor_runs"):
         fm = re.search(r'"%s":(-?\d+(?:\.\d+)?)' % field, txt)
         if fm:
             out[field] = float(fm.group(1))
@@ -105,6 +105,16 @@ def main(old_p, new_p, ratio=2.0):
     for k in sorted(set(qo) - set(qn)):
         print(f"  gone   {k:24s} {qo[k]:6.2f}s")
     print(f"{flagged} queries changed by >= {ratio}x (re-run before believing)")
+
+    # The durable cross-run floor (bench --merge / official-run folding):
+    # the only headline that survives a constant-load day. A best-floor
+    # regression IS code (or a corpus regen — the record resets on one);
+    # an official-total regression with a flat best floor is weather.
+    for run, name in ((old, "old"), (new, "new")):
+        bft = run.get("best_floor_total")
+        if bft and bft > 0:
+            print(f"  {name} best_floor_total {bft:.1f}s "
+                  f"over {int(run.get('best_floor_runs', 0))} run(s)")
 
     # ------------------------------------------------------- noise verdict
     st_old, st_new = stalled(old), stalled(new)
