@@ -12,8 +12,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   // ------------------------------------------------------------------
-  // Durable per-query floor record (docs/bench_floor_record.json): the
-  // round's REAL number. Officials inherit whatever load cycle they hit
+  // Durable per-query floor record (docs/bench_floor_record-<sf>.json):
+  // the round's REAL number. Officials inherit whatever load cycle they hit
   // (r18: every official landed 1.19-1.34x its own floor on a constant-
   // load day, and the gate can't wait out constant load), so the
   // headline a reader can trust is the MIN of each query's raw reps
