@@ -22,7 +22,9 @@ import graft.functions.SetOps
   *      element under the same global order (pigeonhole on the
   *      `n - ceil(t*n)` elements a qualifying partner may miss);
   *   3. candidate pairs = equi-join on (prefix element, block key) with a
-  *      length filter `min(na,nb) >= t * max(na,nb)` (J >= t forces it);
+  *      length filter `min(na,nb) >= t * max(na,nb)` (J >= t forces it)
+  *      and PPJoin's positional filter (the shared token's ranks bound
+  *      the reachable overlap against `ceil(t/(1+t)·(na+nb))`);
   *   4. verify candidates with the allocation-free merge-walk
   *      intersection ([[SetOps.intersectCount]]) and keep `jaccard >= t`.
   *
@@ -113,7 +115,8 @@ object SetSimJoin {
     val prefix = tokens.join(dfreq, "__h")
       .withColumn("__rk", row_number().over(wDoc))
       .filter(col("__rk") <= col("__n") - ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1)
-      .select((col(idCol) +: blocks :+ col("__n") :+ col("__h")): _*)
+      // __rk rides along for the POSITIONAL filter below
+      .select((col(idCol) +: blocks :+ col("__n") :+ col("__h") :+ col("__rk")): _*)
       // checkpoint the (small) prefix table too: exchange reuse does NOT
       // dedupe the self-join's two sides even though they look identical
       // (verified round 7: zero ReusedExchange and ~20% slower without
@@ -122,10 +125,28 @@ object SetSimJoin {
       .transform(Ckpt.apply)
 
     def both(c: String): Column = col(s"a.$c") === col(s"b.$c")
+    // PPJoin POSITIONAL filter (Xiao et al., WWW'08 §3.2), added round 19
+    // after q_ngram_jaccard's stress exponent held >= 0.6 with the
+    // corrected query: J >= t forces overlap >= ceil(t/(1+t)·(na+nb)),
+    // and a shared token at ranks (i, j) bounds the overlap by
+    // 1 + min(na−i, nb−j) — tokens sort in ONE global order, so for the
+    // pair's EARLIEST shared token every other shared token sits after
+    // both ranks. Rows whose bound can't reach the requirement are
+    // dropped before the distinct; recall is intact because a qualifying
+    // pair's earliest-shared-token row always passes (its true overlap
+    // is itself >= the requirement and <= the bound), and that row is in
+    // the join by the prefix theorem. The 1e-9 guard rounds the
+    // requirement DOWN off an ulp-above-integer, never up — losing a
+    // candidate row loses recall; keeping one only costs a verify.
+    val reqOverlap = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.__n") + col("b.__n")) - lit(1e-9))
+    val posBound = lit(1) +
+      least(col("a.__n") - col("a.__rk"), col("b.__n") - col("b.__rk"))
     val joinCond = (("__h" +: blockCols).map(both) :+
       (col(s"a.$idCol") < col(s"b.$idCol")) :+
       (least(col("a.__n"), col("b.__n")).cast(DoubleType) >=
-        lit(threshold) * greatest(col("a.__n"), col("b.__n")) - lit(1e-9))).reduce(_ && _)
+        lit(threshold) * greatest(col("a.__n"), col("b.__n")) - lit(1e-9)) :+
+      (posBound.cast(DoubleType) >= reqOverlap)).reduce(_ && _)
     val cand = prefix.as("a").join(prefix.as("b"), joinCond)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
