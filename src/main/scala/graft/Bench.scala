@@ -124,6 +124,9 @@ object Bench {
       val node = mapper.readTree(if (start >= 0) txt.substring(start).trim else txt)
       if (node.path("sf").asText() != sfDir)
         System.err.println(s"--merge: SKIP $f (sf ${node.path("sf").asText()} != record $sfDir)")
+      else if (node.path("cpus").asText() != cpus)
+        System.err.println(s"--merge: SKIP $f (cpus ${node.path("cpus").asText()} != record $cpus" +
+          " — floors at different core counts are not comparable)")
       else {
         val raw = node.path("rep_times_raw")
         val src = if (!raw.isMissingNode && raw.fieldNames().hasNext) raw else node.path("queries_min")
