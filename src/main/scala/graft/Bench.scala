@@ -24,9 +24,11 @@ object Bench {
   // folds prior run artifacts without launching Spark.
   // ------------------------------------------------------------------
   // one record per sf dir: a full run at a smaller sf (local iteration)
-  // must not reset the production dir's round floors
-  private def recordPath(sfDir: String): String =
-    s"docs/bench_floor_record-${Paths.get(sfDir).getFileName}.json"
+  // must not reset the production dir's round floors. `dir` is "docs" in
+  // production; specs pass a scratch dir so record tests never touch the
+  // committed round record.
+  private[graft] def recordPath(sfDir: String, dir: String = "docs"): String =
+    s"$dir/bench_floor_record-${Paths.get(sfDir).getFileName}.json"
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Corpus identity: sorted (name, size, mtime) of the sf dir's
@@ -49,19 +51,40 @@ object Bench {
     md.digest(lines.sorted.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private def readRecord(sfDir: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+  private def readRecord(sfDir: String, dir: String = "docs"): Option[com.fasterxml.jackson.databind.JsonNode] =
     try {
-      val p = Paths.get(recordPath(sfDir))
+      val p = Paths.get(recordPath(sfDir, dir))
       if (Files.exists(p)) Some(mapper.readTree(Files.readAllBytes(p))) else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Fold `runMins` into the durable record (min per query), resetting
-    * on sf / cpus / corpus-fingerprint mismatch, and prune keys outside
-    * the current inventory. Returns (bestFloorTotal, runsFolded).
+  /** The record's provenance list: one opaque id per official run folded
+    * (a run's first sweep timestamp — stamped identically into the run's
+    * artifact as `sweep_ts[0]`, which is how `--merge` recognizes an
+    * already-folded artifact). Legacy records carried only a `runs`
+    * count; those synthesize unmatchable placeholder ids so the count is
+    * preserved without ever colliding with a real artifact's id.
     */
-  private def foldRecord(sfDir: String, cpus: String, fingerprint: String,
-      runMins: Map[String, Double]): (Double, Int) = {
-    val prior = readRecord(sfDir).filter { r =>
+  private def recordIds(r: com.fasterxml.jackson.databind.JsonNode): Seq[String] = {
+    val arr = r.path("folded_ids")
+    if (arr.isArray) {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      arr.forEach(x => b += x.asText())
+      b.toSeq
+    } else Seq.tabulate(r.path("runs").asInt())(i => s"legacy#$i")
+  }
+
+  /** Fold `runMins` into the durable record (min per query), resetting
+    * on sf / cpus / corpus-fingerprint mismatch. Pruning is against the
+    * INVENTORY (`queryList` names), not this run's successful set: a
+    * query that exists but merely FAILED this run keeps its prior floor
+    * (erasing it would silently shrink `best_floor_total` and make the
+    * headline incomparable to earlier records); only queries removed
+    * from the inventory drop out. Returns (bestFloorTotal, runsFolded).
+    */
+  private[graft] def foldRecord(sfDir: String, cpus: String, fingerprint: String,
+      runId: String, runMins: Map[String, Double], inventory: Set[String],
+      dir: String = "docs"): (Double, Int) = {
+    val prior = readRecord(sfDir, dir).filter { r =>
       r.path("sf").asText() == sfDir && r.path("cpus").asText() == cpus &&
         r.path("fingerprint").asText() == fingerprint
     }
@@ -71,27 +94,31 @@ object Bench {
       qm.fieldNames().forEachRemaining(k => b(k) = qm.path(k).asDouble())
       b.toMap
     }
-    val folded = runMins.map { case (k, v) =>
-      k -> priorMins.get(k).fold(v)(math.min(_, v))
-    } // keys absent from THIS run's inventory drop out (stale queries)
-    val runs = prior.fold(0)(_.path("runs").asInt()) + 1
-    writeRecord(sfDir, cpus, fingerprint, runs, folded)
-    (folded.values.sum, runs)
+    val keptPrior = priorMins.filter { case (k, _) => inventory(k) }
+    val folded = (keptPrior.keySet ++ runMins.keySet).map { k =>
+      k -> (keptPrior.get(k) ++ runMins.get(k)).min
+    }.toMap
+    val priorIds = prior.fold(Seq.empty[String])(recordIds)
+    val ids = if (priorIds.contains(runId)) priorIds else priorIds :+ runId
+    writeRecord(sfDir, cpus, fingerprint, ids, folded, dir)
+    (folded.values.sum, ids.size)
   }
 
   private def writeRecord(sfDir: String, cpus: String, fingerprint: String,
-      runs: Int, mins: Map[String, Double]): Unit = {
+      ids: Seq[String], mins: Map[String, Double], dir: String = "docs"): Unit = {
     val root = mapper.createObjectNode()
     root.put("sf", sfDir); root.put("cpus", cpus)
-    root.put("fingerprint", fingerprint); root.put("runs", runs)
+    root.put("fingerprint", fingerprint); root.put("runs", ids.size)
+    val idArr = root.putArray("folded_ids")
+    ids.foreach(idArr.add)
     root.put("updated_unix", System.currentTimeMillis() / 1000)
     root.put("floor_total", math.round(mins.values.sum * 100.0) / 100.0)
     val qm = root.putObject("queries_min")
     mins.toSeq.sortBy(_._1).foreach { case (k, v) =>
       qm.put(k, math.round(v * 1000.0) / 1000.0)
     }
-    Files.createDirectories(Paths.get("docs"))
-    Files.write(Paths.get(recordPath(sfDir)),
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(recordPath(sfDir, dir)),
       (mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n").getBytes("UTF-8"))
   }
 
@@ -100,16 +127,31 @@ object Bench {
     * Spark. The record must already exist (a live run stamps the corpus
     * fingerprint; this mode cannot re-verify a past run's corpus — only
     * fold artifacts taken on the SAME corpus, judged by the caller via
-    * the testdata mtimes). Artifacts with a different sf are refused.
+    * the testdata mtimes). Artifacts with a different sf or cpu count
+    * are refused; an artifact whose run was ALREADY folded (live, or by
+    * a previous merge — recognized by its `sweep_ts[0]` run id) is
+    * skipped, so merging is idempotent: floors were always min-fold
+    * idempotent, and the `runs` provenance counter now counts DISTINCT
+    * officials. A query that failed in an artifact's run (its
+    * `queries_min` carries the -1 sentinel) contributes nothing — its
+    * raw rep times include pre-crash timings that are not floors.
     */
-  private def mergeMain(files: Seq[String]): Unit = {
+  private[graft] def mergeMain(files: Seq[String], dir: String = "docs"): Unit = {
+    def parse(f: String): com.fasterxml.jackson.databind.JsonNode = {
+      val txt = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
+      val start = txt.indexOf("{\"metric\"")
+      mapper.readTree(if (start >= 0) txt.substring(start).trim else txt)
+    }
+    def runIdOf(node: com.fasterxml.jackson.databind.JsonNode): String = {
+      val ts = node.path("sweep_ts")
+      if (ts.isArray && ts.size() > 0) ts.get(0).asText()
+      else "no-sweep-ts:" + java.security.MessageDigest.getInstance("MD5")
+        .digest(node.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
     // the record is picked by the FIRST artifact's sf dir
-    val firstTxt = new String(Files.readAllBytes(Paths.get(files.head)), "UTF-8")
-    val fStart = firstTxt.indexOf("{\"metric\"")
-    val firstSf = mapper.readTree(
-      if (fStart >= 0) firstTxt.substring(fStart).trim else firstTxt).path("sf").asText()
-    val rec = readRecord(firstSf).getOrElse {
-      System.err.println(s"--merge: no ${recordPath(firstSf)} yet — run one full official " +
+    val firstSf = parse(files.head).path("sf").asText()
+    val rec = readRecord(firstSf, dir).getOrElse {
+      System.err.println(s"--merge: no ${recordPath(firstSf, dir)} yet — run one full official " +
         "bench first (it stamps the corpus fingerprint)")
       sys.exit(2)
     }
@@ -117,19 +159,23 @@ object Bench {
     val mins = scala.collection.mutable.Map.empty[String, Double]
     val qm0 = rec.path("queries_min")
     qm0.fieldNames().forEachRemaining(k => mins(k) = qm0.path(k).asDouble())
+    val ids = scala.collection.mutable.ArrayBuffer.empty[String]
+    ids ++= recordIds(rec)
     var folded = 0
     files.foreach { f =>
-      val txt = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
-      val start = txt.indexOf("{\"metric\"")
-      val node = mapper.readTree(if (start >= 0) txt.substring(start).trim else txt)
+      val node = parse(f)
+      val id = runIdOf(node)
       if (node.path("sf").asText() != sfDir)
         System.err.println(s"--merge: SKIP $f (sf ${node.path("sf").asText()} != record $sfDir)")
       else if (node.path("cpus").asText() != cpus)
         System.err.println(s"--merge: SKIP $f (cpus ${node.path("cpus").asText()} != record $cpus" +
           " — floors at different core counts are not comparable)")
+      else if (ids.contains(id))
+        System.err.println(s"--merge: SKIP $f (run $id already folded — live or by a prior merge)")
       else {
         val raw = node.path("rep_times_raw")
         val src = if (!raw.isMissingNode && raw.fieldNames().hasNext) raw else node.path("queries_min")
+        val sentinel = node.path("queries_min")
         src.fieldNames().forEachRemaining { k =>
           val v = src.path(k)
           val m = if (v.isArray) {
@@ -137,15 +183,22 @@ object Bench {
             v.forEach(x => best = math.min(best, x.asDouble()))
             if (v.isEmpty) -1.0 else best
           } else v.asDouble()
-          if (m >= 0 && mins.contains(k)) mins(k) = math.min(mins(k), m)
+          // the -1 sentinel means the query FAILED somewhere in that run:
+          // its raw array still holds timings (including of crashing
+          // reps), which must not be mistaken for floors
+          val failedInRun = sentinel.has(k) && sentinel.path(k).asDouble() < 0
+          if (m >= 0 && !failedInRun && mins.contains(k)) mins(k) = math.min(mins(k), m)
         }
+        ids += id
         folded += 1
       }
     }
-    val runs = rec.path("runs").asInt() + folded
-    writeRecord(sfDir, cpus, rec.path("fingerprint").asText(), runs, mins.toMap)
-    println(f"merged $folded run(s): best_floor_total ${mins.values.sum}%.2f s over $runs runs " +
-      s"(${mins.size} queries) -> ${recordPath(sfDir)}")
+    if (folded > 0)
+      writeRecord(sfDir, cpus, rec.path("fingerprint").asText(), ids.toSeq, mins.toMap, dir)
+    else
+      System.err.println("--merge: nothing new to fold; record left untouched")
+    println(f"merged $folded run(s): best_floor_total ${mins.values.sum}%.2f s over ${ids.size} runs " +
+      s"(${mins.size} queries) -> ${recordPath(sfDir, dir)}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -358,9 +411,16 @@ object Bench {
     val runMins: Map[String, Double] = queryList.zipWithIndex.flatMap {
       case ((name, _), qi) => if (fails(qi).isEmpty) times(qi).minOption.map(name -> _) else None
     }.toMap
+    // the run's identity for the record's provenance list: the first
+    // sweep timestamp, stamped identically into this artifact's
+    // sweep_ts[0] — how a later `--merge` of this artifact is recognized
+    // as already folded instead of double-counting the runs counter
+    val runId = sweepTs.headOption.map(_.toString)
+      .getOrElse((System.currentTimeMillis() / 1000).toString)
     val (bestFloorTotal, bestFloorRuns) =
       if (official && runMins.nonEmpty)
-        foldRecord(sfDir, cpus, corpusFingerprint(sfDir), runMins)
+        foldRecord(sfDir, cpus, corpusFingerprint(sfDir), runId, runMins,
+          queryList.map(_._1).toSet)
       else (-1.0, 0)
     val okTimes = results.map(_._2).filter(_ >= 0)
     val total = if (okTimes.nonEmpty) okTimes.sum else 0.0

@@ -1287,23 +1287,37 @@ class TableRepo(
     * failure that happens to race a supersede is never converted into
     * the retryable verdict and hidden for a retry cycle.
     */
-  private def looksLikeYankedDir(e: Throwable, target: String): Boolean = {
+  private[repo] def looksLikeYankedDir(e: Throwable, target: String): Boolean = {
     val tgt = new Path(target).toUri.getPath
     var t: Throwable = e
     var depth = 0
+    // a null-message FNFE is only accepted when it sits BENEATH a
+    // SparkException frame (the job-abort wrapper the committer raises
+    // when its dir is yanked) — a genuine missing-source FNFE thrown
+    // bare with no message, racing a supersede, must surface as itself
+    var underJobAbort = false
     while (t != null && depth < 12) {
       val msg = Option(t.getMessage).getOrElse("")
+      if (t.isInstanceOf[org.apache.spark.SparkException]) underJobAbort = true
       val enoentShape = t.isInstanceOf[java.io.FileNotFoundException] ||
         msg.contains("FILE_NOT_EXIST") ||
         msg.contains("No such file or directory") ||
         msg.contains("does not exist")
       if (enoentShape && (msg.contains(tgt) || msg.contains("_temporary"))) return true
-      // a bare FNFE with NO message at all carries no path to judge by;
-      // the caller has already established dataPath != target (a rewrite
-      // DID supersede the dir mid-job), so the typed retry-safe verdict
-      // is the right call — a missing-input failure raises a message-
-      // bearing FNFE/AnalysisException and still surfaces as itself
-      if (t.isInstanceOf[java.io.FileNotFoundException] && t.getMessage == null) return true
+      // a bare FNFE with NO message carries no path to judge by; the
+      // caller has already established dataPath != target (a rewrite DID
+      // supersede the dir mid-job), and the job-abort frame above says
+      // this came out of the committer, so the typed retry-safe verdict
+      // is the right call. Logged in full so that if a genuine failure
+      // is ever masked by this shape, the evidence is in the log.
+      if (t.isInstanceOf[java.io.FileNotFoundException] && t.getMessage == null
+          && underJobAbort) {
+        org.slf4j.LoggerFactory.getLogger(classOf[TableRepo]).warn(
+          s"classifying a null-message FileNotFoundException beneath a job-abort frame " +
+            s"as '$target yanked by a concurrent rewrite' (retry-safe); full chain follows " +
+            "in case this masked a genuine failure", e)
+        return true
+      }
       t = if (t.getCause eq t) null else t.getCause
       depth += 1
     }

@@ -170,6 +170,54 @@ class WeakStoreSpec extends SparkSuite {
     assert(!weak.exists(Lease.pathIn(root)), "lease released")
   }
 
+  test("IvfIndex manifest swap on weakfs: build -> k-changing rebuild -> probe serves ONE generation") {
+    // the OTHER rename-dependent protocol (besides the version claim):
+    // the `_ivf_manifest-v<N>.json` commit rename that pins a
+    // (centroid-version, assignment-version, k) pair. On weakfs the
+    // rename is an emulated copy+delete and create never excludes, so
+    // this drives the swap through blob-store semantics and asserts
+    // single-generation serving — a mixed-generation read (new centroids
+    // with old assignments) would answer the probes below differently
+    // from the trained-together twin.
+    import org.apache.spark.sql.functions.col
+    // 4 direction clusters each split into 2 angular subclusters (the
+    // IvfIndexSpec generator): k=4 merges each pair, k=8 separates it,
+    // and at n=64 the two generations answer top-10 probes DIFFERENTLY —
+    // the observable that makes mixed-generation serving detectable
+    val e = (0 until 64).map { i =>
+      val c = i % 4
+      val s = (i / 4) % 2
+      val base = Array.fill(8)(0.0f)
+      base(2 * c) = 1.0f
+      base(2 * c + 1) = 0.45f * s
+      base((2 * c + 2) % 8) = 0.03f * ((i * 5 + 1) % 7)
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val root = wroot("weak-ivf")
+    weak.mkdirs(new Path(root))
+    val idx = new graft.ops.IvfIndex(root, spark)
+    val m4 = idx.build(e, 4, 2)
+    assert(m4.k == 4)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val at4 = idx.probe(q, 1, 10).orderBy("q_id", "n_id")
+    assertSameRows(at4, graft.ops.Ivf.probeTopK(e, 4, 2, 1, 5L, 10).orderBy("q_id", "n_id"))
+    val rows4 = at4.collect().map(_.toString).sorted.toSeq
+    WeakStoreFs.copyRenames.set(0)
+    val m8 = idx.rebuild(e, 8, 2)
+    assert(WeakStoreFs.copyRenames.get() > 0,
+      "the k-changing swap must have exercised emulated copy+delete renames")
+    assert(m8.k == 8 && m8.centVersion > m4.centVersion && m8.asgVersion > m4.asgVersion)
+    // the manifest pins a trained-together pair: exactly the tables' committed maxima
+    assert(m8.centVersion == idx.cent.snapshotVersions.max)
+    assert(m8.asgVersion == idx.asg.snapshotVersions.max)
+    assert(idx.manifest.contains(m8), "readers resolve the new generation after the flip")
+    val at8 = idx.probe(q, 1, 10).orderBy("q_id", "n_id")
+    assertSameRows(at8, graft.ops.Ivf.probeTopK(e, 8, 2, 1, 5L, 10).orderBy("q_id", "n_id"))
+    assert(at8.collect().map(_.toString).sorted.toSeq != rows4,
+      "the two generations must answer differently, else mixed serving would be invisible here")
+  }
+
   test("a claim stolen mid-rewrite by a foreign PUT still blesses EXACTLY once (source consumption decides)") {
     // the breach mode, pinned end-to-end: a foreign claimant's PUT lands
     // on OUR live claim file inside the rewrite (possible only because
