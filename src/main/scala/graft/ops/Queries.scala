@@ -33,8 +33,52 @@ object Queries {
 
   private case class Q(name: String, oracle: Option[String])(val fn: Fn)
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Source-table schemas, inferred once per (path) per JVM. Parquet
+    * schema inference is not free: ParquetFileFormat reads footers in a
+    * SPARK JOB per read construction (~40-50 ms at local[32]), and the
+    * bench re-constructs every query per rep, so the same five static
+    * footer schemas were re-inferred ~750 times per official run (guide
+    * §1.2: don't compute things you throw away). This memoizes METADATA
+    * only — the exact contract TableRepo's pinned schema already
+    * provides for repo reads; every action still computes results from
+    * the parquet data. Keyed by full path: a different sf dir (or a
+    * fresh JVM — the driver's bench/verify runs) re-infers. The one
+    * flag-sensitive case (TIMESTAMP(NANOS) under
+    * spark.sql.legacy.parquet.nanosAsLong) is uniform here: every
+    * harness session pre-sets the flag at build, and [[eventsUs]]
+    * adapts to whichever physical type the memoized schema carries.
+    */
+  private val tSchemas =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = tSchemas.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
+  /** Scale-adaptive pre-spread for per-row-EXPENSIVE projections
+    * (tokenize / shingle / md5-hash pipelines, ~60-300 ms/5k docs of CPU):
+    * a small corpus parquet scans as a handful of tasks (one row group =
+    * one task however many cores wait idle), serializing exactly the
+    * work that dominates these queries, so hash-repartition the rows
+    * across the cores FIRST — the exchange moves the raw text once and
+    * buys back sequential hash time several times over (guide §2.5:
+    * partitioning derived from input size, not a constant tuned for
+    * either regime). On a corpus whose scan already yields at least as
+    * many tasks as cores — any real deployment; the 100 TB corpus is
+    * millions of row groups — the same call is a NO-OP, so scale pays no
+    * extra exchange. Applied only to pipelines whose downstream is a
+    * shuffle or checkpoint anyway, never where the input partitioning
+    * reaches a file writer (it would fragment append file counts).
+    */
+  private def spread(s: SparkSession, d: String, table: String,
+      df: DataFrame, key: Column): DataFrame = {
+    val p = s.sparkContext.defaultParallelism
+    val len = try new java.io.File(s"$d/$table.parquet").length catch { case _: Exception => 0L }
+    // ~4 MB openCost floor per scan task: below p tasks, cores sit idle
+    if (len < 4L * 1024 * 1024 * p) df.repartition(p, key) else df
+  }
 
   /** events with timestamps surfaced as µs longs, whatever the physical
     * parquet type: ns-as-long (legacy generator + `nanosAsLong`),
@@ -242,7 +286,7 @@ object Queries {
     * audit dump): hashed token sets -> prefix-filter join at J >= 0.6.
     */
   private[graft] def docDupPairs(s: SparkSession, d: String): DataFrame = {
-    val dd = t(s, d, "documents")
+    val dd = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
     SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
@@ -1283,7 +1327,7 @@ object Queries {
       // exact prefix-filter join (SetSimJoin): identical output to the
       // blocked all-pairs oracle, but candidates come from an equi-join
       // on (rarest prefix token, block) — never block² pairs
-      val dd = t(s, d, "documents")
+      val dd = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
           transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
       SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
@@ -1320,10 +1364,15 @@ object Queries {
       // output is bit-identical to the un-injected query — but any
       // regression in the null-skip inflates the intersection and fails
       // the hash compare.
-      val dd = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 3)
-        .repartition(col("doc_id"))
+      // the pre-shingle spread was an unconditional repartition(doc_id)
+      // until r20: correct locally, but at a corpus whose scan already
+      // parallelizes it shuffled the full token arrays for nothing —
+      // now scale-adaptive like every other text pipeline
+      val dd = spread(s, d, "documents",
+          t(s, d, "documents")
+            .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
+            .filter(size(col("toks")) >= 3),
+          col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
           concat(array(lit(null).cast("long")),
             transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
@@ -1337,7 +1386,7 @@ object Queries {
       s"""WITH tok AS (SELECT doc_id, unnest($sqlShingles) AS tok FROM documents WHERE len($sqlToks) >= 3),
          | hh AS (SELECT doc_id, ${sqlHash32("tok")} AS h FROM tok)
          | SELECT doc_id, $hs FROM hh GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
-    }) { (s, d) => minhashSig(t(s, d, "documents")) },
+    }) { (s, d) => minhashSig(spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))) },
 
     // ---- MinHash LSH candidate pairs (bands generated from the same
     // constants on both engines — widen by appending to TextFns.MinhashA/B)
@@ -1351,7 +1400,7 @@ object Queries {
          | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          | FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val sig = minhashSig(t(s, d, "documents"))
+      val sig = minhashSig(spread(s, d, "documents", t(s, d, "documents"), col("doc_id")))
       val bands = lshBands(sig)
       val a = bands.as("a"); val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -1380,7 +1429,7 @@ object Queries {
          |   FROM cand c JOIN sh x ON x.doc_id = c.doc_a JOIN sh y ON y.doc_id = c.doc_b)
          | SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.4""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val docs = t(s, d, "documents")
+      val docs = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
       val sig = minhashSig(docs)
       val bands = lshBands(sig)
       val cand = bands.as("a").join(bands.as("b"),
@@ -1480,7 +1529,7 @@ object Queries {
          | SELECT batch_doc, dup_of, jaccard FROM p WHERE jaccard >= 0.4
          | QUALIFY row_number() OVER (PARTITION BY batch_doc ORDER BY dup_of) = 1""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val docs = t(s, d, "documents")
+      val docs = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
       val index = new TableRepo(freshRoot("q_incr_dedup_lsh_pruned"), s,
         maxRecordsPerFile = 2000, clusterCols = Seq("bh"))
       val textRepo = new TableRepo(freshRoot("q_incr_dedup_lsh_pruned_texts"), s,
@@ -2170,7 +2219,7 @@ object Queries {
       // df aggregate and both join sides prune columns differently, so
       // the repartition exchange this used to rely on was NOT reused —
       // the r8 plan audit showed 4 corpus scans
-      val sh = Ckpt(t(s, d, "documents")
+      val sh = Ckpt(spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"),
           when(HashBucket.bucket(col("doc_id"), 100) < 80, "train").otherwise("test").as("sp"),
           TextFns.tokens(col("text")).as("toks"))
@@ -2841,7 +2890,8 @@ object Queries {
       // tokenize once: tf and df are different subtrees over tk (r8 plan
       // audit: 3 corpus scans without the barrier); nd stays a separate
       // metadata-only count-star scan
-      val tk = Ckpt(docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
+      val tk = Ckpt(spread(s, d, "documents", docs, col("doc_id"))
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
       val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
@@ -2909,7 +2959,7 @@ object Queries {
       // pair-key shuffle is skew-immune and the whole plan stays in
       // whole-stage HashAggregate (a distinct-agg would plan Expand +
       // SortAggregate)
-      t(s, d, "documents")
+      spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 8)).as("w"))
@@ -2942,7 +2992,7 @@ object Queries {
         |   CAST(sum(CASE WHEN rep.n_docs >= 2 THEN dk.k ELSE 0 END) AS DOUBLE) / sum(dk.k) AS dup_share
         | FROM dk JOIN rep ON rep.h = dk.h GROUP BY dk.doc_id""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val dk = Ckpt(t(s, d, "documents")
+      val dk = Ckpt(spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 8)).as("w"))
@@ -3052,7 +3102,7 @@ object Queries {
         |   CAST(sum(dk.k * bc.cnt) AS DOUBLE) / sum(dk.k) AS familiarity
         | FROM dk JOIN bc ON bc.bigram = dk.bigram GROUP BY dk.doc_id""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val dk = Ckpt(t(s, d, "documents")
+      val dk = Ckpt(spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(TextFns.shinglesOf(col("toks"), 2)).as("bigram"))
@@ -3280,7 +3330,7 @@ object Queries {
          |   CAST(len(list_intersect(u.sh, v.sh)) AS DOUBLE) / (len(u.sh) + len(v.sh) - len(list_intersect(u.sh, v.sh))) AS jaccard
          | FROM p JOIN sh u ON u.doc_id = p.doc_a JOIN sh v ON v.doc_id = p.doc_b""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val docs = t(s, d, "documents")
+      val docs = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
       val sig = minhashSig(docs)
       val bands = lshBands(sig)
       val cand = bands.as("a").join(bands.as("b"),
@@ -3327,7 +3377,7 @@ object Queries {
         | SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
         | WHERE d.doc_id NOT IN (SELECT doc_b FROM p)""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      val dd = t(s, d, "documents")
+      val dd = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
           transform(TextFns.tokens(col("text")), tk => TextFns.hash32(tk)).as("toks"))
       val purged = SetSimJoin.jaccardPairs(dd, "doc_id", "toks", Seq("lang", "source"), 0.6)
@@ -3521,7 +3571,7 @@ object Queries {
          | SELECT batch_doc, min(cand) AS dup_of, min_by(origin, cand) AS origin
          | FROM cand GROUP BY batch_doc""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val docs = t(s, d, "documents")
+      val docs = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
       val index = new TableRepo(freshRoot("q_incr_dedup_pruned"), s,
         maxRecordsPerFile = 2000, clusterCols = Seq("fp"))
       incrExactSeed(index, docs.filter(col("doc_id") % 3 === 0))

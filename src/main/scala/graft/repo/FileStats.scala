@@ -59,6 +59,29 @@ object FileStats {
       : Seq[(String, Option[(Any, Any)])] =
     columnRanges(spark, files, Seq(column)).map { case (p, m) => (p, m(column)) }
 
+  /** Exact total row count of `files` from footer metadata only — what
+    * sizing decisions (compaction's file-count math) need instead of a
+    * table-scan count job. Same driver/distributed split as
+    * [[columnRanges]]: small lists read on the driver (a footer open is
+    * ~ms), large lists fan out one metadata task per slice.
+    */
+  def rowCount(spark: SparkSession, files: Seq[String]): Long = {
+    if (files.isEmpty) return 0L
+    val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    if (files.size <= 64) files.map(rowsOf(conf.value, _)).sum
+    else {
+      val slices = math.max(1, math.min(files.size, 64))
+      spark.sparkContext.parallelize(files, slices)
+        .map(f => rowsOf(conf.value, f)).sum().toLong
+    }
+  }
+
+  private def rowsOf(conf: Configuration, file: String): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally r.close()
+  }
+
   /** Footer-only min/max of each of `columns` across all row groups of one
     * file — one footer read total.
     */

@@ -1377,7 +1377,11 @@ class TableRepo(
     */
   def compact(targetRecordsPerFile: Long): Unit = withWriteLock {
     replayPendingDeletes()
-    val n = count()
+    // sizing only (`parts` below): an exact count from parquet footer
+    // metadata over the same visible-file set readRaw() would scan — no
+    // table-scan job (at a 100 TB table the scan-count alone would cost
+    // a full pass before the rewrite even starts)
+    val n = metadataRowCount()
     if (n == 0) return
     val parts = math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
     // the whole content plan is constructed INSIDE the guarded callback —
@@ -1814,6 +1818,18 @@ class TableRepo(
   // ---------------------------------------------------------------- read
 
   def exists: Boolean = fs.exists(new Path(dataPath))
+
+  /** Exact row count from parquet footers over the same visible-file set
+    * [[readRaw]] scans (pending-delete and landed-prefix exclusions
+    * applied) — metadata-only, no table scan. Row counts in footers are
+    * exact by the parquet spec, so this equals `count()` always.
+    */
+  private def metadataRowCount(): Long = {
+    if (!exists) return 0L
+    repairFooterRewrites()
+    val pend = invisibleFiles()
+    FileStats.rowCount(spark, listParquetFiles(dataPath).filterNot(pend.contains))
+  }
 
   /** Recreate the data directory — the writer retry path calls this when a
     * flush found the directory racily deleted (core.py:488-497 analog).
