@@ -69,8 +69,11 @@ object Queries {
     * many tasks as cores — any real deployment; the 100 TB corpus is
     * millions of row groups — the same call is a NO-OP, so scale pays no
     * extra exchange. Applied only to pipelines whose downstream is a
-    * shuffle or checkpoint anyway, never where the input partitioning
-    * reaches a file writer (it would fragment append file counts).
+    * shuffle or checkpoint anyway, NEVER where the input partitioning
+    * can reach a file writer: the explicit-N exchange is not
+    * AQE-coalescible, so it fragments appends into ~cores files —
+    * measured on the incremental-dedup pruned variants (index probes
+    * became 96-task scans; floors 1.43→3.46 s) before being reverted.
     */
   private def spread(s: SparkSession, d: String, table: String,
       df: DataFrame, key: Column): DataFrame = {
@@ -1529,7 +1532,7 @@ object Queries {
          | SELECT batch_doc, dup_of, jaccard FROM p WHERE jaccard >= 0.4
          | QUALIFY row_number() OVER (PARTITION BY batch_doc ORDER BY dup_of) = 1""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val docs = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
+      val docs = t(s, d, "documents")
       val index = new TableRepo(freshRoot("q_incr_dedup_lsh_pruned"), s,
         maxRecordsPerFile = 2000, clusterCols = Seq("bh"))
       val textRepo = new TableRepo(freshRoot("q_incr_dedup_lsh_pruned_texts"), s,
@@ -2064,7 +2067,10 @@ object Queries {
          | UNION ALL SELECT 4, 'dedup', n4, c4 FROM a""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
       val nTok = TextFns.tokenCount(col("text"))
-      val flags = t(s, d, "documents").select(
+      // ~10 interpreted HOF/regex passes per row (quality + lang + md5
+      // fingerprint): spread before computing the flags when the scan
+      // can't parallelize them itself
+      val flags = spread(s, d, "documents", t(s, d, "documents"), col("doc_id")).select(
         col("doc_id"), length(col("text")).cast(LongType).as("nc"),
         (nTok >= 24 && nTok <= 80).as("f_len"),
         (TextFns.qualityScore(col("text")) >= 0.7).as("f_q"),
@@ -2123,7 +2129,7 @@ object Queries {
          | SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(hs) - 2), i -> list_min(list_slice(hs, i, i + 3))))) AS fp
          | FROM h""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
-      t(s, d, "documents")
+      spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 7)
         .select(col("doc_id"),
@@ -2890,8 +2896,7 @@ object Queries {
       // tokenize once: tf and df are different subtrees over tk (r8 plan
       // audit: 3 corpus scans without the barrier); nd stays a separate
       // metadata-only count-star scan
-      val tk = Ckpt(spread(s, d, "documents", docs, col("doc_id"))
-        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
+      val tk = Ckpt(docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
       val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
@@ -3044,7 +3049,7 @@ object Queries {
         |   coalesce(clean_text, '') AS clean_text
         | FROM tkk LEFT JOIN cl ON cl.doc_id = tkk.doc_id""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val tk = Ckpt(t(s, d, "documents")
+      val tk = Ckpt(spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")))
       val wn = Ckpt(tk.filter(size(col("toks")) >= 8)
         .select(col("doc_id"), posexplode(TextFns.shinglesOf(col("toks"), 8)).as(Seq("pos", "w")))
@@ -3571,7 +3576,7 @@ object Queries {
          | SELECT batch_doc, min(cand) AS dup_of, min_by(origin, cand) AS origin
          | FROM cand GROUP BY batch_doc""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val docs = spread(s, d, "documents", t(s, d, "documents"), col("doc_id"))
+      val docs = t(s, d, "documents")
       val index = new TableRepo(freshRoot("q_incr_dedup_pruned"), s,
         maxRecordsPerFile = 2000, clusterCols = Seq("fp"))
       incrExactSeed(index, docs.filter(col("doc_id") % 3 === 0))

@@ -1514,10 +1514,14 @@ class TableRepo(
       // Past the cap, fall back to the distributed semi-join: a huge OR
       // tree would blow analysis (deep TreeNode recursion), and with that
       // many partitions touched pruning buys little anyway.
-      val affectedVals: Array[Seq[Any]] =
-        if (affectedDf.count() <= TableRepo.MaxPartitionPredicateLiterals)
-          affectedDf.collect().map(_.toSeq)
+      // one bounded collect decides the cap AND yields the literals (the
+      // former count()+collect() pair was two actions over the same
+      // staged frame): cap+1 rows suffice to prove "too many"
+      val affectedVals: Array[Seq[Any]] = {
+        val firstN = affectedDf.limit(TableRepo.MaxPartitionPredicateLiterals + 1).collect()
+        if (firstN.length <= TableRepo.MaxPartitionPredicateLiterals) firstN.map(_.toSeq)
         else Array.empty
+      }
       val scopedExisting =
         if (affectedVals.nonEmpty) existing.filter(affectedVals
           .map(vals => layoutCols.zip(vals).map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
