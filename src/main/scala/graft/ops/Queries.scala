@@ -1367,15 +1367,15 @@ object Queries {
       // output is bit-identical to the un-injected query — but any
       // regression in the null-skip inflates the intersection and fails
       // the hash compare.
-      // the pre-shingle spread was an unconditional repartition(doc_id)
-      // until r20: correct locally, but at a corpus whose scan already
-      // parallelizes it shuffled the full token arrays for nothing —
-      // now scale-adaptive like every other text pipeline
-      val dd = spread(s, d, "documents",
-          t(s, d, "documents")
-            .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
-            .filter(size(col("toks")) >= 3),
-          col("doc_id"))
+      // NOTE (r20): this repartition is deliberately UNCONDITIONAL, not
+      // the scale-adaptive `spread` — it doubles as the materialization
+      // barrier the comment above describes (tokens finished before the
+      // per-element shingle lambda); dropping it at scale would re-fuse
+      // the two projections.
+      val dd = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"),
           concat(array(lit(null).cast("long")),
             transform(TextFns.shinglesOf(col("toks"), 3), g => TextFns.hash32(g))).as("sh"))
