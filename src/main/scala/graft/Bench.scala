@@ -375,7 +375,10 @@ object Bench {
       val ts = kept(qi)
       name -> (if (fails(qi).isEmpty) ts(ts.length / 2) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal officials: full Double.toString made the 128-entry map
+    // ~17 chars/value, which alone blew the driver's bounded stdout
+    // capture; 1 ms resolution loses nothing the methodology can resolve
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // per-rep times make the artifact self-diagnosing: a single-rep VM
     // stall shows up as one outlier in its array instead of demanding a
@@ -431,12 +434,26 @@ object Bench {
     val mode = (if (consecutive) "consecutive(sweeps=warm,per-query,end)" else "roundrobin") +
       (if (warmRep) "+warm" else "") + (if (reps >= 4) "+dropminmax" else "") +
       (if (noCkpt) "+nockpt" else "")
-    // field order matters downstream: the driver's stdout capture keeps
-    // only the LAST ~2000 chars, so the compact self-adjudication fields
-    // (queries_min, sweep_ts, sweep_load) sit at the END of the line —
-    // they survive truncation while the fat rep maps get cut
+    // TWO renditions of the same run:
+    //  - `line` (the artifact files): everything — per-rep arrays, raw
+    //    reps, per-query floors, sweep load samples — the self-diagnosing
+    //    record --merge and compare_bench.py consume.
+    //  - `stdoutLine` (the driver contract's one JSON line): compact. The
+    //    full line is 25-30 KB, and the driver's stdout capture is
+    //    BOUNDED (every BENCH_r*.json ever shows a 2000-char tail with
+    //    `parsed: null` — the line's head was always cut before parsing).
+    //    The contract map (metric/value/unit/queries/sf) alone needs
+    //    ~2.9 KB at 3 decimals, so the line is kept to the contract
+    //    fields plus the small self-adjudication scalars and NOTHING
+    //    array-valued; the scalars sit BEFORE the queries map so the
+    //    2000-char tail still carries per-query officials + "sf" even if
+    //    the capture cuts the head.
+    val scalars =
+      s""""gate_wait_sec":$gateWaitSec,"gate_load":[${f"$gateStartLoad%.2f"},${f"$gateEndLoad%.2f"}],"rerun_passes":$pass,"stall_reruns":$stallReruns,"best_floor_total":${f"$bestFloorTotal%.2f"},"best_floor_runs":$bestFloorRuns,"floor_total":${f"$floorTotal%.2f"},"stalls":$stallCount"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,"gate_wait_sec":$gateWaitSec,"gate_load":[${f"$gateStartLoad%.2f"},${f"$gateEndLoad%.2f"}],"rerun_passes":$pass,"stall_reruns":$stallReruns,"best_floor_total":${f"$bestFloorTotal%.2f"},"best_floor_runs":$bestFloorRuns,"floor_total":${f"$floorTotal%.2f"},"stalls":$stallCount,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,"queries":$qs,"rep_times":$perRep,"rep_times_raw":$perRepRaw,"queries_min":$qsMin,"sweep_ts":$sweepTsJson,"sweep_load":$sweepLoadJson,$scalars,"sf":"$sfDir"}"""
+    val stdoutLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","reps":$reps,"cpus":"$cpus","mode":"$mode","failed":$nFail,$scalars,"queries":$qs,"sf":"$sfDir"}"""
     System.err.println(f"BENCH HEADLINE: official total $total%.1f s | this-run floor " +
       f"$floorTotal%.1f s | round best floor $bestFloorTotal%.1f s over $bestFloorRuns run(s)")
     // target/ is gitignored and the driver's stdout capture truncates, so
@@ -451,7 +468,7 @@ object Bench {
       Files.createDirectories(Paths.get("docs"))
       Files.write(Paths.get("docs/bench_last.json"), (line + "\n").getBytes("UTF-8"))
     }
-    println(line)
+    println(stdoutLine)
     spark.stop()
   }
 }

@@ -131,6 +131,93 @@ object TextFns {
     lenScore * lit(0.5) + stopScore * lit(0.3) + tokScore * lit(0.2)
   }
 
+  // ------------------------------------------------------------------
+  // One-pass variants. langPredict / qualityScore above are built from
+  // REPEATED references to tokens(c) / tokenSet(c), and higher-order-
+  // function lambdas sit outside codegen subexpression elimination, so
+  // every reference re-runs the regex split (and the distinct): the
+  // executed q_lang_id plan carried 30 `split(trim(text))` per row and
+  // the filter-funnel flag projection 42 (+30 array_distinct). The
+  // variants below compute the same values in ONE tokens() pass via
+  // aggregate(): everything downstream lives in the finish lambda,
+  // where the accumulator is a BOUND variable — free to reference —
+  // rather than a re-evaluated subtree. Values are bit-identical to the
+  // originals (same counts, same IEEE op order), which the DuckDB
+  // oracle gate pins at every scale factor.
+
+  /** All language markers, flattened in declared order; presence of
+    * marker i is bit i of the one-pass accumulator mask. Markers must be
+    * globally unique across languages — the mask position IS the marker
+    * identity (they are: 25 distinct words).
+    */
+  private val AllMarkers: Seq[String] = LangMarkers.flatMap(_._2)
+  require(AllMarkers.distinct.size == AllMarkers.size,
+    "LangMarkers must be globally unique for the mask encoding")
+  private val LangBitOffsets: Seq[Int] =
+    LangMarkers.map(_._2.size).scanLeft(0)(_ + _)
+
+  /** The marker-presence bit of one token (0 when not a marker). */
+  private def markerBit(t: Column): Column = {
+    val pos = array_position(array(AllMarkers.map(lit): _*), t) // 0 = absent
+    when(pos > 0, call_function("shiftleft", lit(1L), (pos - 1).cast(IntegerType)))
+      .otherwise(lit(0L))
+  }
+
+  /** Presence-weighted per-language scores off a marker mask: popcount of
+    * the language's bit slice via fixed shifts. Identical counts to
+    * [[langScoreSet]] — OR-ing per-token bits dedups exactly like the
+    * token-set distinct.
+    */
+  private def langScoresFromMask(mask: Column): Seq[(String, Column)] =
+    LangMarkers.zipWithIndex.map { case ((lang, m), li) =>
+      lang -> m.indices
+        .map(j => shiftright(mask, LangBitOffsets(li) + j).bitwiseAND(lit(1L)))
+        .reduce(_ + _)
+    }
+
+  /** `langPredict(c) === LangMarkers.head._1` in one tokens() pass. */
+  def langPredictIsFirst(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => acc.bitwiseOR(markerBit(t)),
+      mask => {
+        val scores = langScoresFromMask(mask)
+        // the head language wins every tie it is part of, so "predicted
+        // head" is exactly "head's score >= every other score"
+        scores.tail.map(_._2).map(scores.head._2 >= _).reduce(_ && _)
+      })
+
+  /** [[qualityScore]] in one tokens() pass: the token count (low half)
+    * and stopword hits (high half) accumulate PACKED into one long — a
+    * struct accumulator allocates a row per token and measured 2.4×
+    * slower than the original at sf0.1; long arithmetic is free. The
+    * finish lambda replays the identical IEEE op sequence on the
+    * unpacked counts (both bounded by the doc's token count — no
+    * overflow across the halves).
+    */
+  def qualityScoreOnePass(text: Column): Column = {
+    val stopSet = array(LangMarkers.head._2.map(lit): _*)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + when(array_contains(stopSet, t), lit(4294967297L)) // 2^32 + 1
+        .otherwise(lit(1L)),
+      acc => {
+        val nTok = acc.bitwiseAND(lit(0xffffffffL)).cast(DoubleType)
+        val nChars = length(text).cast(DoubleType)
+        val stopHits = shiftright(acc, 32).cast(DoubleType)
+        val meanTokLen = (nChars - (nTok - lit(1.0))) / nTok
+        val lenScore = least(nTok / lit(64.0), lit(1.0))
+        val stopScore = least(stopHits / nTok * lit(8.0), lit(1.0))
+        val tokScore =
+          when(meanTokLen >= 3.0 && meanTokLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+        lenScore * lit(0.5) + stopScore * lit(0.3) + tokScore * lit(0.2)
+      })
+  }
+
+  /** `tokenCount(c) BETWEEN lo AND hi` in one tokens() pass (the plain
+    * form references — and so re-splits — the text twice).
+    */
+  def tokenCountBetween(c: Column, lo: Int, hi: Int): Column =
+    aggregate(tokens(c), lit(0L), (n, _) => n + lit(1L),
+      n => n >= lit(lo.toLong) && n <= lit(hi.toLong))
+
   /** PII patterns (the scrubbing pass of public training-data pipelines:
     * Dolma §4.1, FineWeb), in redaction-precedence order — email first so
     * a digit-bearing local part can never later be re-matched as a phone.

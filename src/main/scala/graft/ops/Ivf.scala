@@ -36,47 +36,69 @@ import graft.functions.VectorFns
   */
 object Ivf {
 
-  /** Per-vector nearest-centroid assignment (broadcast centroids).
-    * `embs` needs (vec_id, embedding); `cent` is (centroid_id, c_emb)
-    * with double components. Returns (vec_id, centroid_id, embedding).
+  /** Per-vector nearest-centroid assignment. `embs` needs (vec_id,
+    * embedding); `cent` is (centroid_id, c_emb) with double components —
+    * k rows by the build contract (the k=707 serve build is ~45k
+    * doubles, driver-trivial). Returns (vec_id, centroid_id, embedding).
     *
-    * The argmax runs as a HASH AGGREGATE — `max(struct(sim, -centroid_id,
-    * …))` picks the highest similarity with ties to the LOWER centroid_id,
-    * exactly the windowed row_number()=1 contract the DuckDB oracle
-    * replays, but with map-side partial aggregation: each task folds its
-    * n·k crossed rows down to its distinct vec_ids locally (max is
-    * commutative — bitwise the same double comparisons in any order), so
-    * the shuffle carries ~n rows instead of sorting n·k. At the
-    * 500k×707 build this is the difference between sorting 354M rows and
-    * hashing them down to 500k before the exchange.
+    * The centroid table is COLLECTED and folded into the plan as
+    * literals, making the assignment a MAP-ONLY projection: per row, k
+    * native dots plus `array_max` over the k (sim, -centroid_id,
+    * centroid_id) structs. The previous shape crossJoined a broadcast
+    * centroid frame and hash-aggregated `max(struct(...))` by vec_id —
+    * correct, but its groupBy exchange shuffled ~n rows WITH their
+    * embeddings once per call: once per Lloyd round and once more for
+    * every full assignment write — full-corpus shuffles a 100 TB build
+    * cannot afford, against a 100 TB map-only scan here (guide §2.4:
+    * remove shuffles outright).
+    *
+    * Values are bit-identical to the old shape: the c_nrm literal
+    * replays dotHof's left fold in the same IEEE order; the per-row norm
+    * is bound ONCE through the zip_with lambda (not re-evaluated per
+    * centroid), so each sim is the exact same double; and array_max uses
+    * the same struct ordering — NaN-greatest doubles included — as
+    * max(struct(...)), so zero-norm rows keep their old lowest-id
+    * tie-break.
     */
   def assign(embs: DataFrame, cent: DataFrame): DataFrame = {
-    val c = cent.select(col("centroid_id"), col("c_emb"),
-      sqrt(VectorFns.dotHof(col("c_emb"), col("c_emb"))).as("c_nrm"))
-    embs.select(col("vec_id"), col("embedding"),
-        VectorFns.norm2(col("embedding")).as("e_nrm"))
-      .crossJoin(broadcast(c))
-      .withColumn("sim",
-        VectorFns.dotMixed(col("embedding"), col("c_emb")) / (col("e_nrm") * col("c_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("sim"), (-col("centroid_id")).as("neg_cid"),
-          col("centroid_id"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("best").getField("centroid_id").as("centroid_id"),
+    val rows = cent
+      .select(col("centroid_id").cast("long"), col("c_emb").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "Ivf.assign: empty centroid table")
+    val cands = rows.map { case (cid, v) =>
+      // same left fold as dotHof(c_emb, c_emb) — bit-equal c_nrm
+      val cNrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      struct(
+        VectorFns.dotMixed(col("embedding"), typedlit(v)).as("d"),
+        lit(cNrm).as("cn"), lit(-cid).as("neg_cid"), lit(cid).as("centroid_id"))
+    }
+    val best = array_max(zip_with(
+      array(cands: _*),
+      array_repeat(VectorFns.norm2(col("embedding")), rows.length),
+      (x, en) => struct((x("d") / (en * x("cn"))).as("sim"),
+        x("neg_cid").as("neg_cid"), x("centroid_id").as("centroid_id"))))
+    embs.select(col("vec_id"), col("embedding"))
+      .withColumn("__best", best)
+      .select(col("vec_id"), col("__best")("centroid_id").as("centroid_id"),
         col("embedding"))
   }
 
   /** One Lloyd update: per-position rounded mean of the assigned vectors.
     * Returns (centroid_id, c_emb: array<double>).
+    *
+    * No checkpoint: every consumer is [[assign]], which COLLECTS the k
+    * rows (evaluating this plan exactly once) and plans from literals —
+    * the barrier the old broadcast-consuming shape needed is gone.
     */
   private def update(assigned: DataFrame): DataFrame =
-    Ckpt(assigned.select(col("centroid_id"), posexplode(col("embedding")))
+    assigned.select(col("centroid_id"), posexplode(col("embedding")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(round(avg(col("col")), 6).as("cv"))
       .groupBy(col("centroid_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).as("c_emb")))
+        x => x.getField("cv")).as("c_emb"))
 
   /** Pinned-seed k-means: seed = k lowest vec_ids, `iters` Lloyd updates.
     * Returns the trained (centroid_id, c_emb) table.

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.nio.file.{Files, Paths}
+
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -53,7 +55,18 @@ object Queries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val sch = tSchemas.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    // key the memo on (path, mtime, length): a source file regenerated
+    // in-place within one JVM (the driver regenerates /root/testdata
+    // mid-round sometimes) re-infers instead of serving a stale schema —
+    // spark.read.schema(...) is never validated against footers, so a
+    // stale hit would surface as silent nulls, not an error. The stat is
+    // driver-side metadata (~µs), no Spark job.
+    val (mt, len) = try {
+      val p = Paths.get(path)
+      (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+    } catch { case _: Exception => (-1L, -1L) }
+    val sch = tSchemas.computeIfAbsent(s"$path@$mt:$len",
+      _ => spark.read.parquet(path).schema)
     spark.read.schema(sch).parquet(path)
   }
 
@@ -78,9 +91,42 @@ object Queries {
   private def spread(s: SparkSession, d: String, table: String,
       df: DataFrame, key: Column): DataFrame = {
     val p = s.sparkContext.defaultParallelism
-    val len = try new java.io.File(s"$d/$table.parquet").length catch { case _: Exception => 0L }
+    // Size probe through the path's OWN filesystem (hdfs://, s3a://, a
+    // directory of files — getContentSummary sums leaf lengths), not
+    // java.io.File, which returns 0 for any non-local URI and the
+    // directory-entry size for a dir: both below the threshold, which
+    // would silently invert the "no-op at any real corpus" guarantee
+    // into an always-on full repartition at exactly the scales the
+    // guard exists for. UNKNOWN size (probe failure) is treated as
+    // LARGE — never repartition a corpus we could not size.
+    val len = try {
+      val path = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+      path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(path).getLength
+    } catch { case _: Exception => Long.MaxValue }
     // ~4 MB openCost floor per scan task: below p tasks, cores sit idle
     if (len < 4L * 1024 * 1024 * p) df.repartition(p, key) else df
+  }
+
+  /** [[spread]] for frames whose source path isn't at hand (the
+    * incremental-dedup engines receive an arbitrary batch DataFrame):
+    * sizes the input from the analyzed plan's statistics — for a parquet
+    * scan that is the file length from the already-built file index, a
+    * driver-side lookup, no job. UNKNOWN size (a LogicalRDD batch from
+    * the streaming drivers reports `defaultSizeInBytes` = Long.MaxValue)
+    * lands on the LARGE side: never repartition a corpus we could not
+    * size. Returns whether it spread, so callers can restore the
+    * pre-spread partition count before anything reaches a file writer
+    * (the r20 lesson: an explicit-N exchange into an extend fragments
+    * the index into ~cores files per append).
+    */
+  private def spreadByStats(df: DataFrame, key: Column): (DataFrame, Boolean) = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val bytes =
+      try df.queryExecution.analyzed.stats.sizeInBytes
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    if (bytes < BigInt(4L * 1024 * 1024 * p)) (df.repartition(p, key), true)
+    else (df, false)
   }
 
   /** events with timestamps surfaced as µs longs, whatever the physical
@@ -392,14 +438,35 @@ object Queries {
     // row (the reverse window) is harmless; the streaming twin orders
     // its ledgered writes the same way.
     textRepo.extend(corpus.select(col("doc_id"), col("text")))
-    // checkpoint the signature ONLY for a clustered index: its extend
-    // range-partitions, whose SAMPLING pass is a second full evaluation
-    // of the input — off the barrier it would re-run the whole
-    // tokenize/minhash pipeline. An unclustered index evaluates the
-    // bands exactly once (inside the write job), so the barrier would
-    // pay a materialization action for nothing.
-    val sig = if (index.clusterCols.nonEmpty || index.zOrderCols.nonEmpty)
-      minhashSig(corpus) else minhashSigRaw(corpus)
+    // The signature pipeline (tokenize/shingle/md5/minhash — the seed's
+    // dominant CPU) otherwise evaluates at the SOURCE's partitioning: on
+    // a small corpus that is one task inside the extend's write job
+    // (measured ~620 ms serialized on one of 32 cores at sf0.1). When
+    // the corpus is small enough that its scan can't parallelize
+    // (spreadByStats), run the pipeline on the map side of a spread +
+    // 1-partition exchange behind an eager checkpoint: the CPU fans out
+    // to the cores, while the checkpoint materializes as ONE block so
+    // the extend's write plan — and with it the index's on-disk file
+    // count — is identical to the un-spread shape. (r20 measured the
+    // naked spread-into-extend fragmenting the clustered index into
+    // ~cores files per append, probe floors 1.43→3.46 s; a consumer-side
+    // coalesce instead disables AQE coalescing of the extend's range
+    // exchange — same fragmentation. The pre-checkpoint compaction
+    // avoids both.) At any real corpus the spread is a no-op and the
+    // original shapes are kept:
+    //   - checkpoint ONLY for a clustered index (its extend
+    //     range-partitions, whose SAMPLING pass is a second full
+    //     evaluation of the input — off the barrier it would re-run the
+    //     whole tokenize/minhash pipeline);
+    //   - an unclustered index evaluates the bands exactly once inside
+    //     the write job, so the barrier would pay a materialization
+    //     action for nothing.
+    val clusteredIdx = index.clusterCols.nonEmpty || index.zOrderCols.nonEmpty
+    val (src, didSpread) = spreadByStats(corpus, col("doc_id"))
+    val sig =
+      if (didSpread) Ckpt(minhashSigRaw(src).repartition(1, col("doc_id")))
+      else if (clusteredIdx) minhashSig(src)
+      else minhashSigRaw(src)
     index.extend(lshBands(sig))
   }
 
@@ -446,15 +513,26 @@ object Queries {
     * groupBy shuffle; every one of those is a cheap projection of this
     * frame now.
     */
-  private def nearBatchBase(batch: DataFrame): DataFrame = {
+  private def nearBatchBase(batch: DataFrame, compact1: Boolean = false): DataFrame = {
     val withSh = batch
       .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("text"),
         when(size(col("toks")) >= 3,
           SetOps.sortedSet(transform(TextFns.shinglesOf(col("toks"), 3),
             g => TextFns.hash32(g)))).as("sh"))
-    Ckpt(withSh.select(
-      Seq(col("doc_id"), col("text"), col("sh")) ++ minhashCols(col("sh")): _*))
+    val base = withSh.select(
+      Seq(col("doc_id"), col("text"), col("sh")) ++ minhashCols(col("sh")): _*)
+    // compact1 pairs with a spread caller: the tokenize/shingle/minhash
+    // projections run on the spread's ~cores map-side tasks, and the
+    // extra 1-partition exchange then materializes the checkpoint as ONE
+    // block — so every consumer plan (probe broadcast builds, candidate
+    // self-join, verify joins, the caller's index extend) keeps the
+    // exact task counts of the un-spread shape. Checkpointing the spread
+    // partitioning directly was measured WORSE than no spread at all:
+    // ~10 downstream stages each fanned to ~cores tasks of pure
+    // scheduling overhead, and a consumer-side coalesce would disable
+    // AQE coalescing inside the extends' write plans.
+    Ckpt(if (compact1) base.repartition(1, col("doc_id")) else base)
   }
 
   /** The batch's LSH band rows (batch_doc, band, bh) as a projection of
@@ -525,7 +603,15 @@ object Queries {
     */
   def incrNearVerdictAndBands(index: TableRepo, batch: DataFrame,
       textRepo: TableRepo, pruned: Boolean = false): (DataFrame, DataFrame) = {
-    val base = nearBatchBase(batch.select(col("doc_id"), col("text")))
+    // spread the batch's tokenize/shingle/minhash CPU across the cores
+    // before the base checkpoint (measured ~620 ms in ONE task at sf0.1
+    // otherwise); the returned band rows are coalesced back to one
+    // partition below so the caller's index extend keeps the un-spread
+    // file count (see incrDedupSeed). A streaming micro-batch reports
+    // unknown size and stays un-spread.
+    val (spreadBatch, didSpread) =
+      spreadByStats(batch.select(col("doc_id"), col("text")), col("doc_id"))
+    val base = nearBatchBase(spreadBatch, compact1 = didSpread)
     val docs = base.select(col("doc_id"), col("text"))
     val (cand, bBands) = incrNearCandFromBase(index, base, pruned)
     val batchSh = base.filter(col("sh").isNotNull).select(col("doc_id"), col("sh"))
@@ -552,6 +638,9 @@ object Queries {
       .filter(col("jaccard") >= 0.4)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("batch_doc"), col("dup_of"), col("jaccard")))
+    // the base checkpoint is one block whether or not the batch was
+    // spread (see nearBatchBase), so the returned bands carry the same
+    // partitioning as the un-spread shape — no coalesce needed
     (verdict, bBands.select(col("batch_doc").as("doc_id"), col("band"), col("bh")))
   }
 
@@ -1968,6 +2057,12 @@ object Queries {
       s"""WITH sc AS (SELECT doc_id, lang, $sqlLangScores FROM documents)
          | SELECT doc_id, lang, $sqlLangCase AS lang_pred FROM sc""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
+      // NOTE (r21): a one-pass aggregate variant (langPredictOnePass,
+      // since removed) was measured ~30% SLOWER here at sf0.1 — this
+      // query is one fused map projection whose floor is fixed cost, and
+      // the lambda-aggregate plan analyzes slower than the repeated
+      // codegen'd splits execute. The funnel keeps the one-pass flags
+      // (its per-row work is 10× heavier); this stays on the original.
       t(s, d, "documents").select(col("doc_id"), col("lang"),
         TextFns.langPredict(col("text")).as("lang_pred"))
     },
@@ -1983,6 +2078,7 @@ object Queries {
          |   (CASE WHEN (nc - (nt - 1.0)) / nt >= 3.0 AND (nc - (nt - 1.0)) / nt <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
          | FROM m""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
+      // original multi-split form on purpose — see the q_lang_id note
       t(s, d, "documents").select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
     },
 
@@ -2066,15 +2162,17 @@ object Queries {
          | UNION ALL SELECT 3, 'lang', n3, c3 FROM a
          | UNION ALL SELECT 4, 'dedup', n4, c4 FROM a""".stripMargin.replaceAll("\n", "")
     }) { (s, d) =>
-      val nTok = TextFns.tokenCount(col("text"))
-      // ~10 interpreted HOF/regex passes per row (quality + lang + md5
-      // fingerprint): spread before computing the flags when the scan
-      // can't parallelize them itself
+      // one-pass flags: the plain qualityScore/langPredict forms re-split
+      // the text per reference (the r20 plan carried 42 split(trim(...))
+      // + 30 array_distinct per row in this projection); the one-pass
+      // variants cut that to 4 splits — one per flag column plus the
+      // fingerprint. The spread still parallelizes what remains when the
+      // scan can't.
       val flags = spread(s, d, "documents", t(s, d, "documents"), col("doc_id")).select(
         col("doc_id"), length(col("text")).cast(LongType).as("nc"),
-        (nTok >= 24 && nTok <= 80).as("f_len"),
-        (TextFns.qualityScore(col("text")) >= 0.7).as("f_q"),
-        (TextFns.langPredict(col("text")) === "en").as("f_lang"),
+        TextFns.tokenCountBetween(col("text"), 24, 80).as("f_len"),
+        (TextFns.qualityScoreOnePass(col("text")) >= 0.7).as("f_q"),
+        TextFns.langPredictIsFirst(col("text")).as("f_lang"),
         TextFns.fingerprint(col("text")).as("fp"))
       val kept = flags.withColumn("keep_id",
         min(when(col("f_len") && col("f_q") && col("f_lang"), col("doc_id")))

@@ -70,9 +70,12 @@ object FileStats {
     val conf = new SerializableWritable(spark.sparkContext.hadoopConfiguration)
     if (files.size <= 64) files.map(rowsOf(conf.value, _)).sum
     else {
-      val slices = math.max(1, math.min(files.size, 64))
+      // this branch only runs with files.size > 64, so the slice count is
+      // the constant cap; summing via fold keeps the count in Long (an
+      // RDD.sum() accumulates through Double — exact only below 2^53 rows)
+      val slices = 64
       spark.sparkContext.parallelize(files, slices)
-        .map(f => rowsOf(conf.value, f)).sum().toLong
+        .map(f => rowsOf(conf.value, f)).fold(0L)(_ + _)
     }
   }
 
