@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Connected components of an undirected pair graph, shared by the dedup
   * cluster finders (token near-dup clusters, embedding near-dup clusters).
@@ -19,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge-count cutoff for the DRIVER fast path: an edge set at or below
+    * it (the materialized undirected closure, ≤ 4× the verified pair
+    * count) is collected and solved with one union-find pass instead of
+    * 4-6 distributed label rounds — measured at sf0.1, the doc pair
+    * graph took 4 rounds and the emb graph 6 (its convergence tail moves
+    * 1-2 labels per round: min-label speed follows where the small ids
+    * sit, not just the diameter), each round a join+aggregate+jump
+    * action of fixed cost. 2M edges is ~32 MB of longs — broadcast-class
+    * driver traffic, well under default driver memory — while a corpus
+    * whose VERIFIED dup-pair graph exceeds it gets the distributed loop
+    * unchanged. Env-tunable for operators (GRAFT_CC_DRIVER_MAX_EDGES).
+    */
+  private[graft] val DriverCcMaxEdges: Long =
+    sys.env.getOrElse("GRAFT_CC_DRIVER_MAX_EDGES", "2000000").toLong
+
   /** Min-label connected components over `pairs` (two long id columns,
     * undirected edges). Returns one row per node appearing in `pairs`,
     * columns (`id`, `cluster_id`) with `cluster_id` = min id in the node's
@@ -28,9 +44,14 @@ object Components {
     minLabelWithRounds(pairs0, maxRounds)._1
 
   /** [[minLabel]] plus the number of propagation rounds executed — the
-    * scale witness (rounds ≈ log₂ diameter, see the doubling step below).
+    * scale witness (rounds ≈ log₂ diameter, see the doubling step below;
+    * 0 means the driver fast path resolved the graph in one union-find
+    * pass). `driverMaxEdges` exists for tests pinning the distributed
+    * loop; production callers keep the default.
     */
-  def minLabelWithRounds(pairs0: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+  def minLabelWithRounds(pairs0: DataFrame, maxRounds: Int = 50,
+      onRound: (Int, Long) => Unit = (_, _) => (),
+      driverMaxEdges: Long = DriverCcMaxEdges): (DataFrame, Int) = {
     require(pairs0.columns.length == 2,
       s"pairs must have exactly two id columns, got ${pairs0.columns.mkString(",")}")
     val pairs = pairs0.toDF("__a", "__b")
@@ -45,6 +66,42 @@ object Components {
         struct(col("__b").as("src"), col("__b").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")).distinct()
       .localCheckpoint(true) // edges feed every propagation round
+    // The expensive pair pipeline is materialized above either way; the
+    // edge COUNT is then one cheap job over cached blocks, and it decides
+    // whether the label graph is driver-bounded (see DriverCcMaxEdges):
+    // collecting a bounded edge list and union-finding it replaces every
+    // propagation round — same unique fixpoint (the union-find attaches
+    // the larger root under the smaller, so each root IS its component's
+    // min id, exactly minLabel's label).
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp // path halving
+          x = gp
+        }
+        x
+      }
+      edges.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        else if (!parent.contains(ra)) parent(ra) = ra
+      }
+      // parent holds every node seen: the closure's self-loops guarantee
+      // each node appears at least once, and the self-loop branch above
+      // seeds even isolated component minima
+      val out = new java.util.ArrayList[Row](parent.size)
+      parent.keysIterator.foreach(id => out.add(Row(id, find(id))))
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("cluster_id", LongType, nullable = false)))
+      return (pairs.sparkSession.createDataFrame(out, schema), 0)
+    }
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
       .localCheckpoint(true)
     var converged = false
@@ -90,6 +147,7 @@ object Components {
       converged = chg == null || chg.asInstanceOf[Long] == 0L
       labels = next
       rounds += 1
+      onRound(rounds, if (chg == null) 0L else chg.asInstanceOf[Long])
     }
     // maxRounds covers any realistic dup-cluster diameter with log-depth
     // headroom to spare; emitting unconverged labels would be silently

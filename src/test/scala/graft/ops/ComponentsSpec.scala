@@ -47,12 +47,30 @@ class ComponentsSpec extends SparkSuite {
 
   test("pointer doubling makes rounds logarithmic in chain depth") {
     // a 65-node path (diameter 64): plain neighbor propagation needs 64
-    // rounds; with the label(label(v)) jump the depth halves each round
+    // rounds; with the label(label(v)) jump the depth halves each round.
+    // driverMaxEdges = 0 pins the DISTRIBUTED loop (the default would
+    // resolve this tiny graph on the driver and report 0 rounds)
     val chain = (0L until 64L).map(i => (i, i + 1))
-    val (labels, rounds) = Components.minLabelWithRounds(chain.toDF("a", "b"))
+    val (labels, rounds) =
+      Components.minLabelWithRounds(chain.toDF("a", "b"), driverMaxEdges = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 64L).map(_ -> 0L).toMap)
     assert(rounds <= 12, s"expected ~log2(64) rounds, took $rounds")
+    assert(rounds > 0, "driverMaxEdges = 0 must force the distributed loop")
+  }
+
+  test("the driver union-find fast path matches the distributed loop") {
+    val rnd = new scala.util.Random(21)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val (fast, fastRounds) = Components.minLabelWithRounds(pairs.toDF("a", "b"))
+    val (dist, distRounds) =
+      Components.minLabelWithRounds(pairs.toDF("a", "b"), driverMaxEdges = 0L)
+    assert(fastRounds == 0, "a 120-pair graph must take the driver path")
+    assert(distRounds > 0)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(fast) == asMap(dist))
   }
 
   test("rejects inputs without exactly two columns") {
