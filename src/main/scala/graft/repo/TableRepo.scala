@@ -122,6 +122,37 @@ class TableRepo(
   private def routeToBuckets(df: DataFrame): DataFrame =
     bucketColName.map(b => df.repartition(col(b))).getOrElse(df)
 
+  /** Route a SMALL grouped append to its partition dirs. The write
+    * otherwise runs at the input's partitioning, and a small batch is
+    * ONE task writing every dir's contract-sized files serially — the
+    * parquet writer costs ~10 ms per file open/close, so a seed append
+    * that rolls ~75 files (q_upsert_pruned_grouped at sf0.1) spent
+    * ~0.9 s of a 1.1 s write job on one core. One exchange keyed by the
+    * layout cols caps it at one task per dir (the same co-location
+    * rationale as [[routeToBuckets]]). Explicit-N so AQE cannot coalesce
+    * the tiny exchange back into one task. LARGE batches — plan
+    * statistics ≥ 4 MB × cores; UNKNOWN size counts as large — keep the
+    * current shape, where every input task writes the dirs it touches:
+    * collapsing a real append to one task per low-cardinality group
+    * value would be the opposite trade (buckets route unconditionally
+    * above because the bucket count scales by design; group cardinality
+    * does not).
+    */
+  private def routeToGroups(df: DataFrame): DataFrame =
+    // only when a sizing contract forces file ROLLS: without
+    // maxRecordsPerFile a small batch writes one file per dir however it
+    // is partitioned, and the exchange is pure cost (measured +35% on
+    // q_partition_prune before this guard)
+    if (bucketColName.nonEmpty || layoutCols.isEmpty || maxRecordsPerFile <= 0) df
+    else {
+      val p = spark.sparkContext.defaultParallelism
+      val bytes =
+        try df.queryExecution.analyzed.stats.sizeInBytes
+        catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+      if (bytes < BigInt(4L * 1024 * 1024 * p)) df.repartition(p, layoutCols.map(col): _*)
+      else df
+    }
+
   /** Cluster rows at rest so Parquet row-group/file min-max statistics
     * become selective — the lakehouse data-skipping lever (zorder-lite).
     * Without layout dirs, a range repartition gives files DISJOINT
@@ -886,7 +917,7 @@ class TableRepo(
     // commitNewVersion's callback — after the version claim — or the
     // source-guard re-list could not vouch for it (each branch below
     // references `df` exactly once, so nothing is built twice)
-    def df = clustered(routeToBuckets(withLayout(dfIn)))
+    def df = clustered(routeToGroups(routeToBuckets(withLayout(dfIn))))
     if (!overwrite) {
       appendExact(df)
     } else if (dynamic && layoutCols.nonEmpty) {
