@@ -85,20 +85,26 @@ object Ivf {
         col("embedding"))
   }
 
-  /** One Lloyd update: per-position rounded mean of the assigned vectors.
-    * Returns (centroid_id, c_emb: array<double>).
-    *
-    * No checkpoint: every consumer is [[assign]], which COLLECTS the k
-    * rows (evaluating this plan exactly once) and plans from literals —
-    * the barrier the old broadcast-consuming shape needed is gone.
+  /** One Lloyd update: per-position rounded mean of the assigned vectors,
+    * COLLECTED into a local (centroid_id, c_emb: array<double>) relation —
+    * k rows of dim doubles, driver-trivial. Each round is therefore
+    * exactly one collect job, and [[train]]'s result is eager LOCAL rows:
+    * consumers (an extend's write, [[assign]]'s own collect, the
+    * trainResult projections) re-plan from literals instead of
+    * re-evaluating the Lloyd chain, so no caller needs a checkpoint
+    * around train anymore.
     */
-  private def update(assigned: DataFrame): DataFrame =
-    assigned.select(col("centroid_id"), posexplode(col("embedding")))
+  private def update(assigned: DataFrame): DataFrame = {
+    val plan = assigned.select(col("centroid_id"), posexplode(col("embedding")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(round(avg(col("col")), 6).as("cv"))
       .groupBy(col("centroid_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
         x => x.getField("cv")).as("c_emb"))
+    val rows = plan.collect()
+    assigned.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), plan.schema)
+  }
 
   /** Pinned-seed k-means: seed = k lowest vec_ids, `iters` Lloyd updates.
     * Returns the trained (centroid_id, c_emb) table.
@@ -138,7 +144,7 @@ object Ivf {
     * so the oracle hash-compares cleanly.
     */
   def trainResult(embs: DataFrame, k: Int, iters: Int): DataFrame = {
-    val cent = Ckpt(train(embs, k, iters))
+    val cent = train(embs, k, iters) // eager local rows — no barrier needed
     val sizes = assign(embs, cent)
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
     cent.select(col("centroid_id"), posexplode(col("c_emb")))
@@ -224,7 +230,7 @@ object Ivf {
   def probeTopK(embs: DataFrame, k: Int, iters: Int, nprobe: Int,
       maxQueryId: Long, topK: Int): DataFrame = {
     val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
-    val cent = Ckpt(train(e, k, iters))
+    val cent = train(e, k, iters) // eager local rows — no barrier needed
     val asg = assign(e, cent)
     val qc = route(e.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), cent, nprobe)

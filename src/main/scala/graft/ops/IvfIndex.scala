@@ -327,7 +327,10 @@ class IvfIndex(val root: String, val spark: SparkSession,
     // batch draining meanwhile only nudges the centroids; ASSIGNMENT
     // completeness is what correctness needs, and that is handled below.
     val t = Ckpt(trainOn.getOrElse(embs).select(col("vec_id"), col("embedding")))
-    val c = Ckpt(Ivf.train(t, k, iters))
+    // train is eager by construction (each Lloyd round collects its k-row
+    // update), so the full training cost is paid HERE, outside the
+    // exclusive lock — the property the former Ckpt existed to pin
+    val c = Ivf.train(t, k, iters)
     withExclusiveSwapLock {
       // `embs` is BY-NAME and re-evaluated HERE, inside the exclusive
       // lock — deliberately: a parquet read snapshots its file listing

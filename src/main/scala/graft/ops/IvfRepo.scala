@@ -50,7 +50,7 @@ object IvfRepo {
       trainOn: Option[DataFrame] = None): Unit = {
     val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
     val t = trainOn.fold(e)(d => Ckpt(d.select(col("vec_id"), col("embedding"))))
-    val cent = Ckpt(Ivf.train(t, k, iters))
+    val cent = Ivf.train(t, k, iters) // eager local rows — no barrier needed
     centRepo.extend(cent)
     asgRepo.extend(Ivf.assign(e, cent))
   }
@@ -87,7 +87,7 @@ object IvfRepo {
       trainOn: Option[DataFrame] = None): Unit = {
     val e = Ckpt(embs.select(col("vec_id"), col("embedding")))
     val t = trainOn.fold(e)(d => Ckpt(d.select(col("vec_id"), col("embedding"))))
-    val cent = Ckpt(Ivf.train(t, k, iters))
+    val cent = Ivf.train(t, k, iters) // eager local rows — no barrier needed
     centRepo.replaceAll(cent)
     asgRepo.replaceAll(Ivf.assign(e, cent))
   }

@@ -2991,12 +2991,19 @@ object Queries {
         | QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) = 1""".stripMargin.replaceAll("\n", "")
     )) { (s, d) =>
       val docs = t(s, d, "documents")
-      // tokenize once: tf and df are different subtrees over tk (r8 plan
-      // audit: 3 corpus scans without the barrier); nd stays a separate
-      // metadata-only count-star scan
-      val tk = Ckpt(docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok")))
-      val tf = tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val df = tk.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      // ONE pass over the exploded tokens instead of two: df(tok) =
+      // countDistinct(doc_id) over tk ≡ count(*) over tf, because tf
+      // already holds exactly one row per distinct (doc_id, tok). The
+      // checkpoint therefore moves from tk (the 500k-row explode, which
+      // r8's barrier protected against 3 corpus scans) to the smaller tf
+      // frame, and tk becomes single-consumer — its tokenize runs on the
+      // map side of tf's aggregation exchange, spread across cores when
+      // the scan can't parallelize it. nd stays a separate metadata-only
+      // count-star scan.
+      val tk = spread(s, d, "documents", docs, col("doc_id"))
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      val tf = Ckpt(tk.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
       tf.join(df, Seq("tok")).crossJoin(nd)
