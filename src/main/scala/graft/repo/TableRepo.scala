@@ -899,7 +899,16 @@ class TableRepo(
   // --------------------------------------------------------------- write
 
   private def configuredWriter(df: DataFrame, mode: String) = {
+    // committer algorithm v2: task commit renames files straight into the
+    // job's output dir instead of a second job-commit rename pass — one
+    // fewer rename (and permission shell-out) per file. Visibility
+    // semantics are the REPO's, not the committer's: appends land from a
+    // private staging dir file-by-file and full rewrites only become
+    // readable at the _GRAFT_COMMIT marker, so v2's
+    // partial-files-on-job-failure window is invisible either way
+    // (staging leftovers are vacuumed; uncommitted version dirs are GC'd).
     var w = df.write.mode(mode)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
     if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     w
@@ -934,7 +943,10 @@ class TableRepo(
       // the input plan may freely read the current one (different paths —
       // no "cannot overwrite a path being read from", no staging copy)
       commitNewVersion({ target =>
+        // same committer-v2 option as configuredWriter (see there): the
+        // version dir is invisible until its _GRAFT_COMMIT marker lands
         var w = df.write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
         if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
         w.parquet(target)
@@ -1436,6 +1448,7 @@ class TableRepo(
         if (sortCols.isEmpty) rebalanced0
         else rebalanced0.sortWithinPartitions((layoutCols ++ sortCols).map(col): _*).drop(zColName)
       var w = rebalanced.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2") // see configuredWriter
         .option("maxRecordsPerFile", targetRecordsPerFile) // not the repo's append sizing
       if (layoutCols.nonEmpty) w = w.partitionBy(layoutCols: _*)
       w.parquet(target)
